@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` gives the exact
+DuckDB-equivalent SQL (SURVEY.md §4 documents the deterministic RBAC
+derivation both sides share). Column names and types are aligned on both
+sides so the driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
@@ -12,27 +12,629 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectorsearch_rbac_spark.sources import load_table
+from vectorsearch_rbac_spark.rbac import derive
+from vectorsearch_rbac_spark.operators import knn, ann, dedup, ivf
+from vectorsearch_rbac_spark.functions import text as T
+from vectorsearch_rbac_spark.plans import queries as PQ
+
+TOPK = 10
+QUERY_STRIDE = 100
+COS_NEARDUP_T = 0.35
+JACCARD_T = 0.5
+SIMHASH_BITS = 32
+SIMHASH_T = 3
+
+
+def _rbac(spark: SparkSession, sf_dir: str):
+    customer = load_table(spark, "customer", sf_dir)
+    documents = load_table(spark, "documents", sf_dir)
+    embeddings = load_table(spark, "embeddings", sf_dir)
+    tabs = derive.derive_rbac(customer, documents, embeddings)
+    tabs["queries"] = derive.derive_queries(embeddings, QUERY_STRIDE)
+    tabs["query_roles"] = derive.query_roles(tabs["queries"])
+    tabs["documents"] = documents
+    tabs["embeddings"] = embeddings
+    return tabs
+
+
+def _i(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast listed columns to long for cross-engine schema parity."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+# ---------------------------------------------------------------- queries
+
+def q_rbac_prefilter_topk(spark, sf_dir):
+    t = _rbac(spark, sf_dir)
+    out = knn.knn_prefilter(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
+def q_rbac_postfilter_topk(spark, sf_dir):
+    t = _rbac(spark, sf_dir)
+    out = knn.knn_postfilter(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, expansion=4)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
+def q_rbac_role_partition_topk(spark, sf_dir):
+    t = _rbac(spark, sf_dir)
+    out = knn.knn_role_partition(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
+def q_rbac_comb_role_topk(spark, sf_dir):
+    t = _rbac(spark, sf_dir)
+    out = knn.knn_comb_role_partition(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
+def q_rbac_rls_topk(spark, sf_dir):
+    t = _rbac(spark, sf_dir)
+    out = knn.knn_rls(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
+def q_rbac_selectivity(spark, sf_dir):
+    t = _rbac(spark, sf_dir)
+    out = derive.block_selectivity(t["user_roles"], t["permission_assignment"], t["documentblocks"])
+    return _i(out, "user_id", "accessible_blocks")
+
+
+def q_rbac_topk_fast(spark, sf_dir):
+    """Two-phase numpy local-topk path (no RBAC): same results as brute
+    force — oracle-checked to prove the fast path is exact."""
+    t = _rbac(spark, sf_dir)
+    out = knn.knn_topk_fast(t["documentblocks"], t["queries"], k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
+def q_cosine_topk(spark, sf_dir):
+    t = _rbac(spark, sf_dir)
+    out = ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=TOPK)
+    return _i(out, "query_id", "vec_id", "rank")
+
+
+def q_cosine_neardup(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _i(ann.cosine_neardup_pairs(emb, threshold=COS_NEARDUP_T), "id_a", "id_b")
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = docs.select("doc_id", T.fingerprint("text").alias("content_hash"))
+    return _i(out, "doc_id")
+
+
+def q_minhash_candidates(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(dedup.minhash_candidates(docs, n=3, num_hashes=16, band_size=4), "id_a", "id_b")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(dedup.ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T), "id_a", "id_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = dedup.simhash_neardup_pairs(docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_T)
+    return _i(out, "id_a", "id_b", "hamming")
+
+
+def q_text_stats(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.repetition_ratio("text").alias("repetition_ratio"),
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+    return _i(out, "doc_id")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        T.shingle_fingerprint("text", 5).alias("shingle_fp"),
+    )
+    return _i(out, "doc_id")
+
+
+def q_vector_ops(spark, sf_dir):
+    from vectorsearch_rbac_spark.functions import vector as V
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    qa, qb = V.binary_quantize("va"), V.binary_quantize("vb")
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(V.l2_distance("va", "vb"), 6).alias("l2"),
+        F.round(V.l1_distance("va", "vb"), 6).alias("l1"),
+        F.round(V.inner_product("va", "vb"), 6).alias("ip"),
+        F.round(V.cosine_distance("va", "vb"), 6).alias("cos_dist"),
+        V.hamming_distance(qa, qb).cast("long").alias("hamming"),
+        F.round(V.jaccard_distance(qa, qb), 6).alias("jaccard_dist"),
+        F.round(V.vector_norm("va"), 6).alias("norm_a"),
+    )
+    return _i(out, "id_a", "id_b")
+
+
+def q_pricing_summary(spark, sf_dir):
+    return PQ.pricing_summary(load_table(spark, "lineitem", sf_dir))
+
+
+def q_shipping_priority(spark, sf_dir):
+    return _i(
+        PQ.shipping_priority(
+            load_table(spark, "customer", sf_dir),
+            load_table(spark, "orders", sf_dir),
+            load_table(spark, "lineitem", sf_dir),
+        ),
+        "o_orderkey",
+    )
+
+
+def q_nation_volume(spark, sf_dir):
+    return PQ.nation_volume(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "region", sf_dir),
+    )
+
+
+def q_top_parts_per_brand(spark, sf_dir):
+    out = PQ.top_parts_per_brand(load_table(spark, "part", sf_dir), load_table(spark, "lineitem", sf_dir), k=3)
+    return _i(out, "p_partkey", "brand_rank")
+
+
+def q_sessionize_events(spark, sf_dir):
+    out = PQ.sessionize_events(load_table(spark, "events", sf_dir), gap_minutes=30)
+    return _i(out, "user_id", "session_id", "n_events")
+
+
+def q_hourly_event_stats(spark, sf_dir):
+    out = PQ.hourly_event_stats(load_table(spark, "events", sf_dir))
+    return _i(out, "n_events", "n_users")
+
+
+def q_distinct_users(spark, sf_dir):
+    out = PQ.distinct_users_per_type(load_table(spark, "events", sf_dir))
+    return _i(out, "n_users")
+
+
+def q_ivf_recall(spark, sf_dir):
+    """IVF ANN vs brute force: per-query recall@k (approximate op → no SQL
+    oracle; driver records rows-only)."""
+    t = _rbac(spark, sf_dir)
+    blocks = t["documentblocks"]
+    C = ivf.kmeans_fit(blocks, nlists=8, max_iter=8)
+    indexed = ivf.assign_centroids(blocks, C)
+    pred = ivf.ivf_search(indexed, t["queries"], C, k=TOPK, nprobe=3)
+    truth = knn.knn_topk_fast(blocks, t["queries"], k=TOPK)
+    return knn.recall_at_k(pred, truth)
+
+
+def q_lsh_recall(spark, sf_dir):
+    """LSH cosine ANN vs brute force: per-query recall@k (rows-only)."""
+    t = _rbac(spark, sf_dir)
+    pred = ann.cosine_topk_lsh(t["embeddings"], t["queries"], k=TOPK, n_planes=8)
+    truth = ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=TOPK)
+    return knn.recall_at_k(
+        pred.withColumnRenamed("vec_id", "block_id"), truth.withColumnRenamed("vec_id", "block_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: batch RBAC prefilter top-k on sf0.001."""
+    return q_rbac_prefilter_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rbac_prefilter_topk": q_rbac_prefilter_topk,
+        "rbac_postfilter_topk": q_rbac_postfilter_topk,
+        "rbac_role_partition_topk": q_rbac_role_partition_topk,
+        "rbac_comb_role_topk": q_rbac_comb_role_topk,
+        "rbac_rls_topk": q_rbac_rls_topk,
+        "rbac_topk_fast": q_rbac_topk_fast,
+        "rbac_selectivity": q_rbac_selectivity,
+        "cosine_topk": q_cosine_topk,
+        "cosine_neardup": q_cosine_neardup,
+        "exact_dedup": q_exact_dedup,
+        "minhash_candidates": q_minhash_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_pairs": q_simhash_pairs,
+        "text_stats": q_text_stats,
+        "doc_fingerprints": q_doc_fingerprints,
+        "vector_ops": q_vector_ops,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "nation_volume": q_nation_volume,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "sessionize_events": q_sessionize_events,
+        "hourly_event_stats": q_hourly_event_stats,
+        "distinct_users": q_distinct_users,
+        "ivf_recall": q_ivf_recall,
+        "lsh_recall": q_lsh_recall,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+# shared CTE prefix: deterministic RBAC derivation (SURVEY.md §4)
+_RBAC_CTE = """
+WITH blocks AS (
+  SELECT vec_id AS block_id,
+         vec_id % (SELECT COUNT(*) FROM documents) AS document_id,
+         embedding AS vector
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS query_id, vec_id % 97 AS user_id, embedding AS query_vector
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+qroles AS (
+  SELECT query_id, user_id % 10 AS role_id FROM qs
+  UNION
+  SELECT query_id, (user_id * 7 + 3) % 10 AS role_id FROM qs
+),
+perm AS (
+  SELECT doc_id AS document_id, doc_id % 10 AS role_id FROM documents
+  UNION
+  SELECT doc_id AS document_id, (doc_id + 3) % 10 AS role_id FROM documents
+),
+qdocs AS (
+  SELECT DISTINCT r.query_id, p.document_id
+  FROM qroles r JOIN perm p USING (role_id)
+)
+"""
+
+_PREFILTER_SQL = _RBAC_CTE + """
+, scored AS (
+  SELECT d.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM qdocs d
+  JOIN blocks b USING (document_id)
+  JOIN qs q ON q.query_id = d.query_id
+)
+SELECT query_id, block_id, document_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+_GLOBAL_TOPK_SQL = _RBAC_CTE + """
+, scored AS (
+  SELECT q.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM blocks b CROSS JOIN qs q
+)
+SELECT query_id, block_id, document_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+_POSTFILTER_SQL = _RBAC_CTE + """
+, scored AS (
+  SELECT q.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM blocks b CROSS JOIN qs q
+),
+g AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS grank
+    FROM scored
+  ) WHERE grank <= 40
+),
+filtered AS (
+  SELECT g.query_id, g.block_id, g.document_id, g.distance
+  FROM g JOIN qdocs d ON d.query_id = g.query_id AND d.document_id = g.document_id
+)
+SELECT query_id, block_id, document_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+  FROM filtered
+) WHERE rank <= 10
+"""
+
+_SELECTIVITY_SQL = _RBAC_CTE + """
+, uroles AS (
+  SELECT c_custkey AS user_id, c_custkey % 10 AS role_id FROM customer
+  UNION
+  SELECT c_custkey AS user_id, (c_custkey * 7 + 3) % 10 AS role_id FROM customer
+),
+acc AS (
+  SELECT DISTINCT u.user_id, p.document_id
+  FROM uroles u JOIN perm p USING (role_id)
+),
+ab AS (
+  SELECT user_id, COUNT(*) AS c
+  FROM acc JOIN blocks USING (document_id)
+  GROUP BY user_id
+)
+SELECT user_id, CAST(c AS BIGINT) AS accessible_blocks,
+       ROUND(c / (SELECT COUNT(*) FROM blocks), 6) AS selectivity
+FROM ab
+"""
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_STOP = "['the','a','an','and','or','of','to','in','is','on','for','with','as','at','by','it','be','are','was','that']"
+
+_TEXT_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+    ROUND(len(list_filter(toks, x -> list_contains({_STOP}, x))) / GREATEST(len(toks), 1), 6) AS stopword_ratio,
+    ROUND(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) / GREATEST(length(norm), 1), 6) AS punct_ratio,
+    ROUND(1.0 - len(list_distinct(toks)) / GREATEST(len(toks), 1), 6) AS repetition_ratio,
+    ROUND(length(regexp_replace(norm, '[^a-z0-9]', '', 'g')) / GREATEST(len(toks), 1), 6) AS mwl,
+    ROUND(1.0 - length(regexp_replace(norm, '[\\x00-\\x7f]', '', 'g')) / GREATEST(length(norm), 1), 6) AS ascii_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio, repetition_ratio,
+  ROUND(LEAST(stopword_ratio * 4, 1.0) * 0.3
+      + (1.0 - LEAST(punct_ratio * 5, 1.0)) * 0.3
+      + (1.0 - repetition_ratio) * 0.2
+      + (CASE WHEN mwl >= 2.5 AND mwl <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
+  CASE WHEN stopword_ratio >= 0.08 AND ascii_ratio >= 0.97 THEN 'en'
+       WHEN ascii_ratio >= 0.97 THEN 'latin'
+       ELSE 'other' END AS lang_pred
+FROM s
+"""
+
+_FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
+SELECT doc_id, md5(norm) AS fp,
+       md5(array_to_string(list_filter(toks, (x, i) -> i % 5 = 1), ' ')) AS shingle_fp
+FROM t
+"""
+
+_MD5L = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_SHINGLES_CTE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+)
+"""
+
+_MINHASH_SQL = _SHINGLES_CTE + f"""
+, hs AS (
+  SELECT doc_id, h, MIN({_MD5L.format(x="h::VARCHAR || ':' || shingle")}) AS minhash
+  FROM sh, UNNEST(range(0, 16)) AS v(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 4 AS band,
+         {_MD5L.format(x="string_agg(minhash::VARCHAR, ',' ORDER BY h)")} AS band_sig
+  FROM hs GROUP BY doc_id, h // 4
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+_JACCARD_SQL = _SHINGLES_CTE + """
+, sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, ROUND(inter / (x.sz + y.sz - inter), 6) AS jaccard
+FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE inter / (x.sz + y.sz - inter) >= 0.5
+"""
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+),
+th AS (SELECT doc_id, {_MD5L.format(x="tok")} AS th FROM toks),
+tb AS (
+  SELECT doc_id, j, CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM th, UNNEST(range(0, {SIMHASH_BITS})) AS u(j)
+),
+per_bit AS (SELECT doc_id, j, SUM(contrib) AS s FROM tb GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_T}
+"""
+
+_COSINE_TOPK_SQL = """
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS query_vector
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM embeddings e CROSS JOIN qs q
+)
+SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+_COSINE_NEARDUP_SQL = f"""
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine_sim >= {COS_NEARDUP_T}
+"""
+
+_EXACT_DEDUP_SQL = f"SELECT doc_id, md5({_NORM}) AS content_hash FROM documents"
+
+_VECTOR_OPS_SQL = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding::DOUBLE[] AS va, b.embedding::DOUBLE[] AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 8 AND b.vec_id < 8
+),
+q AS (
+  SELECT *,
+    list_transform(va, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS qa,
+    list_transform(vb, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS qb
+  FROM p
+)
+SELECT id_a, id_b,
+  ROUND(list_distance(va, vb), 6) AS l2,
+  ROUND(list_sum(list_transform(range(1, len(va) + 1), i -> abs(va[i] - vb[i]))), 6) AS l1,
+  ROUND(list_inner_product(va, vb), 6) AS ip,
+  ROUND(1.0 - list_cosine_similarity(va, vb), 6) AS cos_dist,
+  CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> CASE WHEN qa[i] != qb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
+  ROUND(1.0 - list_sum(list_transform(range(1, len(qa) + 1), i -> CASE WHEN qa[i] = 1 AND qb[i] = 1 THEN 1 ELSE 0 END))
+            / list_sum(list_transform(range(1, len(qa) + 1), i -> CASE WHEN qa[i] = 1 OR qb[i] = 1 THEN 1 ELSE 0 END)), 6) AS jaccard_dist,
+  ROUND(sqrt(list_inner_product(va, va)), 6) AS norm_a
+FROM q
+"""
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_SHIPPING_SQL = """
+SELECT o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+  SELECT o.o_orderkey,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+)
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+_NATION_VOLUME_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+_TOP_PARTS_SQL = """
+WITH rev AS (
+  SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, p_partkey, p_name, revenue, brand_rank FROM (
+  SELECT p.p_brand, p.p_partkey, p.p_name, r.revenue,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.p_brand ORDER BY r.revenue DESC, p.p_partkey ASC) AS BIGINT) AS brand_rank
+  FROM rev r JOIN part p ON r.l_partkey = p.p_partkey
+) WHERE brand_rank <= 3
+"""
+
+_SESSIONIZE_SQL = """
+WITH m AS (
+  SELECT *,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS started,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS ended,
+       ROUND(SUM(value), 6) AS total_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 6) AS total_value, ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+_DISTINCT_USERS_SQL = "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rbac_prefilter_topk": _PREFILTER_SQL,
+        "rbac_postfilter_topk": _POSTFILTER_SQL,
+        "rbac_role_partition_topk": _PREFILTER_SQL,
+        "rbac_comb_role_topk": _PREFILTER_SQL,
+        "rbac_rls_topk": _PREFILTER_SQL,
+        "rbac_topk_fast": _GLOBAL_TOPK_SQL,
+        "rbac_selectivity": _SELECTIVITY_SQL,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "cosine_neardup": _COSINE_NEARDUP_SQL,
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "minhash_candidates": _MINHASH_SQL,
+        "ngram_jaccard": _JACCARD_SQL,
+        "simhash_pairs": _SIMHASH_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "doc_fingerprints": _FINGERPRINT_SQL,
+        "vector_ops": _VECTOR_OPS_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "shipping_priority": _SHIPPING_SQL,
+        "nation_volume": _NATION_VOLUME_SQL,
+        "top_parts_per_brand": _TOP_PARTS_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
+        "hourly_event_stats": _HOURLY_SQL,
+        "distinct_users": _DISTINCT_USERS_SQL,
+        # ivf_recall / lsh_recall: approximate → rows-only check by design
+    }

@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from vectorsearch_rbac_spark.sources import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "rbac_prefilter_topk",
+    "rbac_postfilter_topk",
+    "rbac_comb_role_topk",
+    "rbac_topk_fast",
+    "cosine_topk",
+    "cosine_neardup",
+    "minhash_candidates",
+    "ngram_jaccard",
+    "simhash_pairs",
+    "text_stats",
+    "pricing_summary",
+    "shipping_priority",
+    "nation_volume",
+    "sessionize_events",
+    "hourly_event_stats",
+    "ivf_recall",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + file listing once with a trivial action
+    spark.range(1).count()
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    total = round(time.time() - t_all, 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

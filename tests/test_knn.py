@@ -1,0 +1,92 @@
+"""Strategy-equivalence and recall tests, modeled on the reference's
+basic_benchmark/test_*.py suite (SURVEY.md §6): every exact strategy must
+agree with ground truth (recall 1.0); approximate paths must clear a
+recall floor."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_rbac_spark.sources import load_table
+from vectorsearch_rbac_spark.rbac import derive
+from vectorsearch_rbac_spark.operators import knn, ivf, ann
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    customer = load_table(spark, "customer", sf_dir)
+    documents = load_table(spark, "documents", sf_dir)
+    embeddings = load_table(spark, "embeddings", sf_dir)
+    tabs = derive.derive_rbac(customer, documents, embeddings)
+    tabs["queries"] = derive.derive_queries(embeddings, 100)
+    tabs["query_roles"] = derive.query_roles(tabs["queries"])
+    tabs["embeddings"] = embeddings
+    for v in tabs.values():
+        v.cache()
+    return tabs
+
+
+def _ids(df):
+    return {(r["query_id"], r["block_id"]) for r in df.select("query_id", "block_id").collect()}
+
+
+def test_exact_strategies_agree(t):
+    args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    truth = _ids(knn.knn_prefilter(*args, k=10))
+    assert truth
+    assert _ids(knn.knn_role_partition(*args, k=10)) == truth
+    assert _ids(knn.knn_comb_role_partition(*args, k=10)) == truth
+    assert _ids(knn.knn_rls(*args, k=10)) == truth
+
+
+def test_postfilter_is_subset_of_global(t):
+    args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    post = knn.knn_postfilter(*args, k=10, expansion=4)
+    truth = knn.ground_truth(*args, k=10)
+    rec = knn.recall_at_k(post, truth).agg(F.avg("recall")).first()[0]
+    assert 0.2 <= rec <= 1.0  # postfilter trades recall for scan locality
+
+
+def test_fast_topk_matches_window_topk(t):
+    fast = _ids(knn.knn_topk_fast(t["documentblocks"], t["queries"], k=10))
+    w = knn.topk_per_query(
+        t["documentblocks"]
+        .join(F.broadcast(t["queries"].select("query_id", "query_vector")), how="cross")
+        .withColumn("distance", F.round(__import__("vectorsearch_rbac_spark.functions.vector", fromlist=["l2_distance"]).l2_distance("vector", "query_vector"), 6)),
+        10,
+    )
+    assert _ids(w) == fast
+
+
+def test_ivf_recall_floor(t):
+    blocks = t["documentblocks"]
+    C = ivf.kmeans_fit(blocks, nlists=8, max_iter=8)
+    indexed = ivf.assign_centroids(blocks, C)
+    pred = ivf.ivf_search(indexed, t["queries"], C, k=10, nprobe=4)
+    truth = knn.knn_topk_fast(blocks, t["queries"], k=10)
+    rec = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
+    assert rec >= 0.5  # nprobe=4/8 on random vectors
+
+    # full probe = exact
+    pred_all = ivf.ivf_search(indexed, t["queries"], C, k=10, nprobe=8)
+    rec_all = knn.recall_at_k(pred_all, truth).agg(F.avg("recall")).first()[0]
+    assert rec_all == 1.0
+
+
+def test_lsh_recall_floor(t):
+    pred = ann.cosine_topk_lsh(t["embeddings"], t["queries"], k=10, n_planes=8, n_tables=3).withColumnRenamed("vec_id", "block_id")
+    truth = ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=10).withColumnRenamed("vec_id", "block_id")
+    rec = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
+    # random (structureless) vectors are LSH's worst case; 3 tables × 8
+    # planes with 1-bit multiprobe should still clear this floor
+    assert rec >= 0.45
+
+
+def test_adaptive_strategy_routes(t, spark):
+    from vectorsearch_rbac_spark.plans.strategy import adaptive_knn
+
+    out = adaptive_knn(
+        t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"],
+        t["user_roles"], k=10,
+    )
+    rows = out.select("query_id", "strategy").distinct().collect()
+    assert len({r["query_id"] for r in rows}) == t["queries"].count()

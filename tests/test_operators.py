@@ -1,0 +1,140 @@
+"""Unit tests for dedup / text / partitioning / generators / multimodal /
+streaming operators (SURVEY.md §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_rbac_spark.sources import load_table
+from vectorsearch_rbac_spark.rbac import derive, generators
+from vectorsearch_rbac_spark.operators import dedup, partitioning, multimodal
+from vectorsearch_rbac_spark.functions import vector as V
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir).cache()
+
+
+def test_exact_dedup_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")], "doc_id long, text string"
+    )
+    groups = dedup.exact_duplicates(df)
+    assert {(r["doc_id"], r["keeper_id"]) for r in groups.collect()} == {(1, 1), (2, 1)}
+    kept = dedup.dedup_exact(df)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_minhash_finds_planted_neardups(docs):
+    cand = {tuple(r) for r in dedup.minhash_candidates(docs, n=3).collect()}
+    true_pairs = {
+        tuple(r) for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("id_a", "id_b").collect()
+    }
+    assert true_pairs, "testdata should contain planted near-dups"
+    # LSH with 4 bands of 4 at J>=0.8 has >99% pair-recall in expectation
+    assert len(true_pairs - cand) <= max(1, len(true_pairs) // 10)
+
+
+def test_simhash_close_on_neardups(docs):
+    pairs = dedup.simhash_neardup_pairs_banded(docs, bits=32, max_hamming=3)
+    all_pairs = dedup.simhash_neardup_pairs(docs, bits=32, max_hamming=3)
+    assert {tuple(r) for r in pairs.collect()} == {tuple(r) for r in all_pairs.collect()}
+
+
+def test_vector_function_identities(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [0.0, 0.0])], "a array<float>, b array<float>")
+    r = df.select(
+        V.l2_distance("a", "b").alias("l2"),
+        V.l1_distance("a", "b").alias("l1"),
+        V.vector_norm("a").alias("n"),
+        V.inner_product("a", "a").alias("ip"),
+        V.cosine_distance("a", "a").alias("cd"),
+        V.vector_dims("a").alias("d"),
+    ).first()
+    assert r["l2"] == 5.0 and r["l1"] == 7.0 and r["n"] == 5.0
+    assert r["ip"] == 25.0 and abs(r["cd"]) < 1e-12 and r["d"] == 2
+
+
+def test_vector_avg(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])], "g int, v array<float>"
+    )
+    out = {r["g"]: r["centroid"] for r in V.vector_avg(df, ["g"], "v").collect()}
+    assert out[1] == [2.0, 3.0] and out[2] == [5.0, 6.0]
+
+
+def test_role_partition_layout(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir)
+    doc = load_table(spark, "documents", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    t = derive.derive_rbac(cust, doc, emb)
+    assigned = partitioning.role_partition_assignment(t["documentblocks"], t["permission_assignment"])
+    path = str(tmp_path / "role_parts")
+    partitioning.write_partitioned(assigned.select("block_id", "vector", "role_id"), path, "role_id")
+    back = spark.read.parquet(path)
+    # partition pruning: filtering one role must read only that directory
+    plan = back.where(F.col("role_id") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert back.where(F.col("role_id") == 3).count() == assigned.where(F.col("role_id") == 3).count()
+
+
+def test_comb_role_stores_each_block_once(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    doc = load_table(spark, "documents", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    t = derive.derive_rbac(cust, doc, emb)
+    comb = partitioning.comb_role_assignment(t["documentblocks"], t["permission_assignment"])
+    assert comb.count() == t["documentblocks"].count()
+
+
+def test_qdtree_assignment_covers_all(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    doc = load_table(spark, "documents", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    t = derive.derive_rbac(cust, doc, emb)
+    assigned = partitioning.qdtree_assignment(
+        t["documentblocks"], t["permission_assignment"], max_leaf_size=128, max_depth=4
+    )
+    assert assigned.count() == t["documentblocks"].count()
+    stats = partitioning.qdtree_search_stats(assigned)
+    assert stats.count() >= 2  # actually split something
+
+
+def test_generators_shapes(spark):
+    r = generators.random_rbac(spark, num_users=100, num_roles=10, num_documents=50)
+    assert r["user_roles"].count() >= 100
+    assert r["user_roles"].agg(F.max("role_id")).first()[0] <= 10
+
+    tr = generators.tree_rbac(spark, num_users=50, num_documents=81, height=2, branching=3)
+    # root (role 0) must reach every document owned by leaves
+    root_docs = tr["permission_assignment"].where(F.col("role_id") == 0).count()
+    leaf_docs = tr["permission_assignment"].select("document_id").distinct().count()
+    assert root_docs == leaf_docs
+
+    e = generators.erbac(spark, num_users=50, n_froles=10, n_broles=5, num_documents=40)
+    assert e["user_roles"].count() > 0
+    assert e["permission_assignment"].count() > 0
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    doc = load_table(spark, "documents", sf_dir).limit(20)
+    media = multimodal.synthesize_media(doc, kind="image")
+    feats = multimodal.extract_features(media, feat_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20 and all(len(r["feature"]) == 8 for r in rows)
+
+    resized = multimodal.resize_images(media, 8, 8).collect()
+    assert all(len(bytes(r["payload"])) == 8 * 8 * 3 for r in resized)
+
+    vids = multimodal.synthesize_media(doc, kind="video")
+    frames = multimodal.sample_video_frames(vids, every_ms=5000)
+    assert frames.count() > 0
+
+
+def test_block_selectivity_bounds(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    doc = load_table(spark, "documents", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    t = derive.derive_rbac(cust, doc, emb)
+    sel = derive.block_selectivity(t["user_roles"], t["permission_assignment"], t["documentblocks"])
+    mx = sel.agg(F.max("selectivity"), F.min("selectivity")).first()
+    assert 0.0 < mx[1] and mx[0] <= 1.0

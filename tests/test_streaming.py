@@ -1,0 +1,82 @@
+"""Structured Streaming tests (SURVEY.md §2 G-group): file-source stream of
+event batches → windowed agg, dedup, session windows, and comb-role
+partitioned insertion, all with availableNow triggers so they run bounded."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_rbac_spark.sources import load_table
+from vectorsearch_rbac_spark.rbac import derive
+from vectorsearch_rbac_spark import streaming as S
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    p = tmp_path_factory.mktemp("events_in")
+    load_table(spark, "events", sf_dir).limit(2000).coalesce(2).write.mode("overwrite").parquet(str(p / "drop"))
+    return str(p / "drop")
+
+
+def _run(stream_df, tmp, name):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", f"{tmp}/{name}/out")
+        .option("checkpointLocation", f"{tmp}/{name}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return f"{tmp}/{name}/out"
+
+
+def test_windowed_counts_match_batch(spark, event_dir, tmp_path, sf_dir):
+    stream = S.stream_events_from_dir(spark, event_dir, max_files_per_trigger=1)
+    out = _run(S.windowed_event_counts(stream), str(tmp_path), "win")
+    got = spark.read.parquet(out)
+    batch = S.windowed_event_counts(spark.read.parquet(event_dir))
+    # append-mode emits only windows sealed by the watermark; every emitted
+    # window must match the batch computation exactly
+    j = got.join(batch, ["window_start", "event_type"], "left")
+    assert got.count() > 0
+    assert j.where(got["n_events"] != batch["n_events"]).count() == 0
+
+
+def test_streaming_dedup(spark, event_dir, tmp_path):
+    stream = S.stream_events_from_dir(spark, event_dir)
+    out = _run(S.streaming_dedup(stream), str(tmp_path), "dedup")
+    got = spark.read.parquet(out)
+    src = spark.read.parquet(event_dir)
+    assert got.count() == src.select("event_id").distinct().count()
+
+
+def test_streaming_sessionize_runs(spark, event_dir, tmp_path):
+    stream = S.stream_events_from_dir(spark, event_dir)
+    out = _run(S.streaming_sessionize(stream), str(tmp_path), "sess")
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert {"user_id", "started", "ended", "n_events"} <= set(got.columns)
+
+
+def test_streaming_block_insertion(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir)
+    doc = load_table(spark, "documents", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    t = derive.derive_rbac(cust, doc, emb)
+
+    src = str(tmp_path / "new_blocks")
+    t["documentblocks"].limit(100).select(
+        "block_id", "document_id", F.to_json("vector").alias("vector")
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(S.BLOCK_SCHEMA).parquet(src)
+    q = S.streaming_block_insertion(
+        stream, t["permission_assignment"], str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "store"))
+    assert back.count() == 100
+    assert "comb_role" in back.columns

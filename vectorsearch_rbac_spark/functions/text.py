@@ -1,0 +1,117 @@
+"""Text-analysis column functions for LLM-pipeline curation
+(SURVEY.md §2 E9-E12). Pure built-in expressions (codegen, no UDFs), each
+with an exact DuckDB-oracle formulation (SURVEY.md §4).
+
+Conventions shared with the oracle SQL:
+- tokens = split(normalized_text, ' ') where normalization = lower + trim +
+  collapse whitespace;
+- ratios rounded to 6 dp; counts exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+    "for", "with", "as", "at", "by", "it", "be", "are", "was", "that",
+]
+
+_BPE_ISH = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _norm(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col) -> Column:
+    return F.split(_norm(col), " ")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Sub-word-ish token count: runs of letters, runs of digits, and single
+    punctuation marks each count once — a cheap deterministic proxy for BPE
+    vocab tokenization (regexp_count keeps it codegen'd)."""
+    return F.regexp_count(_norm(col), F.lit(_BPE_ISH))
+
+
+def stopword_count(col) -> Column:
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(col) -> Column:
+    return F.round(stopword_count(col) / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def punct_ratio(col) -> Column:
+    """Non-alphanumeric, non-space characters / total characters."""
+    c = _norm(col)
+    n_punct = F.length(F.regexp_replace(c, r"[a-z0-9 ]", ""))
+    return F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def mean_word_length(col) -> Column:
+    c = _norm(col)
+    n_alpha = F.length(F.regexp_replace(c, r"[^a-z0-9]", ""))
+    return F.round(n_alpha / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def repetition_ratio(col) -> Column:
+    """1 - distinct_tokens / tokens: high → boilerplate/spam."""
+    t = tokens(col)
+    return F.round(F.lit(1.0) - F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1)), 6)
+
+
+def quality_score(col) -> Column:
+    """Composite curation score in [0,1]: rewards stopword presence and
+    reasonable word lengths, penalizes punctuation soup and repetition.
+    (Heuristic in the C4/Gopher-rules tradition, deterministic + oracle-
+    expressible; weights are fixed, not learned.)"""
+    sw = stopword_ratio(col)
+    pr = punct_ratio(col)
+    rep = repetition_ratio(col)
+    mwl = mean_word_length(col)
+    score = (
+        F.least(sw * 4, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(pr * 5, F.lit(1.0))) * 0.3
+        + (F.lit(1.0) - rep) * 0.2
+        + F.when((mwl >= 2.5) & (mwl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.2
+    )
+    return F.round(score, 6)
+
+
+def lang_id(col) -> Column:
+    """n-gram/stopword heuristic language ID: 'en' when English stopwords
+    are frequent enough and the charset is basic-latin; 'latin' for other
+    latin-script text; 'other' otherwise."""
+    c = _norm(col)
+    non_ascii = F.length(F.regexp_replace(c, r"[\x00-\x7f]", ""))
+    ascii_ratio = F.lit(1.0) - non_ascii / F.greatest(F.length(c), F.lit(1))
+    return (
+        F.when((stopword_ratio(col) >= 0.08) & (ascii_ratio >= 0.97), F.lit("en"))
+        .when(ascii_ratio >= 0.97, F.lit("latin"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def fingerprint(col) -> Column:
+    """Normalized-content fingerprint (md5 hex) — the dedup join key.
+    Parity: reference stores ``hash_value BYTEA`` per block
+    (initialize_main_tables.py:58)."""
+    return F.md5(_norm(col))
+
+
+def shingle_fingerprint(col, n: int = 5) -> Column:
+    """Order-sensitive rolling fingerprint: md5 over every n-th token joined
+    — robust to small mid-document edits at the ends, cheap to compute."""
+    t = tokens(col)
+    sampled = F.filter(t, lambda x, i: i % n == 0)
+    return F.md5(F.array_join(sampled, " "))

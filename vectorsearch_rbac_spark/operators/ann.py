@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns: brute-force baseline, random
+hyperplane LSH bucketing, and IVF-accelerated cosine ANN.
+
+These are the LLM-pipeline similarity operators (SURVEY.md §2 E6-E8); the
+RBAC-aware variants live in ``operators/knn.py``. Everything here is
+deterministic (hyperplanes from a fixed-seed RNG) so runs are reproducible
+across cluster layouts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .knn import topk_per_query
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × scan, codegen'd distance,
+    window top-k. The oracle-checkable baseline for every ANN variant."""
+    scored = (
+        embeddings.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
+        .withColumn("distance", F.round(V.cosine_distance(vec_col, "query_vector"), 6))
+        .select("query_id", F.col(id_col).alias("block_id"), "distance")
+    )
+    w = topk_per_query(scored, k, id_col="block_id")
+    return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_bucket(df: DataFrame, planes: np.ndarray, vec_col: str = "embedding", out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane (SimHash) bucketing for cosine: bit_i = sign(x·h_i),
+    bucket = packed bits. Pure column math — the planes are literals in the
+    plan, the signature is codegen'd; grouping by ``bucket`` co-locates
+    likely-similar vectors so candidate generation is a bucket-equijoin, not
+    an O(N²) cross join."""
+    bits = [
+        F.when(V.inner_product(F.col(vec_col), F.array(*[F.lit(float(v)) for v in p])) > 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    sig = bits[0].cast("long")
+    for i, b in enumerate(bits[1:], start=1):
+        sig = sig + (b.cast("long") * F.lit(2 ** i))
+    return df.withColumn(out_col, sig)
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k with ``n_tables`` independent hash tables:
+    a candidate is scored if, in ANY table, its bucket is within
+    ``multiprobe_hamming`` bit-flips of the query's bucket.
+
+    Scale path for E6: per table the candidate set is ~N·(1+b)/2^b; tables
+    multiply recall (1-(1-r)^L) for additive cost. Everything is one plan:
+    tables are an exploded literal dimension, so the bucket equi-join covers
+    all tables in a single shuffle. Recall is tested against the
+    brute-force baseline (tests/test_knn.py), mirroring the reference's
+    recall-vs-ground-truth validation (basic_benchmark/compute_ground_truth.py).
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    e_parts, q_parts = [], []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        e_parts.append(
+            lsh_bucket(embeddings, planes, vec_col=vec_col, out_col="bucket").select(
+                F.lit(t).alias("table"), F.col(id_col).alias("block_id"), F.col(vec_col).alias("_v"), "bucket"
+            )
+        )
+        q_parts.append(
+            lsh_bucket(queries, planes, vec_col="query_vector", out_col="qbucket").select(
+                F.lit(t).alias("table"), "query_id", "query_vector", "qbucket"
+            )
+        )
+    e = e_parts[0]
+    for p in e_parts[1:]:
+        e = e.unionAll(p)
+    q = q_parts[0]
+    for p in q_parts[1:]:
+        q = q.unionAll(p)
+
+    # multiprobe: query bucket + all buckets within hamming radius
+    probe_buckets = [F.col("qbucket")]
+    if multiprobe_hamming >= 1:
+        probe_buckets += [F.col("qbucket").bitwiseXOR(F.lit(2 ** i)) for i in range(n_planes)]
+    q_probes = q.select(
+        "table", "query_id", "query_vector", F.explode(F.array(*probe_buckets)).alias("bucket")
+    )
+    scored = (
+        e.join(q_probes, ["table", "bucket"])
+        .withColumn("distance", F.round(V.cosine_distance("_v", "query_vector"), 6))
+        .select("query_id", "block_id", "distance")
+        .groupBy("query_id", "block_id")
+        .agg(F.min("distance").alias("distance"))
+    )
+    w = topk_per_query(scored, k, id_col="block_id")
+    return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs (a < b) with cosine similarity ≥ threshold.
+
+    ``n_planes=0`` → exact all-pairs (oracle-checkable; only sane at small
+    N). ``n_planes>0`` → LSH-bucketed: pairs are only generated within a
+    bucket, the 100 TB path (near-dups almost surely collide in some probe).
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if n_planes == 0:
+        # two-stage exact: (1) BLAS sweep finds candidate pairs with a
+        # safety margin — each scan partition multiplies its rows against
+        # the broadcast (normalized) matrix, never materializing the O(N²)
+        # join; (2) the few survivors are re-scored with the codegen'd
+        # exact expression so emitted values are bit-identical to the
+        # sequential-sum oracle. (Broadcasting the matrix bounds this to
+        # ~10⁷ vectors; beyond that use n_planes>0.)
+        import numpy as np
+        import pandas as pd
+        from typing import Iterator
+
+        rows = embeddings.select(id_col, vec_col).collect()
+        ids = np.array([r[0] for r in rows])
+        M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        bc = embeddings.sparkSession.sparkContext.broadcast((ids, M))
+        margin = 1e-4
+
+        def cand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_, M_ = bc.value
+            pos = {int(i): p for p, i in enumerate(ids_)}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+                S = X @ M_.T
+                my = pdf[id_col].to_numpy()
+                ii, jj = np.nonzero(S >= threshold - margin)
+                ia, ib = my[ii], ids_[jj]
+                keep = ia < ib
+                yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+        cand_pairs = embeddings.mapInPandas(cand, schema="id_a long, id_b long")
+        pairs = (
+            cand_pairs.join(a.withColumnRenamed("id_a", "_ia"), F.col("id_a") == F.col("_ia"))
+            .join(b.withColumnRenamed("id_b", "_ib"), F.col("id_b") == F.col("_ib"))
+            .select("id_a", "id_b", "va", "vb")
+        )
+    elif False:
+        pass
+    else:
+        planes = hyperplanes(len(embeddings.select(vec_col).first()[0]), n_planes, seed)
+        ab = lsh_bucket(embeddings, planes, vec_col=vec_col)
+        a2 = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+        b2 = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+        pairs = a2.join(b2, ["bucket"]).where(F.col("id_a") < F.col("id_b")).drop("bucket").distinct()
+    return (
+        pairs.withColumn("cosine_sim", F.round(V.cosine_similarity("va", "vb"), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

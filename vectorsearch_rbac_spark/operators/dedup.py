@@ -1,0 +1,261 @@
+"""Deduplication operators for LLM-scale corpora (SURVEY.md §2 E1-E5).
+
+All hashing uses the cross-engine ``md5 → first 15 hex digits → BIGINT``
+scheme (functions.vector.md5_long) so every operator has an exact DuckDB
+oracle. Structure:
+
+- exact dedup: hash-groupBy on normalized text — one shuffle on a 60-bit key.
+- MinHash+LSH: shingle → H minhashes → B bands → band-bucket equi-join.
+  Candidate generation never materializes O(N²); the join key is
+  (band_id, band_signature) so only colliding docs meet. This is the
+  standard 100 TB near-dup pipeline shape.
+- SimHash: 60-bit sign-aggregated fingerprint; near-dup = hamming ≤ t
+  within LSH-rotations or (small N) all-pairs.
+- n-gram Jaccard verify: exact set overlap on candidate pairs via a
+  shingle equi-join (intersection counts) + per-doc shingle counts.
+
+Reference had exact-block dedup via ``hash_value BYTEA`` on documentblocks
+(initialize_main_tables.py:58); the near-dup family generalizes it for
+training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import md5_long
+
+_WS = r"\s+"
+
+
+def normalize_text(col) -> F.Column:
+    """lower + collapse whitespace + trim — shared by all dedup ops and the
+    oracle SQL (SURVEY.md §4)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), _WS, " "))
+
+
+def exact_duplicates(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates after normalization; keeper = min id.
+
+    Returns (doc_id, keeper_id, content_hash) for every doc in a group of
+    size ≥ 2. Map-side partial agg on the 60-bit hash → one small shuffle.
+    """
+    h = documents.select(
+        F.col(id_col).alias("doc_id"), md5_long(normalize_text(text_col)).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        h.withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .where(F.col("group_size") >= 2)
+        .select("doc_id", "keeper_id", "content_hash")
+    )
+
+
+def dedup_exact(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per normalized-content hash."""
+    h = documents.withColumn("content_hash", md5_long(normalize_text(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return h.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn", "content_hash")
+
+
+def word_shingles(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc: (doc_id, shingle).
+
+    1-indexed ``element_at`` matches DuckDB list indexing so the oracle SQL
+    produces byte-identical shingles.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    idx = F.explode(F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1))).alias("i")
+    parts = [F.element_at(F.col("_toks"), F.col("i") + j) for j in range(n)]
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select("doc_id", "_toks", idx)
+        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, h, minhash): min over shingles of md5_long(h ‖ ':' ‖ shingle).
+
+    The h-index explode is a bounded ×H blowup feeding a map-side-combinable
+    min aggregate — the shuffle carries H rows per doc.
+    """
+    hs = shingles.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
+        F.col("shingle"),
+    ).withColumn("hv", md5_long(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))))
+    return hs.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_band_buckets(signatures: DataFrame, band_size: int = 4) -> DataFrame:
+    """(doc_id, band, band_sig): md5-fold the band's minhashes in h-order."""
+    banded = signatures.withColumn("band", (F.col("h") / band_size).cast("int"))
+    ordered = F.array_sort(F.collect_list(F.struct("h", "minhash")))
+    return banded.groupBy("doc_id", "band").agg(
+        md5_long(F.array_join(F.transform(ordered, lambda s: s["minhash"].cast("string")), ",")).alias("band_sig")
+    )
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥ 1 LSH band bucket."""
+    sh = word_shingles(documents, id_col, text_col, n)
+    sig = minhash_signatures(sh, num_hashes)
+    bk = lsh_band_buckets(sig, band_size)
+    a = bk.select(F.col("doc_id").alias("id_a"), "band", "band_sig")
+    b = bk.select(F.col("doc_id").alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over n-word shingle sets for every pair sharing ≥ 1
+    shingle (pairs with J=0 can't pass any threshold > 0, so the shingle
+    equi-join IS the candidate generator — no cross join).
+
+    Scale note: the join key is the shingle; hot shingles are bounded by
+    ``distinct`` per doc and (at 100 TB) would additionally be df-filtered
+    (drop shingles occurring in > f% of docs — stop-shingles contribute
+    candidates, not discrimination).
+    """
+    sh = word_shingles(documents, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sza), "id_a")
+        .join(F.broadcast(szb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash: bit j set iff Σ_tokens (2·bit_j(md5_long(tok)) − 1) > 0.
+
+    Expressed as explode(token) × explode(bit) → sum → sign → pack. The
+    double explode is bounded (tokens × bits) and feeds map-side-combinable
+    sums; at 100 TB the identical math runs in one mapInPandas pass — this
+    formulation keeps DuckDB-oracle parity.
+    """
+    toks = (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
+        .withColumn("th", md5_long("tok"))
+    )
+    # (j, mask=2^j) as literal pairs: shift amounts must be literals in the
+    # DataFrame API, and masks as plan constants keep everything codegen'd
+    bitmasks = F.array(*[
+        F.struct(F.lit(j).alias("j"), F.lit(1 << j).cast("long").alias("mask")) for j in range(bits)
+    ])
+    tb = toks.select("doc_id", "th", F.explode(bitmasks).alias("b")).select(
+        "doc_id",
+        F.col("b.j").alias("j"),
+        F.col("b.mask").alias("mask"),
+        F.when(F.col("th").bitwiseAND(F.col("b.mask")) != 0, F.lit(1)).otherwise(F.lit(-1)).alias("contrib"),
+    )
+    per_bit = tb.groupBy("doc_id", "j", "mask").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(F.lit(0))).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs (a < b) with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Small-N: all-pairs on the packed 32-bit signature (cheap — one long per
+    doc). 100 TB path: split the signature into (max_hamming+1) chunks and
+    equi-join on each chunk (pigeonhole) — provided by
+    ``simhash_neardup_pairs_banded``.
+    """
+    sig = simhash_signatures(documents, id_col, text_col, bits)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_neardup_pairs_banded(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pigeonhole-banded SimHash near-dup: any pair within hamming t must
+    agree exactly on ≥ 1 of t+1 disjoint bit-chunks → equi-join per chunk.
+    Same result set as the all-pairs version, candidate-bounded for scale."""
+    sig = simhash_signatures(documents, id_col, text_col, bits)
+    nb = max_hamming + 1
+    chunk = bits // nb
+    chunk_exprs = F.array(*[
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("simhash"), c * chunk).bitwiseAND(F.lit((1 << chunk) - 1)).alias("chunk_val"),
+        )
+        for c in range(nb)
+    ])
+    chunks = sig.select("doc_id", "simhash", F.explode(chunk_exprs).alias("b")).select(
+        "doc_id", "simhash", F.col("b.c").alias("c"), F.col("b.chunk_val").alias("chunk_val")
+    )
+    a = chunks.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "c", "chunk_val")
+    b = chunks.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "c", "chunk_val")
+    cand = (
+        a.join(b, ["c", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,112 @@
+"""IVFFlat in Spark: k-means build + nprobe-pruned search.
+
+Parity: reference ``pgvector/src/ivfbuild.c`` (sampled k-means →
+``ivfkmeans.c``), ``ivfscan.c`` (scan the ``probes`` nearest lists). The
+Postgres index stores per-list tuple pages; the Spark-native equivalent is a
+``centroid_id`` column + (optionally) a parquet layout partitioned by it, so
+list selection becomes partition pruning and each "list" is scanned as a
+columnar split.
+
+Scale: k-means runs on a driver-bounded SAMPLE (like ivfbuild.c, which
+samples 50·lists tuples), centroids are broadcast, assignment is one
+codegen'd pass over the fact table. Search touches only nprobe/nlists of the
+data — the same knob pgvector exposes as ``ivfflat.probes``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .knn import local_topk, topk_per_query
+
+
+def kmeans_fit(
+    blocks: DataFrame,
+    nlists: int,
+    vec_col: str = "vector",
+    max_iter: int = 10,
+    sample_per_list: int = 50,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's k-means on a bounded sample (numpy on the driver).
+
+    pgvector ivfbuild.c samples ``50 * lists`` vectors and runs k-means on
+    them in-process; we mirror that — the sample is small by construction,
+    so driver-side numpy is the honest equivalent, and the expensive part
+    (assignment over all rows) stays distributed in :func:`assign_centroids`.
+    """
+    n = blocks.count()
+    target = nlists * sample_per_list
+    frac = min(1.0, (target * 1.2) / max(n, 1))
+    sample = blocks.select(vec_col).sample(frac, seed=seed).limit(target).collect()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    if len(X) < nlists:
+        raise ValueError(f"sample ({len(X)}) smaller than nlists ({nlists})")
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), nlists, replace=False)]
+    for _ in range(max_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        lab = d.argmin(1)
+        newC = np.array([X[lab == j].mean(0) if (lab == j).any() else C[j] for j in range(nlists)])
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def assign_centroids(blocks: DataFrame, centroids: np.ndarray, vec_col: str = "vector") -> DataFrame:
+    """Add ``centroid_id`` = argmin_j ||x - c_j|| as a codegen'd expression.
+
+    Centroids enter the plan as an array-of-arrays literal (broadcast with
+    the task binary — they are nlists×dim doubles, small). No shuffle: this
+    is a map-only pass, and writing the result partitioned by centroid_id is
+    the "index build".
+    """
+    carr = F.array(*[
+        F.array(*[F.lit(float(v)) for v in row]) for row in centroids
+    ])
+    dists = F.transform(carr, lambda c: V.l2_squared(F.col(vec_col), c))
+    return blocks.withColumn("centroid_id", F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+
+
+def nearest_centroids(query_vec: np.ndarray, centroids: np.ndarray, nprobe: int) -> list[int]:
+    d = ((centroids - query_vec[None, :]) ** 2).sum(1)
+    return [int(i) for i in np.argsort(d)[:nprobe]]
+
+
+def ivf_search(
+    indexed_blocks: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "l2",
+) -> DataFrame:
+    """ANN search: each query probes its ``nprobe`` nearest lists only.
+
+    Parity: ``ivfscan.c`` + ``SET ivfflat.probes = n``
+    (common_function.py:82). The (query → probed centroid) map is a tiny
+    broadcast join; Catalyst turns ``centroid_id IN probes`` into partition
+    pruning when the layout is partitioned by centroid_id.
+    """
+    spark = indexed_blocks.sparkSession
+    q_rows = queries.select("query_id", "query_vector").collect()
+    probe_rows = [
+        (int(r["query_id"]), cid)
+        for r in q_rows
+        for cid in nearest_centroids(np.asarray(r["query_vector"], dtype=np.float64), centroids, nprobe)
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, centroid_id int")
+    candidate = indexed_blocks.join(F.broadcast(probes), "centroid_id")
+    # candidate already carries query_id; score per (query, block) pair
+    scored = candidate.join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+    dist = {
+        "l2": V.l2_distance,
+        "cosine": V.cosine_distance,
+        "ip": V.neg_inner_product,
+    }[metric]
+    scored = scored.withColumn("distance", F.round(dist("vector", "query_vector"), 6))
+    return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")

@@ -1,0 +1,327 @@
+"""RBAC-filtered top-k vector search strategies.
+
+Parity: reference ``basic_benchmark/common_function.py`` —
+``predicate_prefilter_statistics_sql`` (:79), ``predicate_postfilter_…``
+(:298), ``controller/baseline/prefilter/prefilter_role.py``,
+``prefilter_combination_role.py``, ``controller/dynamic_partition/search.py``.
+
+The reference answers ONE ``(user, vector)`` query per SQL round-trip; the
+Spark-native form is **batch**: the query workload is itself a DataFrame and
+every strategy answers all queries in one distributed plan.
+
+Scale design (100 TB blocks table, ~10³ queries):
+- queries + their role sets are broadcast (dim-sized);
+- permission tables are broadcast when small, else semi-joined on doc_id;
+- distance math is codegen'd column expressions (functions/vector.py);
+- top-k is two-phase: ``local_topk`` reduces each scan partition to ≤ Q×k
+  rows with Arrow-batched numpy (BLAS matmul), then a global window over
+  the P×Q×k survivors. The exact (window-only) variants exist for oracle
+  parity and small inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+_METRICS = {
+    "l2": V.l2_distance,
+    "cosine": V.cosine_distance,
+    "ip": V.neg_inner_product,
+    "l1": V.l1_distance,
+}
+
+
+def topk_per_query(scored: DataFrame, k: int, dist_col: str = "distance", id_col: str = "block_id") -> DataFrame:
+    """Global exact top-k per query_id; ties broken by id for determinism."""
+    w = Window.partitionBy("query_id").orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _permitted_blocks(blocks: DataFrame, query_roles: DataFrame, permission_assignment: DataFrame) -> DataFrame:
+    """query_id × permitted block rows.
+
+    Mirrors the reference prefilter CTE (common_function.py:112-121):
+    user roles → DISTINCT permitted docs → blocks. Both RBAC relations are
+    dim-sized → broadcast; the blocks fact table streams through.
+    """
+    qdocs = (
+        F.broadcast(query_roles)
+        .join(F.broadcast(permission_assignment), "role_id")
+        .select("query_id", "document_id")
+        .distinct()
+    )
+    return blocks.join(F.broadcast(qdocs), "document_id")
+
+
+def knn_prefilter(
+    blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Prefilter strategy: restrict to permitted blocks, then exact top-k.
+
+    Parity: ``predicate_prefilter_statistics_sql`` (common_function.py:79):
+    resolve accessible document_ids, then ``ORDER BY vector <-> q LIMIT k``
+    over them. Recall = 1.0 by construction.
+    """
+    dist = _METRICS[metric]
+    scored = (
+        _permitted_blocks(blocks, query_roles, permission_assignment)
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .withColumn("distance", F.round(dist("vector", "query_vector"), 6))
+    )
+    return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
+
+
+def knn_postfilter(
+    blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+    k: int = 10,
+    expansion: int = 4,
+    metric: str = "l2",
+) -> DataFrame:
+    """Postfilter strategy: global top-(k·expansion) ignoring permissions,
+    then drop unpermitted rows, keep ≤ k.
+
+    Parity: ``predicate_postfilter_statistics_sql`` (common_function.py:298)
+    — ANN scan with inflated LIMIT then permission join; recall < 1 when a
+    user's permitted blocks are sparse among global neighbors (the
+    selectivity trade-off the reference benchmarks).
+    """
+    dist = _METRICS[metric]
+    global_topk = topk_per_query(
+        blocks.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
+        .withColumn("distance", F.round(dist("vector", "query_vector"), 6)),
+        k * expansion,
+    ).drop("rank")
+
+    qdocs = (
+        F.broadcast(query_roles)
+        .join(F.broadcast(permission_assignment), "role_id")
+        .select("query_id", "document_id")
+        .distinct()
+    )
+    filtered = global_topk.join(F.broadcast(qdocs), ["query_id", "document_id"])
+    return topk_per_query(filtered, k).select("query_id", "block_id", "document_id", "distance", "rank")
+
+
+def knn_role_partition(
+    blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Role-partition strategy: search each of the user's role partitions
+    (blocks × permission on role_id), take per-partition top-k, dedup blocks
+    reachable via several roles (min distance), merge to global top-k.
+
+    Parity: ``controller/baseline/prefilter/prefilter_role.py`` — per-role
+    partition tables ``documentblocks_role_{r}`` searched independently and
+    merged. In Spark the "partition tables" are the role-replicated join
+    output; on disk the same layout is produced by
+    ``partitioning.write_role_partitions`` (partitionBy(role_id) → partition
+    pruning replaces per-table indexes).
+    """
+    dist = _METRICS[metric]
+    role_blocks = blocks.join(F.broadcast(permission_assignment), "document_id")  # replicated per role
+    scored = (
+        role_blocks.join(F.broadcast(query_roles), "role_id")
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .withColumn("distance", F.round(dist("vector", "query_vector"), 6))
+    )
+    # per-(query, role) local top-k bounds the merge input, then dedup + global
+    w_local = Window.partitionBy("query_id", "role_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
+    local = scored.withColumn("lr", F.row_number().over(w_local)).where(F.col("lr") <= k)
+    dedup = local.groupBy("query_id", "block_id", "document_id").agg(F.min("distance").alias("distance"))
+    return topk_per_query(dedup, k).select("query_id", "block_id", "document_id", "distance", "rank")
+
+
+def knn_comb_role_partition(
+    blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Combination-role strategy: one partition per *distinct user role-set*
+    (canonical sorted key); each partition holds every block that role-set
+    may access; a query searches exactly its own comb-role partition.
+
+    Parity: ``prefilter_combination_role.py`` +
+    ``dynamic_partition/search.py:17`` (CombRolePartitions lookup by
+    ``comb_role = sorted(user_roles)``). Results equal prefilter (recall 1.0)
+    — the win is single-partition locality, which on disk maps to
+    partitionBy(comb_role) and partition pruning.
+    """
+    dist = _METRICS[metric]
+    comb = query_roles.groupBy("query_id").agg(
+        F.array_join(F.array_sort(F.collect_list(F.col("role_id").cast("string"))), ",").alias("comb_role")
+    )
+    # all distinct comb_roles with their member roles
+    comb_members = query_roles.join(comb, "query_id").select("comb_role", "role_id").distinct()
+    # partition contents: block ∈ partition if any member role may access it
+    part_blocks = (
+        F.broadcast(comb_members)
+        .join(F.broadcast(permission_assignment), "role_id")
+        .select("comb_role", "document_id")
+        .distinct()
+        .join(blocks, "document_id")
+    )
+    scored = (
+        part_blocks.join(F.broadcast(comb), "comb_role")
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .withColumn("distance", F.round(dist("vector", "query_vector"), 6))
+    )
+    return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
+
+
+def knn_rls(
+    blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Row-level-security semantics: the permission predicate is applied at
+    the scan (a filtering view), identical results to prefilter.
+
+    Parity: ``controller/baseline/pg_row_security/row_level_security.py`` —
+    Postgres RLS policy ``USING (document_id IN (SELECT …))``; in Spark the
+    policy is a semi-join wrapper over the scan.
+    """
+    dist = _METRICS[metric]
+    qdocs = (
+        F.broadcast(query_roles)
+        .join(F.broadcast(permission_assignment), "role_id")
+        .select("query_id", "document_id")
+        .distinct()
+    )
+    # RLS = per-query filtered view of the scan; leftsemi keeps block rows
+    scored = (
+        blocks.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
+        .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")
+        .withColumn("distance", F.round(dist("vector", "query_vector"), 6))
+    )
+    return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
+
+
+def local_topk(
+    blocks: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    vec_col: str = "vector",
+    id_cols: tuple[str, str] = ("block_id", "document_id"),
+) -> DataFrame:
+    """Stage-1 of two-phase top-k: per scan-partition top-k for every query,
+    vectorized with numpy over Arrow batches (``mapInPandas``).
+
+    This is the 100 TB path: each executor partition emits at most Q×k rows
+    regardless of partition size, so the global merge (stage-2 window) sees
+    P×Q×k rows instead of N×Q. BLAS does the distance matrix; nothing is
+    collected on the driver — queries arrive at executors via a broadcast
+    local collect of a dim-sized DataFrame.
+    """
+    import numpy as np
+
+    q_rows = queries.select("query_id", "query_vector").collect()
+    qids = np.array([r["query_id"] for r in q_rows])
+    Q = np.array([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
+    bc = blocks.sparkSession.sparkContext.broadcast((qids, Q))
+    b_id, d_id = id_cols
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bc.value
+        qn2 = (Q_ * Q_).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if metric == "l2":
+                d2 = (X * X).sum(axis=1)[:, None] + qn2[None, :] - 2.0 * (X @ Q_.T)
+                D = np.sqrt(np.maximum(d2, 0.0))
+            elif metric == "cosine":
+                xn = np.linalg.norm(X, axis=1)
+                D = 1.0 - (X @ Q_.T) / np.maximum(xn[:, None] * np.sqrt(qn2)[None, :], 1e-30)
+            elif metric == "ip":
+                D = -(X @ Q_.T)
+            else:
+                raise ValueError(metric)
+            kk = min(k, D.shape[0])
+            idx = np.argpartition(D, kk - 1, axis=0)[:kk]  # (kk, Q)
+            out = {
+                "query_id": np.repeat(qids_, kk),
+                b_id: pdf[b_id].to_numpy()[idx.T.ravel()],
+                d_id: pdf[d_id].to_numpy()[idx.T.ravel()],
+                "distance": np.round(D.T[np.arange(len(qids_))[:, None], idx.T].ravel(), 6),
+            }
+            yield pd.DataFrame(out)
+
+    schema = f"query_id long, {b_id} long, {d_id} long, distance double"
+    return blocks.mapInPandas(part, schema=schema)
+
+
+def knn_topk_fast(
+    blocks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Two-phase exact batch KNN (no RBAC filter): numpy local top-k then
+    global window merge. Same results as the window-only plan, hot path for
+    bench + ground truth at scale."""
+    return topk_per_query(local_topk(blocks, queries, k, metric), k).select(
+        "query_id", "block_id", "document_id", "distance", "rank"
+    )
+
+
+def ground_truth(
+    blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Exact permitted top-k = the reference's ground truth
+    (``compute_ground_truth.py``, ``_ground_truth_func_postgres``)."""
+    return knn_prefilter(blocks, queries, query_roles, permission_assignment, k, metric)
+
+
+def recall_at_k(predicted: DataFrame, truth: DataFrame) -> DataFrame:
+    """recall@k per query + overall mean.
+
+    Parity: ``common_function.py:1154`` (compute_recall — |pred ∩ truth| /
+    |truth| averaged over queries).
+    """
+    hits = predicted.select("query_id", "block_id").join(
+        truth.select("query_id", "block_id"), ["query_id", "block_id"]
+    )
+    per_q = (
+        truth.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("recall"),
+        )
+    )
+    return per_q

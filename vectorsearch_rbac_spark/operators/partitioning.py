@@ -1,0 +1,123 @@
+"""Physical partition layouts for RBAC vector search.
+
+Parity: the reference materializes partition TABLES —
+``documentblocks_role_{r}`` (baseline/prefilter/initialize_partitions.py),
+``documentblocks_partition_{p}`` keyed by comb_role
+(dynamic_partition/…), and qd-tree leaves (baseline/HQI/qd_tree.py). The
+lakehouse-native equivalent is a parquet layout ``partitionBy(<key>)`` —
+partition pruning then plays the role of "open only that table", with no
+per-table index maintenance.
+
+The qd-tree here is the batch partitioner: recursive splits choosing, at
+each node, either a ROLE predicate (does role r reach this doc?) or a
+CENTROID predicate (nearest of 2 k-means centroids), minimizing expected
+scan cost over a query workload — the HQI idea re-expressed as a pure
+assignment computation (block → partition_id) that the writer consumes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def role_partition_assignment(blocks: DataFrame, permission_assignment: DataFrame) -> DataFrame:
+    """Replicate each block into one partition per role that may access it.
+
+    Disk layout: ``df.write.partitionBy("role_id")`` →
+    ``…/role_id=r/part-*.parquet`` ≡ the reference's per-role tables.
+    """
+    return blocks.join(F.broadcast(permission_assignment), "document_id")
+
+
+def comb_role_assignment(blocks: DataFrame, permission_assignment: DataFrame) -> DataFrame:
+    """One partition per *document access-set*: comb_role = sorted role list
+    that can reach the document. Unlike per-role replication this stores
+    each block exactly once (the dynamic-partition design)."""
+    doc_comb = permission_assignment.groupBy("document_id").agg(
+        F.array_join(F.array_sort(F.collect_list(F.col("role_id").cast("string"))), ",").alias("comb_role")
+    )
+    return blocks.join(F.broadcast(doc_comb), "document_id")
+
+
+def write_partitioned(df: DataFrame, path: str, key: str) -> None:
+    """Index build = partitioned write. Sorting within files by the key keeps
+    row-group min/max stats tight for skipping."""
+    df.repartition(key).sortWithinPartitions(key).write.mode("overwrite").partitionBy(key).parquet(path)
+
+
+def qdtree_assignment(
+    blocks: DataFrame,
+    permission_assignment: DataFrame,
+    max_leaf_size: int = 256,
+    max_depth: int = 6,
+    seed: int = 42,
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Assign each block a qd-tree partition id.
+
+    Parity: ``baseline/HQI/qd_tree.py:508 build_qd_tree`` /
+    ``:606 build_rbac_qd_tree`` — alternating role-predicate and centroid
+    splits. Implementation: iterative (per level) rather than recursive;
+    each level is ONE distributed pass that, per current node, evaluates the
+    chosen predicate and appends a bit to the partition path. Split choice
+    uses a driver-side sample per node (the reference's k-means also runs on
+    samples). Depth ≤ max_depth keeps driver state tiny (≤ 2^depth nodes).
+    """
+    doc_roles = permission_assignment.groupBy("document_id").agg(
+        F.collect_set("role_id").alias("_roles")
+    )
+    cur = blocks.join(F.broadcast(doc_roles), "document_id").withColumn("pid", F.lit(0).cast("long"))
+
+    rng = np.random.default_rng(seed)
+    for depth in range(max_depth):
+        # per-node sizes; stop when all nodes small enough
+        sizes = {r["pid"]: r["n"] for r in cur.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+        big = [p for p, n in sizes.items() if n > max_leaf_size]
+        if not big:
+            break
+        split_exprs = None
+        for pid in big:
+            node = cur.where(F.col("pid") == pid)
+            if depth % 2 == 0:
+                # role split: pick the role closest to 50/50 membership on a sample
+                sample = node.select(F.explode("_roles").alias("r")).sample(0.5, seed=seed + depth).groupBy("r").count().collect()
+                n_node = sizes[pid]
+                best = min(sample, key=lambda row: abs(row["count"] / max(n_node, 1) - 0.5)) if sample else None
+                cond = F.array_contains("_roles", int(best["r"])) if best is not None else F.lit(False)
+            else:
+                # centroid split: 2-means on a sample of vectors
+                vecs = [r[0] for r in node.select(vec_col).sample(0.3, seed=seed + depth).limit(512).collect()]
+                if len(vecs) < 2:
+                    cond = F.lit(False)
+                else:
+                    X = np.array(vecs, dtype=np.float64)
+                    c = X[rng.choice(len(X), 2, replace=False)]
+                    for _ in range(8):
+                        d = ((X[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+                        lab = d.argmin(1)
+                        c = np.array([X[lab == j].mean(0) if (lab == j).any() else c[j] for j in range(2)])
+                    from ..functions import vector as V
+
+                    d0 = V.l2_squared(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c[0]]))
+                    d1 = V.l2_squared(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c[1]]))
+                    cond = d0 <= d1
+            e = F.when(
+                F.col("pid") == pid,
+                F.col("pid") * F.lit(2).cast("long")
+                + F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")
+                + F.lit(2 ** 30).cast("long"),
+            )
+            split_exprs = e if split_exprs is None else split_exprs.otherwise(e)
+        # non-split nodes keep pid; splitted get fresh ids in a new namespace
+        cur = cur.withColumn("pid", F.coalesce(split_exprs, F.col("pid"))).localCheckpoint()
+    return cur.drop("_roles").withColumnRenamed("pid", "partition_id")
+
+
+def qdtree_search_stats(assigned: DataFrame) -> DataFrame:
+    """Partition population stats (validation parity:
+    ``HQI/debug/validate_qdtree_partitions.py``)."""
+    return assigned.groupBy("partition_id").agg(
+        F.count("*").alias("n_blocks"), F.countDistinct("document_id").alias("n_docs")
+    )

@@ -1,0 +1,151 @@
+"""Relational analytics over the star schema (SURVEY.md §2 F-group).
+
+These make the engine a complete analytics surface around the vector/RBAC
+core: classic warehouse shapes expressed declaratively so Catalyst applies
+pushdown/pruning/broadcast automatically. Every function takes loaded
+DataFrames and returns a DataFrame with stable, oracle-matched column names.
+
+Scale notes per query are in docstrings; the common rules: dims
+(region/nation/customer/supplier/part) are broadcast, facts
+(lineitem/orders/events) shuffle only on their agg/join keys, aggregations
+are map-side-combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
+    """TPC-H q1 shape: one shuffle on (returnflag, linestatus) with full
+    map-side partial aggregation; scan prunes to 7 columns."""
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                      segment: str = "BUILDING", cutoff: str = "1995-03-15") -> DataFrame:
+    """TPC-H q3 shape: customer (dim) broadcasts into orders, the orders→
+    lineitem join shuffles on orderkey; top-10 via window after agg."""
+    j = (
+        F.broadcast(customer.where(F.col("c_mktsegment") == segment).select("c_custkey"))
+        .join(orders.where(F.col("o_orderdate") < F.lit(cutoff)), F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.where(F.col("l_shipdate") > F.lit(cutoff)), F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    agg = (
+        j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
+    )
+
+
+def nation_volume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                  region_name: str = "ASIA") -> DataFrame:
+    """TPC-H q5 shape (region-local supplier volume). All dims broadcast;
+    the only large shuffles are fact-fact on orderkey."""
+    j = (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == region_name).select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def top_parts_per_brand(part: DataFrame, lineitem: DataFrame, k: int = 3) -> DataFrame:
+    """Top-n per group: revenue rank of parts within brand (window after a
+    keyed agg — the window input is dim-sized, not the fact table)."""
+    rev = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_name")), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+    return (
+        rev.withColumn("brand_rank", F.row_number().over(w))
+        .where(F.col("brand_rank") <= k)
+        .select("p_brand", "p_partkey", "p_name", "revenue", "brand_rank")
+    )
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: a new session starts when the gap to the previous
+    event of the same user exceeds ``gap_minutes``. lag + running sum —
+    one shuffle on user_id; the cumulative window is per-user ordered.
+    Output: per-session (user_id, session_id, n_events, started, ended)."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn(
+        "new_session",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))) > gap_minutes * 60,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        marked.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("started"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("ended"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .withColumnRenamed("session_seq", "session_id")
+    )
+
+
+def hourly_event_stats(events: DataFrame) -> DataFrame:
+    """Time-bucketed agg: date_trunc('hour') keyed shuffle, map-side combine."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def distinct_users_per_type(events: DataFrame, approx: bool = False) -> DataFrame:
+    """Exact distinct (oracle-checked) or HLL sketch (approx_count_distinct,
+    the 100 TB path — mergeable, no exact-distinct double shuffle)."""
+    agg = (
+        F.approx_count_distinct("user_id").alias("n_users")
+        if approx
+        else F.countDistinct("user_id").alias("n_users")
+    )
+    return events.groupBy("event_type").agg(agg).orderBy("event_type")

@@ -1,0 +1,137 @@
+"""Deterministic RBAC model derived from the testdata star schema.
+
+Parity: reference data model ``controller/initialize_main_tables.py:17-72``
+(Users / Roles / UserRoles / Documents / documentblocks /
+PermissionAssignment). The reference populates these from external datasets +
+synthetic RBAC generators; the driver's testdata has no RBAC tables, so we
+derive them **arithmetically** — the same arithmetic is expressible in the
+DuckDB oracle SQL, giving exact cross-engine parity (SURVEY.md §4):
+
+- ``users``: ``user_id = c_custkey`` from ``customer``.
+- ``roles``: role ids ``0..NUM_ROLES-1``.
+- ``user_roles``: user *u* holds roles ``{u % 10, (u*7+3) % 10}``.
+- ``permission_assignment``: role *r* may access document *d* iff
+  ``d % 10 == r`` or ``(d+3) % 10 == r`` (each doc → exactly 2 roles).
+- ``documentblocks``: from ``embeddings``; ``block_id = vec_id``,
+  ``document_id = vec_id % count(documents)``, ``vector = embedding``.
+
+Scale notes: user_roles/permission_assignment are tiny relative to blocks
+(dims vs fact) → always broadcast; documentblocks is the 100 TB fact table
+and is only ever scanned/filtered, never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NUM_ROLES = 10
+# query user assignment modulus (prime, spreads queries across users)
+USER_MOD = 97
+
+
+def derive_rbac(customer: DataFrame, documents: DataFrame, embeddings: DataFrame) -> dict[str, DataFrame]:
+    users = customer.select(F.col("c_custkey").alias("user_id"))
+
+    spark = customer.sparkSession
+    roles = spark.range(NUM_ROLES).select(F.col("id").cast("int").alias("role_id"))
+
+    user_roles = (
+        users.select("user_id", (F.col("user_id") % 10).cast("int").alias("role_id"))
+        .unionAll(
+            users.select("user_id", ((F.col("user_id") * 7 + 3) % 10).cast("int").alias("role_id"))
+        )
+        .distinct()
+    )
+
+    permission_assignment = (
+        documents.select(F.col("doc_id").alias("document_id"), (F.col("doc_id") % 10).cast("int").alias("role_id"))
+        .unionAll(
+            documents.select(
+                F.col("doc_id").alias("document_id"), ((F.col("doc_id") + 3) % 10).cast("int").alias("role_id")
+            )
+        )
+        .distinct()
+    )
+
+    n_docs = documents.select(F.count("*").alias("n"))
+    documentblocks = (
+        embeddings.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("vec_id").alias("block_id"),
+            (F.col("vec_id") % F.col("n")).alias("document_id"),
+            F.col("embedding").alias("vector"),
+            F.col("label"),
+        )
+    )
+
+    return {
+        "users": users,
+        "roles": roles,
+        "user_roles": user_roles,
+        "permission_assignment": permission_assignment,
+        "documentblocks": documentblocks,
+    }
+
+
+def derive_queries(embeddings: DataFrame, stride: int = 100) -> DataFrame:
+    """Deterministic query workload: every ``stride``-th embedding is a query
+    issued by user ``vec_id % USER_MOD``.
+
+    Parity: reference ``basic_benchmark/generate_queries.py`` /
+    ``services/read_dataset_function.generate_query_dataset`` draw
+    (user_id, query_vector) pairs; we pin them arithmetically for oracle
+    parity. Query sets are tiny → broadcast to every executor.
+    """
+    return embeddings.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") % USER_MOD).alias("user_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+
+
+def query_roles(queries: DataFrame) -> DataFrame:
+    """Roles held by each query's user, computed arithmetically (no join with
+    the customer table needed — same formula as ``user_roles``)."""
+    u = F.col("user_id")
+    return (
+        queries.select("query_id", (u % 10).cast("int").alias("role_id"))
+        .unionAll(queries.select("query_id", ((u * 7 + 3) % 10).cast("int").alias("role_id")))
+        .distinct()
+    )
+
+
+def accessible_documents(user_roles: DataFrame, permission_assignment: DataFrame) -> DataFrame:
+    """user_id → distinct permitted document_id.
+
+    Parity: the prefilter CTE in ``common_function.py:112-121``
+    (SELECT DISTINCT pa.document_id FROM PermissionAssignment pa JOIN
+    UserRoles ur ... WHERE ur.user_id = %s) — set-at-a-time for all users.
+    Both inputs are dim-sized → broadcast-joined by Catalyst/AQE.
+    """
+    return (
+        user_roles.join(permission_assignment, "role_id")
+        .select("user_id", "document_id")
+        .distinct()
+    )
+
+
+def block_selectivity(user_roles: DataFrame, permission_assignment: DataFrame, documentblocks: DataFrame) -> DataFrame:
+    """Per-user fraction of blocks accessible.
+
+    Parity: ``basic_benchmark/generate_queries.py:14``
+    (calculate_block_selectivity) — one SQL round-trip per user there; a
+    single aggregate over the permitted-blocks join here.
+    """
+    total = documentblocks.select(F.count("*").alias("total_blocks"))
+    acc = (
+        accessible_documents(user_roles, permission_assignment)
+        .join(documentblocks.select("document_id", "block_id"), "document_id")
+        .groupBy("user_id")
+        .agg(F.count("block_id").alias("accessible_blocks"))
+    )
+    return acc.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "accessible_blocks",
+        F.round(F.col("accessible_blocks") / F.col("total_blocks"), 6).alias("selectivity"),
+    )

@@ -1,0 +1,196 @@
+"""Distributed synthetic RBAC generators.
+
+Parity: reference ``services/rbac_generator/`` —
+``random_rbac_data_generator.py`` (random role/perm assignment),
+``tree_based_rbac_data_generator.py`` (role tree of height h, branching
+b0..b1, disjoint doc sets per role, ancestors inherit descendants' docs),
+``erbac_data_generator.py`` (two-level business→functional role hierarchy).
+
+The reference builds these with driver-side Python loops + psycopg2 inserts;
+here generation is declarative DataFrame transforms seeded with deterministic
+per-row hashes (xxhash64 with a fixed seed column) so the same (seed, size)
+always yields the same relations on any cluster layout — no RNG state on the
+driver, no collect. Scales to billions of users: everything is
+``spark.range`` + column arithmetic + joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _h(col, seed: int, mod: int):
+    """Deterministic pseudo-random int in [0, mod) from a column + seed."""
+    return F.pmod(F.xxhash64(col.cast("long"), F.lit(seed)), F.lit(mod))
+
+
+def random_rbac(
+    spark: SparkSession,
+    num_users: int,
+    num_roles: int,
+    num_documents: int,
+    m_roles: int = 3,
+    m_perms: int = 20,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Random RBAC: each user gets 1..m_roles roles, each role 1..m_perms docs.
+
+    Parity: ``random_rbac_data_generator.py:27-84`` (random.sample loops →
+    per-row hash draws).
+    """
+    users = spark.range(1, num_users + 1).select(F.col("id").alias("user_id"))
+    roles = spark.range(1, num_roles + 1).select(F.col("id").alias("role_id"))
+
+    # user u draws k_u = 1 + h(u) % m_roles roles; the j-th role is a hash draw
+    ur = (
+        users.select("user_id", (F.lit(1) + _h(F.col("user_id"), seed, m_roles)).alias("k"))
+        .select("user_id", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("j"))
+        .select(
+            "user_id",
+            (F.lit(1) + _h(F.col("user_id") * 1000 + F.col("j"), seed + 1, num_roles)).alias("role_id"),
+        )
+        .distinct()
+    )
+
+    pa = (
+        roles.select("role_id", (F.lit(1) + _h(F.col("role_id"), seed + 2, m_perms)).alias("k"))
+        .select("role_id", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("j"))
+        .select(
+            "role_id",
+            (F.lit(1) + _h(F.col("role_id") * 100000 + F.col("j"), seed + 3, num_documents)).alias("document_id"),
+        )
+        .distinct()
+    )
+    return {"users": users, "roles": roles, "user_roles": ur, "permission_assignment": pa}
+
+
+def tree_rbac(
+    spark: SparkSession,
+    num_users: int,
+    num_documents: int,
+    height: int = 4,
+    branching: int = 3,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Tree RBAC: complete b-ary role tree of given height; leaves own
+    disjoint document ranges; every role inherits all documents in its
+    subtree; users are assigned one role uniformly.
+
+    Parity: ``tree_based_rbac_data_generator.py:22-88`` (random tree +
+    disjoint doc split + upward permission closure). The closure
+    (ancestor inherits descendants' docs) is computed by joining each leaf to
+    all its ancestors via base-b path arithmetic — O(height) column math, no
+    recursion on the driver.
+    """
+    b = branching
+    n_roles = (b ** (height + 1) - 1) // (b - 1)  # complete tree node count
+    n_leaves = b**height
+    first_leaf = (b**height - 1) // (b - 1)  # index of first leaf, root=0
+
+    roles = spark.range(n_roles).select(
+        F.col("id").cast("int").alias("role_id"),
+        F.floor(F.log(float(b), (F.col("id") * (b - 1) + 1))).cast("int").alias("level"),
+    )
+
+    # leaf l (0-based) owns documents [l*docs_per, (l+1)*docs_per)
+    docs_per = max(1, num_documents // n_leaves)
+    leaves = spark.range(n_leaves).select(F.col("id").alias("leaf"))
+    leaf_docs = leaves.select(
+        "leaf",
+        F.explode(
+            F.sequence(F.col("leaf") * docs_per, (F.col("leaf") + 1) * docs_per - 1)
+        ).alias("document_id"),
+    ).where(F.col("document_id") < num_documents)
+
+    # ancestors of leaf at depth d: repeatedly (node-1)/b; depth levels via sequence
+    leaf_nodes = leaves.select("leaf", (F.col("leaf") + first_leaf).alias("node"))
+    anc = leaf_nodes.select(
+        "leaf",
+        F.explode(F.sequence(F.lit(0), F.lit(height))).alias("up"),
+        F.col("node"),
+    )
+    # node after `up` parent-steps: ((node+1) / b^up ceil) - adjust — use loop-free formula:
+    # parent(n) = floor((n-1)/b); after k steps: floor((n - (b^k -1)/(b-1)) / b^k)
+    bk = F.pow(F.lit(float(b)), F.col("up")).cast("long")
+    geo = ((bk - 1) / F.lit(b - 1)).cast("long")
+    anc = anc.select(
+        "leaf", F.floor((F.col("node") - geo) / bk).cast("int").alias("role_id")
+    )
+    permission_assignment = (
+        anc.join(leaf_docs, "leaf").select("role_id", "document_id").distinct()
+    )
+
+    users = spark.range(1, num_users + 1).select(F.col("id").alias("user_id"))
+    user_roles = users.select(
+        "user_id", _h(F.col("user_id"), seed, n_roles).cast("int").alias("role_id")
+    )
+    return {
+        "users": users,
+        "roles": roles.select("role_id"),
+        "user_roles": user_roles,
+        "permission_assignment": permission_assignment,
+    }
+
+
+def erbac(
+    spark: SparkSession,
+    num_users: int,
+    n_froles: int,
+    n_broles: int,
+    num_documents: int,
+    m_perms: int = 10,
+    m_froles: int = 4,
+    m_broles: int = 2,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """ERBAC: users → business roles → functional roles → documents.
+
+    Parity: ``erbac_data_generator.py:30-...``. The effective
+    user→document permission is the composition of three many-to-many
+    relations; we materialize the flattened ``user_roles`` (user→functional
+    role) and role→doc tables so downstream search operators are identical.
+    """
+    users = spark.range(1, num_users + 1).select(F.col("id").alias("user_id"))
+    froles = spark.range(1, n_froles + 1).select(F.col("id").alias("role_id"))
+
+    # business role → functional roles
+    br_fr = (
+        spark.range(1, n_broles + 1)
+        .select(F.col("id").alias("brole_id"), (F.lit(1) + _h(F.col("id"), seed, m_froles)).alias("k"))
+        .select("brole_id", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("j"))
+        .select(
+            "brole_id",
+            (F.lit(1) + _h(F.col("brole_id") * 1000 + F.col("j"), seed + 1, n_froles)).alias("role_id"),
+        )
+        .distinct()
+    )
+    # user → business roles
+    u_br = (
+        users.select("user_id", (F.lit(1) + _h(F.col("user_id"), seed + 2, m_broles)).alias("k"))
+        .select("user_id", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("j"))
+        .select(
+            "user_id",
+            (F.lit(1) + _h(F.col("user_id") * 1000 + F.col("j"), seed + 3, n_broles)).alias("brole_id"),
+        )
+        .distinct()
+    )
+    user_roles = u_br.join(br_fr, "brole_id").select("user_id", "role_id").distinct()
+
+    pa = (
+        froles.select("role_id", (F.lit(1) + _h(F.col("role_id"), seed + 4, m_perms)).alias("k"))
+        .select("role_id", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("j"))
+        .select(
+            "role_id",
+            (F.lit(1) + _h(F.col("role_id") * 100000 + F.col("j"), seed + 5, num_documents)).alias("document_id"),
+        )
+        .distinct()
+    )
+    return {
+        "users": users,
+        "roles": froles,
+        "business_roles": u_br,
+        "brole_to_frole": br_fr,
+        "user_roles": user_roles,
+        "permission_assignment": pa,
+    }

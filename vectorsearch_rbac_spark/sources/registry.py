@@ -1,0 +1,83 @@
+"""Table registry: load the star-schema parquet tables and register views.
+
+Parity: reference ``controller/prepare_database.py`` +
+``services/read_dataset_function.py`` load datasets into Postgres; here the
+lakehouse *is* the store — parquet scanned directly, with column pruning and
+predicate pushdown from Catalyst.
+
+Scale notes: scans are declarative (``spark.read.parquet``) so partition
+pruning / pushed filters apply; nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app: str = "vectorsearch-rbac-spark", shuffle_partitions: int = 32) -> SparkSession:
+    """Local session tuned for the test harness; on a real cluster the
+    builder config comes from spark-submit and these are no-ops."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read nanos as long and truncate to micros (the
+        # same truncation DuckDB applies casting ns → its us timestamps).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every table as a temp view so ``spark.sql`` works alongside
+    the DataFrame API (mirrors DuckDB's pre-registered oracle views)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,19 @@
+from .pipelines import (
+    BLOCK_SCHEMA,
+    EVENT_SCHEMA,
+    stream_events_from_dir,
+    windowed_event_counts,
+    streaming_dedup,
+    streaming_sessionize,
+    streaming_block_insertion,
+)
+
+__all__ = [
+    "BLOCK_SCHEMA",
+    "EVENT_SCHEMA",
+    "stream_events_from_dir",
+    "windowed_event_counts",
+    "streaming_dedup",
+    "streaming_sessionize",
+    "streaming_block_insertion",
+]

@@ -1,0 +1,131 @@
+"""Structured Streaming pipelines (SURVEY.md §2 G-group).
+
+Parity: the reference's online maintenance —
+``controller/dynamic_partition/hnsw/insertion.py`` (insert blocks into the
+right comb-role partition, refine heavy partitions) and ``deletion.py`` —
+re-expressed as streaming relations: a file-source stream of new rows,
+watermarked event-time processing, and partitioned sinks. Batch and stream
+share the same column logic (the functions take DataFrames), which is the
+Spark-native replacement for the reference's trigger-style upkeep.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events_from_dir(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream of event parquet drops (G1). In production the
+    source would be Kafka; the transformation surface is identical."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate (G1): late rows beyond the
+    watermark are dropped; state is bounded by watermark horizon. Works on
+    batch DataFrames too (window() is the same expression)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon (G2): state stores
+    only keys inside the horizon, so memory is bounded at any scale."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def streaming_sessionize(events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours") -> DataFrame:
+    """Stateful sessionization (G3) via ``applyInPandasWithState``-free
+    session windows: Spark's native session_window handles gap merging in
+    the state store — the declarative form of the reference's imperative
+    session logic."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("started"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("ended"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("block_id", LongType()),
+        StructField("document_id", LongType()),
+        StructField("vector", StringType()),  # json array payload on the wire
+    ]
+)
+
+
+def streaming_block_insertion(
+    new_blocks: DataFrame,
+    permission_assignment: DataFrame,
+    out_path: str,
+    checkpoint: str,
+):
+    """G4: route newly ingested blocks into the comb-role partitioned store.
+
+    Parity: ``dynamic_partition/hnsw/insertion.py`` — the reference computes
+    the partition for each inserted row and appends to that partition table
+    (with heavy-partition refinement as an offline job). Here: the stream
+    joins the (broadcast) doc→comb_role map and appends partitionBy(comb_role)
+    — partition refinement stays a batch job (operators/partitioning.py).
+    Returns the StreamingQuery.
+    """
+    doc_comb = permission_assignment.groupBy("document_id").agg(
+        F.array_join(F.array_sort(F.collect_list(F.col("role_id").cast("string"))), ",").alias("comb_role")
+    )
+    routed = new_blocks.join(F.broadcast(doc_comb), "document_id")
+    return (
+        routed.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("comb_role")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
