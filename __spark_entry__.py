@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from vectorsearch_rbac_spark.sources import load_table
 from vectorsearch_rbac_spark.rbac import derive
-from vectorsearch_rbac_spark.operators import knn, ann, dedup, ivf
+from vectorsearch_rbac_spark.operators import knn, ann, dedup, dynamic, ivf, partitioning
 from vectorsearch_rbac_spark.functions import text as T
 from vectorsearch_rbac_spark.plans import queries as PQ
 
@@ -79,6 +79,33 @@ def q_rbac_rls_topk(spark, sf_dir):
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
+def q_rbac_qdtree_topk(spark, sf_dir):
+    """Qd-tree partitioned search (leaf routing + permission check) — exact,
+    so the prefilter oracle applies."""
+    t = _rbac(spark, sf_dir)
+    assigned = partitioning.qdtree_assignment(
+        t["documentblocks"], t["permission_assignment"], max_leaf_size=64, max_depth=4
+    )
+    out = knn.knn_qdtree(assigned, t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
+def q_rbac_dynamic_topk(spark, sf_dir):
+    """Dynamic comb-role store lifecycle: build on 80% of blocks, insert the
+    rest, delete block_id % 17 == 3, then search. Final store state is
+    SQL-expressible, so the oracle is prefilter over blocks w/ the delete
+    predicate."""
+    t = _rbac(spark, sf_dir)
+    blocks = t["documentblocks"]
+    initial = blocks.where(F.col("block_id") % 5 != 0)
+    arriving = blocks.where(F.col("block_id") % 5 == 0)
+    store = dynamic.build_store(initial, t["permission_assignment"])
+    store = dynamic.insert_blocks(store, arriving, t["permission_assignment"])
+    store = dynamic.delete_blocks(store, blocks.where(F.col("block_id") % 17 == 3).select("block_id"))
+    out = dynamic.knn_dynamic(store, t["queries"], t["query_roles"], k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
 def q_rbac_selectivity(spark, sf_dir):
     t = _rbac(spark, sf_dir)
     out = derive.block_selectivity(t["user_roles"], t["permission_assignment"], t["documentblocks"])
@@ -124,6 +151,23 @@ def q_simhash_pairs(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = dedup.simhash_neardup_pairs(docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_T)
     return _i(out, "id_a", "id_b", "hamming")
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """MinHash candidates → connected components → (doc_id, cluster_id)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_candidates(docs, n=3, num_hashes=16, band_size=4)
+    return _i(dedup.neardup_clusters(docs, pairs), "doc_id", "cluster_id")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only): synthesize binary media column,
+    decode (deterministic fake) + feature-extract via mapInPandas."""
+    from vectorsearch_rbac_spark.operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).limit(100)
+    media = multimodal.synthesize_media(docs, kind="image")
+    return multimodal.extract_features(media, feat_dim=8)
 
 
 def q_text_stats(spark, sf_dir):
@@ -253,6 +297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbac_role_partition_topk": q_rbac_role_partition_topk,
         "rbac_comb_role_topk": q_rbac_comb_role_topk,
         "rbac_rls_topk": q_rbac_rls_topk,
+        "rbac_qdtree_topk": q_rbac_qdtree_topk,
+        "rbac_dynamic_topk": q_rbac_dynamic_topk,
         "rbac_topk_fast": q_rbac_topk_fast,
         "rbac_selectivity": q_rbac_selectivity,
         "cosine_topk": q_cosine_topk,
@@ -261,6 +307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
+        "neardup_clusters": q_neardup_clusters,
+        "multimodal_features": q_multimodal_features,
         "text_stats": q_text_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "vector_ops": q_vector_ops,
@@ -357,6 +405,22 @@ FROM (
 ) WHERE rank <= 10
 """
 
+_DYNAMIC_SQL = _RBAC_CTE + """
+, scored AS (
+  SELECT d.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM qdocs d
+  JOIN blocks b USING (document_id)
+  JOIN qs q ON q.query_id = d.query_id
+  WHERE b.block_id % 17 != 3
+)
+SELECT query_id, block_id, document_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
 _SELECTIVITY_SQL = _RBAC_CTE + """
 , uroles AS (
   SELECT c_custkey AS user_id, c_custkey % 10 AS role_id FROM customer
@@ -425,7 +489,7 @@ sh AS (
 )
 """
 
-_MINHASH_SQL = _SHINGLES_CTE + f"""
+_MINHASH_BANDS_CTE = _SHINGLES_CTE + f"""
 , hs AS (
   SELECT doc_id, h, MIN({_MD5L.format(x="h::VARCHAR || ':' || shingle")}) AS minhash
   FROM sh, UNNEST(range(0, 16)) AS v(h)
@@ -436,8 +500,32 @@ bands AS (
          {_MD5L.format(x="string_agg(minhash::VARCHAR, ',' ORDER BY h)")} AS band_sig
   FROM hs GROUP BY doc_id, h // 4
 )
+"""
+
+_MINHASH_SQL = _MINHASH_BANDS_CTE + """
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+# connected components over the minhash candidate graph via recursive CTE:
+# reach(node, lab) enumerates same-component pairs; min(lab) = cluster id
+_CLUSTERS_SQL = _MINHASH_BANDS_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
 """
 
 _JACCARD_SQL = _SHINGLES_CTE + """
@@ -618,6 +706,8 @@ def oracle_sql() -> dict[str, str]:
         "rbac_role_partition_topk": _PREFILTER_SQL,
         "rbac_comb_role_topk": _PREFILTER_SQL,
         "rbac_rls_topk": _PREFILTER_SQL,
+        "rbac_qdtree_topk": _PREFILTER_SQL,
+        "rbac_dynamic_topk": _DYNAMIC_SQL,
         "rbac_topk_fast": _GLOBAL_TOPK_SQL,
         "rbac_selectivity": _SELECTIVITY_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
@@ -626,6 +716,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _MINHASH_SQL,
         "ngram_jaccard": _JACCARD_SQL,
         "simhash_pairs": _SIMHASH_SQL,
+        "neardup_clusters": _CLUSTERS_SQL,
+        # multimodal_features: binary decode plumbing → rows-only check
         "text_stats": _TEXT_STATS_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "vector_ops": _VECTOR_OPS_SQL,

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from vectorsearch_rbac_spark.sources import load_table
 from vectorsearch_rbac_spark.rbac import derive
-from vectorsearch_rbac_spark.operators import knn, ivf, ann
+from vectorsearch_rbac_spark.operators import knn, ivf, ann, dynamic, partitioning
 
 
 @pytest.fixture(scope="module")
@@ -79,6 +79,40 @@ def test_lsh_recall_floor(t):
     # random (structureless) vectors are LSH's worst case; 3 tables × 8
     # planes with 1-bit multiprobe should still clear this floor
     assert rec >= 0.45
+
+
+def test_qdtree_search_exact(t):
+    """Qd-tree leaf routing must not lose any permitted block (recall 1.0)."""
+    args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    truth = _ids(knn.knn_prefilter(*args, k=10))
+    assigned = partitioning.qdtree_assignment(
+        t["documentblocks"], t["permission_assignment"], max_leaf_size=32, max_depth=4
+    )
+    got = _ids(knn.knn_qdtree(assigned, t["queries"], t["query_roles"], t["permission_assignment"], k=10))
+    assert got == truth
+
+
+def test_dynamic_store_lifecycle(t):
+    """build → insert → search equals prefilter; delete removes exactly the
+    deleted blocks from results."""
+    blocks = t["documentblocks"]
+    args = (blocks, t["queries"], t["query_roles"], t["permission_assignment"])
+    truth = _ids(knn.knn_prefilter(*args, k=10))
+
+    initial = blocks.where(F.col("block_id") % 3 != 0)
+    arriving = blocks.where(F.col("block_id") % 3 == 0)
+    store = dynamic.build_store(initial, t["permission_assignment"])
+    store = dynamic.insert_blocks(store, arriving, t["permission_assignment"])
+    assert store.count() == blocks.count()
+    got = _ids(dynamic.knn_dynamic(store, t["queries"], t["query_roles"], k=10))
+    assert got == truth
+
+    # delete every block that appeared in the results: they must all vanish
+    hit_ids = {b for _, b in truth}
+    deleted = blocks.where(F.col("block_id").isin(*hit_ids)).select("block_id")
+    store2 = dynamic.delete_blocks(store, deleted)
+    got2 = _ids(dynamic.knn_dynamic(store2, t["queries"], t["query_roles"], k=10))
+    assert not (got2 & truth)
 
 
 def test_adaptive_strategy_routes(t, spark):

@@ -35,6 +35,26 @@ def test_minhash_finds_planted_neardups(docs):
     assert len(true_pairs - cand) <= max(1, len(true_pairs) // 10)
 
 
+def test_neardup_clusters_transitive(spark):
+    """a~b and b~c (but a≁c directly) must land in one cluster; isolated
+    docs are singletons keyed by themselves."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    got = {tuple(r) for r in dedup.neardup_clusters(docs, pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 7)}
+    kept = {r["doc_id"] for r in dedup.canonical_docs(dedup.neardup_clusters(docs, pairs)).collect()}
+    assert kept == {1, 4, 5, 7}
+
+
+def test_neardup_clusters_chain_converges(spark):
+    """A long path graph exercises multi-round label propagation."""
+    n = 40
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = dedup.neardup_clusters(docs, pairs)
+    assert got.where(F.col("cluster_id") != 0).count() == 0
+
+
 def test_simhash_close_on_neardups(docs):
     pairs = dedup.simhash_neardup_pairs_banded(docs, bits=32, max_hamming=3)
     all_pairs = dedup.simhash_neardup_pairs(docs, bits=32, max_hamming=3)

@@ -259,3 +259,85 @@ def simhash_neardup_pairs_banded(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def neardup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id, cluster_id)
+    where cluster_id = min doc id in the component; docs in no pair are
+    singleton clusters of themselves.
+
+    This is the final step of every near-dedup pipeline (candidates →
+    components → keep one canonical doc per component). Min-label
+    propagation runs ONLY on the candidate subgraph (nodes touched by a
+    pair) — at corpus scale the pair graph is orders of magnitude smaller
+    than the corpus, so the iterative joins are on a small, broadcastable
+    edge list; the full corpus is touched once by the final left join. Each
+    iteration is one join + one min-aggregate; converges in O(component
+    diameter) rounds (near-dup components are shallow), lineage truncated
+    per round with localCheckpoint.
+    """
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node").cast("long")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        # min label among neighbors, then combine with own label (no union:
+        # join + least keeps the plan a simple agg→join chain)
+        nbr = (
+            sym.join(labels.select(F.col("node").alias("src"), "cluster_id"), "src")
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+            .withColumnRenamed("dst", "node")
+        )
+        new = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jumping: point each node at its label's label, so chains
+        # collapse in O(log diameter) rounds instead of O(diameter)
+        new = (
+            new.alias("a")
+            .join(
+                new.select(
+                    F.col("node").alias("_ln"), F.col("cluster_id").alias("_lc")
+                ).alias("b"),
+                F.col("a.cluster_id") == F.col("b._ln"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.coalesce("b._lc", "a.cluster_id").alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    docs = documents.select(F.col(id_col).cast("long").alias(id_col))
+    return docs.join(
+        F.broadcast(labels.withColumnRenamed("node", id_col)), id_col, "left"
+    ).select(id_col, F.coalesce("cluster_id", F.col(id_col)).cast("long").alias("cluster_id"))
+
+
+def canonical_docs(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Dedup output: one kept (canonical = min-id) doc per cluster."""
+    return clusters.where(F.col(id_col) == F.col("cluster_id")).select(id_col, "cluster_id")

@@ -81,7 +81,11 @@ def knn_prefilter(
     scored = (
         _permitted_blocks(blocks, query_roles, permission_assignment)
         .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
-        .withColumn("distance", F.round(dist("vector", "query_vector"), 6))
+        .select(
+            "query_id", "block_id", "document_id",
+            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+        )  # prune the vectors BEFORE the rank shuffle: the window exchange
+        # must move (id, distance) rows, never the embedding arrays
     )
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
 
@@ -106,7 +110,10 @@ def knn_postfilter(
     dist = _METRICS[metric]
     global_topk = topk_per_query(
         blocks.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
-        .withColumn("distance", F.round(dist("vector", "query_vector"), 6)),
+        .select(
+            "query_id", "block_id", "document_id",
+            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+        ),
         k * expansion,
     ).drop("rank")
 
@@ -144,7 +151,10 @@ def knn_role_partition(
     scored = (
         role_blocks.join(F.broadcast(query_roles), "role_id")
         .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
-        .withColumn("distance", F.round(dist("vector", "query_vector"), 6))
+        .select(
+            "query_id", "role_id", "block_id", "document_id",
+            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+        )
     )
     # per-(query, role) local top-k bounds the merge input, then dedup + global
     w_local = Window.partitionBy("query_id", "role_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
@@ -188,7 +198,10 @@ def knn_comb_role_partition(
     scored = (
         part_blocks.join(F.broadcast(comb), "comb_role")
         .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
-        .withColumn("distance", F.round(dist("vector", "query_vector"), 6))
+        .select(
+            "query_id", "block_id", "document_id",
+            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+        )
     )
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
 
@@ -219,7 +232,51 @@ def knn_rls(
     scored = (
         blocks.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
         .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")
-        .withColumn("distance", F.round(dist("vector", "query_vector"), 6))
+        .select(
+            "query_id", "block_id", "document_id",
+            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+        )
+    )
+    return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
+
+
+def knn_qdtree(
+    assigned_blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Qd-tree-partitioned search: route each query to the tree leaves that
+    hold ≥1 of its permitted documents, scan only those, permission-check,
+    exact top-k.
+
+    Parity: ``baseline/HQI/qd_tree.py`` search path — the qd-tree prunes
+    leaves whose role predicate excludes the user, then scans surviving
+    leaves. ``assigned_blocks`` carries ``partition_id`` from
+    ``partitioning.qdtree_assignment``; on disk (partitionBy(partition_id))
+    the routing join becomes Catalyst partition pruning. Exact (recall 1.0):
+    routing only ever removes leaves with zero permitted docs.
+    """
+    dist = _METRICS[metric]
+    qdocs = (
+        F.broadcast(query_roles)
+        .join(F.broadcast(permission_assignment), "role_id")
+        .select("query_id", "document_id")
+        .distinct()
+    )
+    # leaf routing table: query → partitions containing ≥1 permitted doc
+    doc_parts = assigned_blocks.select("document_id", "partition_id").distinct()
+    qparts = qdocs.join(doc_parts, "document_id").select("query_id", "partition_id").distinct()
+    scored = (
+        assigned_blocks.join(F.broadcast(qparts), "partition_id")  # leaf pruning
+        .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")  # per-block check
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .select(
+            "query_id", "block_id", "document_id",
+            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+        )
     )
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
 

@@ -103,13 +103,16 @@ def qdtree_assignment(
                     d0 = V.l2_squared(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c[0]]))
                     d1 = V.l2_squared(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c[1]]))
                     cond = d0 <= d1
-            e = F.when(
-                F.col("pid") == pid,
+            new_pid = (
                 F.col("pid") * F.lit(2).cast("long")
                 + F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")
-                + F.lit(2 ** 30).cast("long"),
+                + F.lit(2 ** 30).cast("long")
             )
-            split_exprs = e if split_exprs is None else split_exprs.otherwise(e)
+            split_exprs = (
+                F.when(F.col("pid") == pid, new_pid)
+                if split_exprs is None
+                else split_exprs.when(F.col("pid") == pid, new_pid)
+            )
         # non-split nodes keep pid; splitted get fresh ids in a new namespace
         cur = cur.withColumn("pid", F.coalesce(split_exprs, F.col("pid"))).localCheckpoint()
     return cur.drop("_roles").withColumnRenamed("pid", "partition_id")
