@@ -489,10 +489,16 @@ sh AS (
 )
 """
 
+_MINHASH_P = 2147483647
+
 _MINHASH_BANDS_CTE = _SHINGLES_CTE + f"""
-, hs AS (
-  SELECT doc_id, h, MIN({_MD5L.format(x="h::VARCHAR || ':' || shingle")}) AS minhash
-  FROM sh, UNNEST(range(0, 16)) AS v(h)
+, sb AS (
+  SELECT doc_id, {_MD5L.format(x="shingle")} % {_MINHASH_P} AS s FROM sh
+),
+hs AS (
+  SELECT doc_id, h,
+         MIN((((h + 1) * 2654435761 % {_MINHASH_P}) * s + (h * 40503 + 17) % {_MINHASH_P}) % {_MINHASH_P}) AS minhash
+  FROM sb, UNNEST(range(0, 16)) AS v(h)
   GROUP BY doc_id, h
 ),
 bands AS (

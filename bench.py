@@ -23,10 +23,12 @@ HEADLINE = [
     "rbac_prefilter_topk",
     "rbac_postfilter_topk",
     "rbac_comb_role_topk",
+    "rbac_dynamic_topk",
     "rbac_topk_fast",
     "cosine_topk",
     "cosine_neardup",
     "minhash_candidates",
+    "neardup_clusters",
     "ngram_jaccard",
     "simhash_pairs",
     "text_stats",

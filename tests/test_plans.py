@@ -1,0 +1,83 @@
+"""Physical-plan shape guards — the 100 TB design invariants (SURVEY.md §3).
+
+These assert properties of the *executed plan string*, not results: dims are
+broadcast (no sort-merge join on the fact table path), scans prune columns
+and push predicates, and ranking shuffles never carry embedding arrays.
+A regression here is invisible at sf0.01 but fatal at cluster scale.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_rbac_spark.sources import load_table
+from vectorsearch_rbac_spark.rbac import derive
+from vectorsearch_rbac_spark.operators import knn, dynamic
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    customer = load_table(spark, "customer", sf_dir)
+    documents = load_table(spark, "documents", sf_dir)
+    embeddings = load_table(spark, "embeddings", sf_dir)
+    tabs = derive.derive_rbac(customer, documents, embeddings)
+    tabs["queries"] = derive.derive_queries(embeddings, 100)
+    tabs["query_roles"] = derive.query_roles(tabs["queries"])
+    return tabs
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_prefilter_broadcasts_dims_no_smj(t):
+    df = knn.knn_prefilter(
+        t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=10
+    )
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p, "RBAC dims must broadcast"
+    assert "SortMergeJoin" not in p, "fact-table path must never sort-merge on dims"
+
+
+def test_rank_shuffle_carries_no_vectors(t):
+    """The exchange feeding the top-k window must move (id, distance) rows
+    only — shuffling embedding arrays at 100 TB dwarfs the scan cost.
+
+    Two invariants in the executed plan:
+    1. a *Partial* WindowGroupLimit sits below the exchange (each map task
+       ships ≤ k rows per query, not its whole scan);
+    2. the exchange's input is a 4-column projection (ids + computed
+       distance) — the embedding arrays are projected away pre-shuffle.
+    """
+    import re
+
+    for fn in (knn.knn_prefilter, knn.knn_rls, knn.knn_comb_role_partition):
+        df = fn(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=10)
+        p = _plan(df)
+        assert "WindowGroupLimit" in p and "Partial" in p, "rank-limit pushdown missing"
+        ex = p.find("Exchange hashpartitioning(query_id")
+        assert ex != -1
+        below = p[ex:]
+        assert re.search(
+            r"Project \[query_id#\d+L?, block_id#\d+L?, document_id#\d+L?, round", below
+        ), "exchange input must be the pruned (ids, distance) projection"
+
+
+def test_dynamic_search_prunes_partitions(t):
+    store = dynamic.build_store(t["documentblocks"], t["permission_assignment"])
+    df = dynamic.knn_dynamic(store, t["queries"], t["query_roles"], k=10)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_scan_column_pruning(spark, sf_dir):
+    df = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_orderkey" in plan
+    # untouched wide columns must not be read from parquet
+    assert "l_comment" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") == 7).select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_custkey" in plan.split("PushedFilters")[1][:200]

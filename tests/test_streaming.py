@@ -53,12 +53,63 @@ def test_streaming_dedup(spark, event_dir, tmp_path):
     assert got.count() == src.select("event_id").distinct().count()
 
 
-def test_streaming_sessionize_runs(spark, event_dir, tmp_path):
+def test_streaming_sessionize_matches_batch(spark, event_dir, tmp_path):
+    """Every session the stream seals must agree with the batch lag-based
+    sessionization on (user, start, size, value) — same gap semantics."""
+    from vectorsearch_rbac_spark.plans import queries as PQ
+
     stream = S.stream_events_from_dir(spark, event_dir)
-    out = _run(S.streaming_sessionize(stream), str(tmp_path), "sess")
+    out = _run(S.streaming_sessionize(stream, gap_minutes=30), str(tmp_path), "sess")
     got = spark.read.parquet(out)
     assert got.count() > 0
     assert {"user_id", "started", "ended", "n_events"} <= set(got.columns)
+
+    batch = PQ.sessionize_events(spark.read.parquet(event_dir), gap_minutes=30)
+    stream_keys = {
+        (r["user_id"], r["started"], r["n_events"], round(r["total_value"] or 0, 4))
+        for r in got.collect()
+    }
+    batch_keys = {
+        (r["user_id"], r["started"], r["n_events"], round(r["total_value"] or 0, 4))
+        for r in batch.collect()
+    }
+    # append mode emits only watermark-sealed sessions → subset of batch
+    assert stream_keys, "no sessions sealed"
+    assert stream_keys <= batch_keys
+
+
+def test_stateful_user_stats_converges(spark, event_dir, tmp_path):
+    """applyInPandasWithState across micro-batches: final running totals per
+    user must equal the batch groupBy."""
+    stream = S.stream_events_from_dir(spark, event_dir, max_files_per_trigger=1)
+    q = (
+        S.stateful_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n_events, MAX(total_value) AS total_value "
+        "FROM user_stats GROUP BY user_id"
+    )
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    diff = (
+        got.alias("g")
+        .join(batch.alias("b"), "user_id", "full")
+        .where(
+            (F.col("g.n_events") != F.col("b.n_events"))
+            | (F.abs(F.col("g.total_value") - F.col("b.total_value")) > 1e-6)
+        )
+    )
+    assert got.count() == batch.count()
+    assert diff.count() == 0
 
 
 def test_streaming_block_insertion(spark, sf_dir, tmp_path):

@@ -79,17 +79,28 @@ def word_shingles(documents: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """(doc_id, h, minhash): min over shingles of md5_long(h ‖ ':' ‖ shingle).
+MINHASH_P = 2147483647  # Mersenne prime 2^31-1: products stay in int64
 
-    The h-index explode is a bounded ×H blowup feeding a map-side-combinable
-    min aggregate — the shuffle carries H rows per doc.
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, h, minhash): min over shingles of a universal hash family
+    ``(a_h * s + b_h) mod p`` seeded by ONE md5 per shingle (s).
+
+    One md5 per shingle instead of one per (shingle, hash) — H× less
+    hashing; the h-index explode is a bounded ×H blowup feeding a
+    map-side-combinable min aggregate, so the shuffle carries H rows per
+    doc. The (a_h, b_h) constants are pure arithmetic → the DuckDB oracle
+    reproduces identical signatures.
     """
-    hs = shingles.select(
+    base = shingles.select("doc_id", (md5_long(F.col("shingle")) % MINHASH_P).alias("s"))
+    h = F.col("h")
+    a_h = (h + 1) * F.lit(2654435761) % MINHASH_P
+    b_h = (h * 40503 + 17) % MINHASH_P
+    hs = base.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        F.col("shingle"),
-    ).withColumn("hv", md5_long(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))))
+        F.col("s"),
+    ).withColumn("hv", (a_h * F.col("s") + b_h) % MINHASH_P)
     return hs.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
 
 
@@ -110,16 +121,31 @@ def minhash_candidates(
     num_hashes: int = 16,
     band_size: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing ≥ 1 LSH band bucket."""
+    """Candidate near-dup pairs (a < b) sharing ≥ 1 LSH band bucket.
+
+    Pairs are generated *within* each bucket (collect_set → pairwise
+    explode), not by self-joining the bucket table — a self-join would run
+    the whole shingle→minhash pipeline twice and shuffle it twice. One
+    aggregate on (band, band_sig) + an array combination expansion is the
+    minimal-shuffle shape; bucket sizes are bounded by LSH design (huge
+    buckets mean the band scheme is mis-tuned, not that the join should
+    absorb them).
+    """
     sh = word_shingles(documents, id_col, text_col, n)
     sig = minhash_signatures(sh, num_hashes)
     bk = lsh_band_buckets(sig, band_size)
-    a = bk.select(F.col("doc_id").alias("id_a"), "band", "band_sig")
-    b = bk.select(F.col("doc_id").alias("id_b"), "band", "band_sig")
+    buckets = (
+        bk.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+    )
     return (
-        a.join(b, ["band", "band_sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -5,6 +5,7 @@ from .pipelines import (
     windowed_event_counts,
     streaming_dedup,
     streaming_sessionize,
+    stateful_user_stats,
     streaming_block_insertion,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "windowed_event_counts",
     "streaming_dedup",
     "streaming_sessionize",
+    "stateful_user_stats",
     "streaming_block_insertion",
 ]

@@ -92,6 +92,35 @@ def streaming_sessionize(events: DataFrame, gap_minutes: int = 30, watermark: st
     )
 
 
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (G3): per-user running (count, sum) via
+    ``applyInPandasWithState`` — the escape hatch for stateful logic that
+    session_window/agg can't express (reference analogue: the imperative
+    per-user bookkeeping its serving loop keeps in Python dicts).
+
+    State is one (n, s) pair per user — O(distinct users) in the state
+    store, sharded by the groupBy hash across executors; each micro-batch
+    emits the updated running totals for users seen in that batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 BLOCK_SCHEMA = StructType(
     [
         StructField("block_id", LongType()),
