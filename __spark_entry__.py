@@ -126,6 +126,33 @@ def q_cosine_topk(spark, sf_dir):
     return _i(out, "query_id", "vec_id", "rank")
 
 
+def q_hamming_topk(spark, sf_dir):
+    """Bit-packed hamming top-k (pgvector bit-search parity)."""
+    t = _rbac(spark, sf_dir)
+    out = ann.hamming_topk(t["embeddings"], t["queries"], k=TOPK)
+    return _i(out, "query_id", "vec_id", "rank")
+
+
+def q_sparse_cosine_topk(spark, sf_dir):
+    """Sparsevec cosine top-k over magnitude-sparsified embeddings."""
+    t = _rbac(spark, sf_dir)
+    out = ann.sparse_cosine_topk(t["embeddings"], t["queries"], k=TOPK, threshold=0.15)
+    return _i(out, "query_id", "vec_id", "rank")
+
+
+def q_rbac_adaptive_topk(spark, sf_dir):
+    """ACORN-style adaptive routing (rows-only: the postfilter branch is
+    approximate by design, so no exact SQL oracle)."""
+    from vectorsearch_rbac_spark.plans.strategy import adaptive_knn
+
+    t = _rbac(spark, sf_dir)
+    out = adaptive_knn(
+        t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"],
+        t["user_roles"], k=TOPK,
+    )
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
 def q_cosine_neardup(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     return _i(ann.cosine_neardup_pairs(emb, threshold=COS_NEARDUP_T), "id_a", "id_b")
@@ -302,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbac_topk_fast": q_rbac_topk_fast,
         "rbac_selectivity": q_rbac_selectivity,
         "cosine_topk": q_cosine_topk,
+        "hamming_topk": q_hamming_topk,
+        "sparse_cosine_topk": q_sparse_cosine_topk,
+        "rbac_adaptive_topk": q_rbac_adaptive_topk,
         "cosine_neardup": q_cosine_neardup,
         "exact_dedup": q_exact_dedup,
         "minhash_candidates": q_minhash_candidates,
@@ -574,8 +604,83 @@ WITH qs AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         ROUND(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+         ROUND(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6) + 0.0 AS distance
   FROM embeddings e CROSS JOIN qs q
+)
+SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+_PACK = (
+    "CAST(list_sum(list_transform(range(1, 33), i -> "
+    "CASE WHEN {v}[{off} + i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT)"
+)
+
+_HAMMING_TOPK_SQL = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS query_vector
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+pk AS (
+  SELECT vec_id,
+         {_PACK.format(v="embedding", off=0)} AS p0,
+         {_PACK.format(v="embedding", off=32)} AS p1
+  FROM embeddings
+),
+qk AS (
+  SELECT query_id,
+         {_PACK.format(v="query_vector", off=0)} AS q0,
+         {_PACK.format(v="query_vector", off=32)} AS q1
+  FROM qs
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(bit_count(xor(e.p0, q.q0)) + bit_count(xor(e.p1, q.q1)) AS BIGINT) AS distance
+  FROM pk e CROSS JOIN qk q
+)
+SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+# sparsify: keep (1-indexed dim, value) pairs with |v| > t; DuckDB lambda
+# index i is 1-based = Spark's (i+1)
+_SPARSIFY = (
+    "list_filter(list_transform({v}, (x, i) -> {{'idx': i, 'val': x::DOUBLE}}), "
+    "s -> abs(s.val) > 0.15)"
+)
+
+_SPARSE_COSINE_SQL = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS query_vector
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+e AS (
+  SELECT vec_id, {_SPARSIFY.format(v="embedding")} AS sp FROM embeddings
+),
+q AS (
+  SELECT query_id, {_SPARSIFY.format(v="query_vector")} AS sp FROM qs
+),
+es AS (
+  SELECT vec_id, list_transform(sp, s -> s.idx) AS ie, list_transform(sp, s -> s.val) AS ve FROM e
+),
+qsp AS (
+  SELECT query_id, list_transform(sp, s -> s.idx) AS iq, list_transform(sp, s -> s.val) AS vq FROM q
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    ROUND(1.0 -
+      list_sum(list_transform(range(1, len(e.ie) + 1), j ->
+        e.ve[j] * (CASE WHEN list_position(q.iq, e.ie[j]) > 0
+                        THEN q.vq[list_position(q.iq, e.ie[j])] ELSE 0.0 END)))
+      / (sqrt(list_sum(list_transform(e.ve, x -> x * x)))
+         * sqrt(list_sum(list_transform(q.vq, x -> x * x)))), 6) + 0.0 AS distance
+  FROM es e CROSS JOIN qsp q
 )
 SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
 FROM (
@@ -717,6 +822,9 @@ def oracle_sql() -> dict[str, str]:
         "rbac_topk_fast": _GLOBAL_TOPK_SQL,
         "rbac_selectivity": _SELECTIVITY_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
+        "hamming_topk": _HAMMING_TOPK_SQL,
+        "sparse_cosine_topk": _SPARSE_COSINE_SQL,
+        # rbac_adaptive_topk: postfilter branch approximate → rows-only
         "cosine_neardup": _COSINE_NEARDUP_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_candidates": _MINHASH_SQL,

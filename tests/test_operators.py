@@ -75,6 +75,50 @@ def test_vector_function_identities(spark):
     assert r["ip"] == 25.0 and abs(r["cd"]) < 1e-12 and r["d"] == 2
 
 
+def test_packed_hamming_matches_array_hamming(spark, sf_dir):
+    """bit_count(xor) on packed words must equal the element-wise hamming
+    on the 0/1 arrays, for every pair in a sample."""
+    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 16)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    qa, qb = V.binary_quantize("va"), V.binary_quantize("vb")
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        V.hamming_distance(qa, qb).cast("long").alias("h_arr"),
+        V.hamming_packed(
+            V.pack_bits(qa, 0), V.pack_bits(qa, 1), V.pack_bits(qb, 0), V.pack_bits(qb, 1)
+        ).alias("h_packed"),
+    )
+    assert pairs.where(F.col("h_arr") != F.col("h_packed")).count() == 0
+
+
+def test_sparse_distances_match_dense_on_sparse_support(spark):
+    """Sparse ip/l2/cosine must equal the dense computation on vectors whose
+    zero dims are exactly the pruned ones."""
+    from vectorsearch_rbac_spark.functions import sparse as SV
+
+    df = spark.createDataFrame(
+        [([0.0, 2.0, 0.0, -3.0], [1.0, 0.0, 0.0, 4.0])],
+        "a array<double>, b array<double>",
+    )
+    sa, sb = SV.sparse_from_dense("a", 0.0), SV.sparse_from_dense("b", 0.0)
+    row = df.select(
+        sa["indices"].alias("ia"), sa["values"].alias("va"),
+        sb["indices"].alias("ib"), sb["values"].alias("vb"),
+    ).select(
+        SV.sparse_inner_product("ia", "va", "ib", "vb").alias("ip"),
+        SV.sparse_l2_distance("ia", "va", "ib", "vb").alias("l2"),
+        F.round(SV.sparse_cosine_distance("ia", "va", "ib", "vb"), 6).alias("cos"),
+    ).first()
+    import math
+
+    assert row["ip"] == pytest.approx(2.0 * 0.0 + (-3.0) * 4.0)  # only dim 4 overlaps... and dim 2×0
+    dense_ip = -12.0
+    na, nb = math.sqrt(4 + 9), math.sqrt(1 + 16)
+    assert row["ip"] == pytest.approx(dense_ip)
+    assert row["l2"] == pytest.approx(math.sqrt(1 + 4 + 0 + 49))
+    assert row["cos"] == pytest.approx(round(1 - dense_ip / (na * nb), 6))
+
+
 def test_vector_avg(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])], "g int, v array<float>"

@@ -159,6 +159,34 @@ def vector_avg(df, group_cols: list[str], vec_col: str, out_col: str = "centroid
     )
 
 
+def pack_bits(bitarr: ColumnOrName, word: int, word_bits: int = 32) -> Column:
+    """Pack 32 dims of a 0/1 array into one BIGINT: word *w* covers
+    elements [32w+1 .. 32w+32] (1-indexed), bit *i* of the word = element
+    32w+i+1.
+
+    pgvector stores binary-quantized vectors as a packed ``bit`` type
+    (``bitutils.c``); the Spark-native equivalent is long columns — hamming
+    then collapses to ``bit_count(xor)`` per word, i.e. 2 instructions per
+    64 dims instead of a 64-element array zip. Same packing is expressible
+    in DuckDB for the oracle.
+    """
+    sliced = F.slice(_c(bitarr), word * word_bits + 1, word_bits)
+    # fold acc*2 + bit over the reversed slice ≡ sum(bit_i << i)
+    return F.aggregate(
+        F.reverse(sliced),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(2).cast("long") + x.cast("long"),
+    )
+
+
+def hamming_packed(a0: ColumnOrName, a1: ColumnOrName, b0: ColumnOrName, b1: ColumnOrName) -> Column:
+    """Hamming distance between two 64-dim signatures packed as 2×32-bit
+    words: popcount of per-word xor."""
+    return (
+        F.bit_count(_c(a0).bitwiseXOR(_c(b0))) + F.bit_count(_c(a1).bitwiseXOR(_c(b1)))
+    ).cast("long")
+
+
 def md5_long(col: ColumnOrName, salt=None) -> Column:
     """Deterministic cross-engine 60-bit hash: first 15 hex digits of md5 as
     BIGINT. Matches DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT`` — used

@@ -28,7 +28,8 @@ def cosine_topk_bruteforce(
     window top-k. The oracle-checkable baseline for every ANN variant."""
     scored = (
         embeddings.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
-        .withColumn("distance", F.round(V.cosine_distance(vec_col, "query_vector"), 6))
+        # + 0.0 folds IEEE -0.0 (from rounding 1 - sim when sim ≈ 1+ε) to +0.0
+        .withColumn("distance", F.round(V.cosine_distance(vec_col, "query_vector"), 6) + F.lit(0.0))
         .select("query_id", F.col(id_col).alias("block_id"), "distance")
     )
     w = topk_per_query(scored, k, id_col="block_id")
@@ -185,3 +186,66 @@ def cosine_neardup_pairs(
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact hamming top-k over binary-quantized, bit-packed signatures.
+
+    Parity: pgvector ``<~>`` search on ``bit`` columns (bitutils.c uses
+    word-wise popcount; so do we — two bit_count(xor) per 64-dim row).
+    This is the scale path for similarity search: the scan reads two LONG
+    columns instead of a float array (32× fewer bytes), and the distance is
+    branch-free integer math inside codegen.
+    """
+    def packed(df, a0, a1):
+        q = V.binary_quantize(vec_col)
+        return df.select(
+            "*", V.pack_bits(q, 0).alias(a0), V.pack_bits(q, 1).alias(a1)
+        )
+
+    e = packed(embeddings, "p0", "p1").select(id_col, "p0", "p1")
+    qs = packed(queries.withColumnRenamed("query_vector", vec_col), "q0", "q1").select(
+        "query_id", "q0", "q1"
+    )
+    scored = e.join(F.broadcast(qs), how="cross").select(
+        "query_id",
+        F.col(id_col).alias("block_id"),
+        V.hamming_packed("p0", "p1", "q0", "q1").alias("distance"),
+    )
+    w = topk_per_query(scored, k, id_col="block_id")
+    return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+
+
+def sparse_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    threshold: float = 0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k over magnitude-sparsified vectors (sparsevec
+    search parity): both sides keep dims with |v| > threshold; distance is
+    computed on the sparse representation only."""
+    from ..functions import sparse as SV
+
+    e = embeddings.select(
+        id_col, SV.sparse_from_dense(vec_col, threshold).alias("sv")
+    ).select(id_col, F.col("sv.indices").alias("ie"), F.col("sv.values").alias("ve"))
+    qs = queries.select(
+        "query_id", SV.sparse_from_dense("query_vector", threshold).alias("sv")
+    ).select("query_id", F.col("sv.indices").alias("iq"), F.col("sv.values").alias("vq"))
+    scored = e.join(F.broadcast(qs), how="cross").select(
+        "query_id",
+        F.col(id_col).alias("block_id"),
+        # + 0.0 folds IEEE -0.0 to +0.0 (self-distance rounds to zero)
+        (F.round(SV.sparse_cosine_distance("ie", "ve", "iq", "vq"), 6) + F.lit(0.0)).alias("distance"),
+    )
+    w = topk_per_query(scored, k, id_col="block_id")
+    return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
