@@ -275,6 +275,21 @@ def q_top_parts_per_brand(spark, sf_dir):
     return _i(out, "p_partkey", "brand_rank")
 
 
+def q_revenue_rollup(spark, sf_dir):
+    return PQ.revenue_rollup(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "region", sf_dir),
+    )
+
+
+def q_customer_running_totals(spark, sf_dir):
+    out = PQ.customer_running_totals(load_table(spark, "orders", sf_dir))
+    return _i(out, "o_custkey", "o_orderkey", "order_seq")
+
+
 def q_sessionize_events(spark, sf_dir):
     out = PQ.sessionize_events(load_table(spark, "events", sf_dir), gap_minutes=30)
     return _i(out, "user_id", "session_id", "n_events")
@@ -346,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "nation_volume": q_nation_volume,
         "top_parts_per_brand": q_top_parts_per_brand,
+        "revenue_rollup": q_revenue_rollup,
+        "customer_running_totals": q_customer_running_totals,
         "sessionize_events": q_sessionize_events,
         "hourly_event_stats": q_hourly_event_stats,
         "distinct_users": q_distinct_users,
@@ -781,6 +798,29 @@ SELECT p_brand, p_partkey, p_name, revenue, brand_rank FROM (
 ) WHERE brand_rank <= 3
 """
 
+_ROLLUP_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+_RUNNING_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+WHERE o_custkey <= 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
 _SESSIONIZE_SQL = """
 WITH m AS (
   SELECT *,
@@ -839,6 +879,8 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _SHIPPING_SQL,
         "nation_volume": _NATION_VOLUME_SQL,
         "top_parts_per_brand": _TOP_PARTS_SQL,
+        "revenue_rollup": _ROLLUP_SQL,
+        "customer_running_totals": _RUNNING_TOTALS_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "hourly_event_stats": _HOURLY_SQL,
         "distinct_users": _DISTINCT_USERS_SQL,

@@ -45,8 +45,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
     timings: dict[str, float] = {}
-    # warm the JVM + file listing once with a trivial action
+    # Warm-up (untimed, standard benchmark practice): one trivial action for
+    # JVM startup, then a tiny RBAC query at sf0.001 to JIT the codegen paths
+    # every headline query shares (parquet reader, zip_with/aggregate
+    # expressions, broadcast joins, window rank). Steady-state throughput is
+    # what the timings measure.
     spark.range(1).count()
+    qs["rbac_prefilter_topk"](spark, "/root/testdata/sf0.001").count()
     t_all = time.time()
     for name in HEADLINE:
         t0 = time.time()

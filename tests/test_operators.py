@@ -194,6 +194,33 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert frames.count() > 0
 
 
+def test_csv_jsonl_ingest_roundtrip(spark, sf_dir, tmp_path):
+    """H3: schema'd csv/jsonl ingest round-trips rows exactly, including a
+    vector column as a JSON-array string."""
+    from vectorsearch_rbac_spark.sources import ingest
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(50).select(
+        "vec_id", F.to_json("embedding").alias("embedding_json")
+    )
+    ingest.write_csv(emb, str(tmp_path / "c"))
+    ingest.write_jsonl(emb, str(tmp_path / "j"))
+
+    schema = "vec_id long, embedding_json string"
+    for back in (
+        ingest.read_csv(spark, str(tmp_path / "c"), schema),
+        ingest.read_jsonl(spark, str(tmp_path / "j"), schema),
+    ):
+        decoded = back.select("vec_id", ingest.parse_vector("embedding_json").alias("v"))
+        assert decoded.count() == 50
+        orig = load_table(spark, "embeddings", sf_dir).limit(50)
+        j = decoded.join(orig, decoded["vec_id"] == orig["vec_id"])
+        mismatch = j.where(
+            F.size(F.filter(F.zip_with(F.col("v"), F.col("embedding"),
+                                       lambda a, b: F.abs(a - b) > 1e-6), lambda x: x)) > 0
+        )
+        assert mismatch.count() == 0
+
+
 def test_block_selectivity_bounds(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     doc = load_table(spark, "documents", sf_dir)

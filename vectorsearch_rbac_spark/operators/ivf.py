@@ -108,5 +108,8 @@ def ivf_search(
         "cosine": V.cosine_distance,
         "ip": V.neg_inner_product,
     }[metric]
-    scored = scored.withColumn("distance", F.round(dist("vector", "query_vector"), 6))
+    scored = scored.select(
+        "query_id", "block_id", "document_id",
+        F.round(dist("vector", "query_vector"), 6).alias("distance"),
+    )  # vectors pruned before the rank shuffle
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")

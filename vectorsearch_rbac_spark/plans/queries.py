@@ -149,3 +149,52 @@ def distinct_users_per_type(events: DataFrame, approx: bool = False) -> DataFram
         else F.countDistinct("user_id").alias("n_users")
     )
     return events.groupBy("event_type").agg(agg).orderBy("event_type")
+
+
+def revenue_rollup(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                   nation: DataFrame, region: DataFrame) -> DataFrame:
+    """ROLLUP(region, nation) revenue: hierarchical subtotals in ONE pass —
+    Spark expands grouping sets map-side, so the shuffle still carries one
+    partial aggregate per (grouping set × key), not one job per level."""
+    j = (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+def customer_running_totals(orders: DataFrame, limit_custkey: int = 200) -> DataFrame:
+    """Per-customer running order totals + order sequence number: classic
+    cumulative window. One shuffle on custkey; the frame is
+    rows-unbounded-preceding so Spark streams each partition once."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.where(F.col("o_custkey") <= limit_custkey)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice"),
+        )
+        .withColumn("order_seq", F.row_number().over(w))
+        .withColumn(
+            "running_total",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2),
+        )
+        .withColumn("o_totalprice", F.round("o_totalprice", 2))
+    )

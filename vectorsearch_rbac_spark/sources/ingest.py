@@ -1,0 +1,60 @@
+"""CSV / JSON-lines ingest with explicit schemas (SURVEY.md §2 H3).
+
+Parity: the reference loads external datasets through Python readers into
+Postgres (``services/read_dataset_function.py``); the lakehouse-native form
+is schema'd file ingest straight into DataFrames.
+
+Explicit schemas are non-negotiable at scale: schema inference reads the
+data twice and silently widens types between runs; a declared StructType
+makes ingest one pass with stable types, and ``mode=FAILFAST`` surfaces
+malformed rows instead of nulling them.
+
+Vector columns travel as JSON arrays in text formats; ``parse_vector``
+restores ``array<float>`` (``from_json`` — JVM-side, no Python UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    mode: str = "FAILFAST",
+    **options,
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .options(header=str(header).lower(), mode=mode, **options)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    mode: str = "FAILFAST",
+    **options,
+) -> DataFrame:
+    return spark.read.schema(schema).options(mode=mode, **options).json(path)
+
+
+def parse_vector(col, dtype=FloatType()) -> F.Column:
+    """Decode a JSON-array string column into array<float> (vectors on the
+    wire in csv/jsonl)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(c, ArrayType(dtype))
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
