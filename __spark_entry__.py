@@ -153,6 +153,29 @@ def q_rbac_adaptive_topk(spark, sf_dir):
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
+def q_generated_rbac_topk(spark, sf_dir):
+    """End-to-end over SYNTHETIC RBAC (tree-based generator, seeded
+    xxhash64 → deterministic but not SQL-expressible → rows-only): generated
+    user_roles/permissions drive the same prefilter search."""
+    from vectorsearch_rbac_spark.rbac import generators
+
+    t = _rbac(spark, sf_dir)
+    n_docs = t["documents"].count()
+    g = generators.tree_rbac(spark, num_users=100, num_documents=n_docs, height=3, branching=3)
+    queries = t["queries"].withColumn("user_id", F.col("query_id") % 100 + 1)
+    qroles = (
+        queries.select("query_id", "user_id")
+        .join(g["user_roles"], "user_id")
+        .select("query_id", "role_id")
+        .distinct()
+    )
+    pa = g["permission_assignment"].withColumn(
+        "document_id", F.col("document_id") % n_docs
+    ).distinct()
+    out = knn.knn_prefilter(t["documentblocks"], queries, qroles, pa, k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
 def q_cosine_neardup(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     return _i(ann.cosine_neardup_pairs(emb, threshold=COS_NEARDUP_T), "id_a", "id_b")
@@ -347,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_topk": q_hamming_topk,
         "sparse_cosine_topk": q_sparse_cosine_topk,
         "rbac_adaptive_topk": q_rbac_adaptive_topk,
+        "generated_rbac_topk": q_generated_rbac_topk,
         "cosine_neardup": q_cosine_neardup,
         "exact_dedup": q_exact_dedup,
         "minhash_candidates": q_minhash_candidates,

@@ -77,6 +77,25 @@ def test_scan_column_pruning(spark, sf_dir):
     assert "l_comment" not in plan
 
 
+def test_partitioned_layout_prunes_partitions(t, spark, tmp_path):
+    """The 'index build' story: write blocks partitionBy(centroid_id), read
+    with a centroid filter — the scan must show partition pruning
+    (PartitionFilters), i.e. untouched lists are never opened."""
+    from vectorsearch_rbac_spark.operators import ivf
+
+    C = ivf.kmeans_fit(t["documentblocks"], nlists=4, max_iter=4)
+    indexed = ivf.assign_centroids(t["documentblocks"], C)
+    path = str(tmp_path / "ivf_store")
+    indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+    back = spark.read.parquet(path).where(F.col("centroid_id").isin([0, 1]))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
+    # pruned read returns exactly the two lists
+    expect = indexed.where(F.col("centroid_id").isin([0, 1])).count()
+    assert back.count() == expect
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") == 7).select("o_orderkey")
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -120,6 +120,7 @@ def minhash_candidates(
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing ≥ 1 LSH band bucket.
 
@@ -130,6 +131,12 @@ def minhash_candidates(
     minimal-shuffle shape; bucket sizes are bounded by LSH design (huge
     buckets mean the band scheme is mis-tuned, not that the join should
     absorb them).
+
+    ``max_bucket_size`` is the production guard at corpus scale: a bucket of
+    B docs emits B² pairs, so one degenerate bucket (boilerplate shingles)
+    can dominate the whole job. Capped buckets are DROPPED — that's the
+    industry-standard trade (those pairs are near-universal boilerplate, not
+    near-dups). Default None (no cap) keeps exact oracle parity.
     """
     sh = word_shingles(documents, id_col, text_col, n)
     sig = minhash_signatures(sh, num_hashes)
@@ -139,6 +146,8 @@ def minhash_candidates(
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
     pairs = F.expr(
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
