@@ -245,6 +245,36 @@ def q_doc_fingerprints(spark, sf_dir):
     return _i(out, "doc_id")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing: hash of scrubbed text (value-compared vs oracle) +
+    span count per doc."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = docs.select(
+        "doc_id",
+        F.md5(T.scrub_pii("text")).alias("scrubbed_hash"),
+        T.pii_count("text").cast("long").alias("n_pii"),
+    )
+    return _i(out, "doc_id")
+
+
+def q_event_value_quantiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per event_type (JVM-side
+    percentile(), no UDF)."""
+    ev = load_table(spark, "events", sf_dir)
+    q = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("_q"), F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            F.round(F.element_at("_q", 1), 6).alias("p50"),
+            F.round(F.element_at("_q", 2), 6).alias("p90"),
+            F.round(F.element_at("_q", 3), 6).alias("p99"),
+            "n_events",
+        )
+    )
+
+
 def q_vector_ops(spark, sf_dir):
     from vectorsearch_rbac_spark.functions import vector as V
 
@@ -379,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "multimodal_features": q_multimodal_features,
         "text_stats": q_text_stats,
+        "pii_scrub": q_pii_scrub,
+        "event_value_quantiles": q_event_value_quantiles,
         "doc_fingerprints": q_doc_fingerprints,
         "vector_ops": q_vector_ops,
         "pricing_summary": q_pricing_summary,
@@ -765,6 +797,32 @@ SELECT id_a, id_b,
 FROM q
 """
 
+def _pii_sql() -> str:
+    """Generate the DuckDB scrub from the same PII_PATTERNS list (RE2-safe
+    patterns; DuckDB needs the 'g' flag Spark applies implicitly)."""
+    expr = "text"
+    counts = []
+    for pat, repl in T.PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({expr}, '{lit}'))")
+        expr = f"regexp_replace({expr}, '{lit}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, md5({expr}) AS scrubbed_hash, "
+        f"CAST({' + '.join(counts)} AS BIGINT) AS n_pii FROM documents"
+    )
+
+
+_PII_SQL = _pii_sql()
+
+_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
   ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -897,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _CLUSTERS_SQL,
         # multimodal_features: binary decode plumbing → rows-only check
         "text_stats": _TEXT_STATS_SQL,
+        "pii_scrub": _PII_SQL,
+        "event_value_quantiles": _QUANTILES_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "vector_ops": _VECTOR_OPS_SQL,
         "pricing_summary": _PRICING_SQL,

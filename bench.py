@@ -26,13 +26,17 @@ HEADLINE = [
     "rbac_dynamic_topk",
     "rbac_topk_fast",
     "cosine_topk",
+    "hamming_topk",
+    "sparse_cosine_topk",
     "cosine_neardup",
     "minhash_candidates",
     "neardup_clusters",
     "ngram_jaccard",
     "simhash_pairs",
     "text_stats",
+    "pii_scrub",
     "pricing_summary",
+    "revenue_rollup",
     "shipping_priority",
     "nation_volume",
     "sessionize_events",

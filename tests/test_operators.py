@@ -35,6 +35,19 @@ def test_minhash_finds_planted_neardups(docs):
     assert len(true_pairs - cand) <= max(1, len(true_pairs) // 10)
 
 
+def test_scrub_pii_replaces_spans(spark):
+    from vectorsearch_rbac_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@site.org or call +1 555-123-4567 from 10.0.0.1 card 4111111111111111")],
+        "doc_id long, text string",
+    )
+    out = df.select(T.scrub_pii("text").alias("s"), T.pii_count("text").alias("n")).first()
+    assert "<EMAIL>" in out["s"] and "<IP>" in out["s"] and "<PHONE>" in out["s"] and "<CARDNUM>" in out["s"]
+    assert "@" not in out["s"] and "4111111111111111" not in out["s"]
+    assert out["n"] == 4
+
+
 def test_neardup_clusters_transitive(spark):
     """a~b and b~c (but a≁c directly) must land in one cluster; isolated
     docs are singletons keyed by themselves."""

@@ -115,3 +115,47 @@ def shingle_fingerprint(col, n: int = 5) -> Column:
     t = tokens(col)
     sampled = F.filter(t, lambda x, i: i % n == 0)
     return F.md5(F.array_join(sampled, " "))
+
+
+# PII patterns kept to RE2-compatible syntax (no backrefs/lookaround) so the
+# identical pattern strings run in Spark (Java regex) and DuckDB (RE2).
+PII_PATTERNS = [
+    # order matters: email first (digits in local-parts), card before phone
+    # (a 16-digit PAN would otherwise match the phone pattern), and no \b
+    # before \+ (word boundaries don't exist between two non-word chars)
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<CARDNUM>"),
+    (r"\+?\d[\d -]{7,14}\d\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col) -> Column:
+    """Replace emails / IPs / phone-ish numbers / long digit runs with typed
+    placeholder tokens — the standard pre-training privacy scrub, as a pure
+    chain of regexp_replace (codegen'd; order matters: email before phone so
+    digits in local-parts don't half-match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_count(col) -> Column:
+    """How many PII spans the scrub would replace (curation metric)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        total = total + F.regexp_count(scrubbed_up_to(c, pat), F.lit(pat))
+    return total
+
+
+def scrubbed_up_to(c: Column, pat: str) -> Column:
+    """Apply all scrubs that precede ``pat`` in PII_PATTERNS (so counts
+    don't double-tally overlapping matches, mirroring scrub order)."""
+    out = c
+    for p, repl in PII_PATTERNS:
+        if p == pat:
+            break
+        out = F.regexp_replace(out, p, repl)
+    return out
