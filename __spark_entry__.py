@@ -220,6 +220,24 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media, feat_dim=8)
 
 
+def q_curated_corpus(spark, sf_dir):
+    """Flagship training-data curation pipeline, end-to-end in one plan:
+    quality-score filter → MinHash near-dup clustering over survivors →
+    keep one canonical doc per cluster. Output = the curated corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = docs.select(
+        "doc_id",
+        "text",
+        T.quality_score("text").alias("quality"),
+        T.token_count("text").cast("long").alias("n_tokens"),
+    ).where(F.col("quality") >= 0.5)
+    pairs = dedup.minhash_candidates(kept, n=3, num_hashes=16, band_size=4)
+    clusters = dedup.neardup_clusters(kept.select("doc_id"), pairs)
+    canon = dedup.canonical_docs(clusters)
+    out = kept.join(canon.select("doc_id"), "doc_id").select("doc_id", "quality", "n_tokens")
+    return _i(out, "doc_id")
+
+
 def q_text_stats(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = docs.select(
@@ -407,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "neardup_clusters": q_neardup_clusters,
+        "curated_corpus": q_curated_corpus,
         "multimodal_features": q_multimodal_features,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
@@ -636,6 +655,36 @@ reach(node, lab) AS (
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node
 """
+
+# curated corpus: quality gate (same formula as text_stats) → minhash bands
+# over survivors → CC clustering → canonical (min-id) doc per cluster
+_CURATED_SQL = (
+    "WITH RECURSIVE kept AS (\n"
+    "  SELECT doc_id, n_tokens, quality FROM (" + _TEXT_STATS_SQL + ") WHERE quality >= 0.5\n"
+    "),\n"
+    "keptdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id))\n"
+    + _MINHASH_BANDS_CTE.replace("\nWITH t AS", ", t AS").replace("FROM documents", "FROM keptdocs")
+    + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id, k.quality, k.n_tokens
+FROM kept k JOIN cl USING (doc_id)
+WHERE cl.cluster_id = k.doc_id
+"""
+)
 
 _JACCARD_SQL = _SHINGLES_CTE + """
 , sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -953,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "neardup_clusters": _CLUSTERS_SQL,
+        "curated_corpus": _CURATED_SQL,
         # multimodal_features: binary decode plumbing → rows-only check
         "text_stats": _TEXT_STATS_SQL,
         "pii_scrub": _PII_SQL,

@@ -82,26 +82,36 @@ def word_shingles(documents: DataFrame, id_col: str = "doc_id", text_col: str = 
 MINHASH_P = 2147483647  # Mersenne prime 2^31-1: products stay in int64
 
 
+def _hv(h: int, s) -> F.Column:
+    """Universal hash family member h applied to base hash column s:
+    ((h+1)·2654435761 mod p) · s + (h·40503+17 mod p), mod p. Pure
+    arithmetic → the DuckDB oracle reproduces identical values."""
+    a_h = (h + 1) * 2654435761 % MINHASH_P
+    b_h = (h * 40503 + 17) % MINHASH_P
+    return (F.lit(a_h) * s + F.lit(b_h)) % MINHASH_P
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(doc_id, h, minhash): min over shingles of a universal hash family
-    ``(a_h * s + b_h) mod p`` seeded by ONE md5 per shingle (s).
+    seeded by ONE md5 per shingle.
 
-    One md5 per shingle instead of one per (shingle, hash) — H× less
-    hashing; the h-index explode is a bounded ×H blowup feeding a
-    map-side-combinable min aggregate, so the shuffle carries H rows per
-    doc. The (a_h, b_h) constants are pure arithmetic → the DuckDB oracle
-    reproduces identical signatures.
+    Shape matters at corpus scale: instead of exploding ×H rows per shingle
+    and shuffling (doc, h) pairs, the H hash values are H *columns* of one
+    row and the signature is ONE groupBy(doc_id) with H min() aggregates —
+    map-side partial combine reduces every scan partition to one H-wide row
+    per doc before the (single) shuffle. The long format this returns is
+    unpivoted from the wide aggregate with zero extra shuffles.
     """
     base = shingles.select("doc_id", (md5_long(F.col("shingle")) % MINHASH_P).alias("s"))
-    h = F.col("h")
-    a_h = (h + 1) * F.lit(2654435761) % MINHASH_P
-    b_h = (h * 40503 + 17) % MINHASH_P
-    hs = base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        F.col("s"),
-    ).withColumn("hv", (a_h * F.col("s") + b_h) % MINHASH_P)
-    return hs.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+    wide = base.groupBy("doc_id").agg(
+        *[F.min(_hv(h, F.col("s"))).alias(f"mh{h}") for h in range(num_hashes)]
+    )
+    pairs = F.array(*[
+        F.struct(F.lit(h).alias("h"), F.col(f"mh{h}").alias("minhash")) for h in range(num_hashes)
+    ])
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.h").alias("h"), F.col("p.minhash").alias("minhash")
+    )
 
 
 def lsh_band_buckets(signatures: DataFrame, band_size: int = 4) -> DataFrame:
