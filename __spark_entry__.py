@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from vectorsearch_rbac_spark.sources import load_table
 from vectorsearch_rbac_spark.rbac import derive
-from vectorsearch_rbac_spark.operators import knn, ann, dedup, dynamic, ivf, partitioning
+from vectorsearch_rbac_spark.operators import knn, ann, curation, dedup, dynamic, ivf, partitioning
 from vectorsearch_rbac_spark.functions import text as T
 from vectorsearch_rbac_spark.plans import queries as PQ
 
@@ -253,6 +253,34 @@ def q_text_stats(spark, sf_dir):
     return _i(out, "doc_id")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-rank stratified sample: ≤40 docs per
+    (lang, source) stratum (corpus-mix balancing, E16)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(curation.stratified_sample(docs, cap=40), "doc_id")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 512-token windows within
+    (lang, id-range) groups (E17)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return curation.pack_sequences(docs, window_tokens=512, range_size=128)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (E18)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(curation.tfidf_top_terms(docs, top_n=3), "doc_id")
+
+
+def q_int8_topk(spark, sf_dir):
+    """Int8-quantized brute-force top-k: integer dot products → bit-exact
+    oracle (E19)."""
+    t = _rbac(spark, sf_dir)
+    out = curation.int8_topk(t["embeddings"], t["queries"], k=TOPK)
+    return _i(out, "query_id", "vec_id")
+
+
 def q_doc_fingerprints(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = docs.select(
@@ -427,6 +455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "curated_corpus": q_curated_corpus,
         "multimodal_features": q_multimodal_features,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "int8_topk": q_int8_topk,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "event_value_quantiles": q_event_value_quantiles,
@@ -685,6 +717,82 @@ FROM kept k JOIN cl USING (doc_id)
 WHERE cl.cluster_id = k.doc_id
 """
 )
+
+# E16: hash-rank sample, ≤40 per (lang, source); hash = md5_long(doc_id str)
+_STRATIFIED_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY {_MD5L.format(x="CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 40
+"""
+
+# E17: concat-and-chunk packing, 512-token windows in (lang, doc_id//128)
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(FLOOR(doc_id / 128) AS BIGINT) AS rng,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (
+    PARTITION BY lang, rng ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT lang, rng, CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS pack_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY lang, rng, pack_seq
+"""
+
+# E18: tf = in-doc count, idf = ln((N+1)/(df+1)), top-3/doc, ties by term
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+ft AS (
+  SELECT doc_id, term FROM toks
+  WHERE length(term) >= 3 AND NOT list_contains({_STOP}, term)
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM ft GROUP BY doc_id, term),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, ROUND(tf.tf * ln((n.n_docs + 1) / (dfx.df + 1)), 6) AS tfidf
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf, CAST(term_rank AS BIGINT) AS term_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+  FROM scored
+) WHERE term_rank <= 3
+"""
+
+# E19: int8 quantize both sides (same op order as Spark: (x*127.0)/m),
+# integer dot product — exact in double — top-10 by (-dot, vec_id)
+_INT8_TOPK_SQL = """
+WITH eq AS (
+  SELECT vec_id, embedding::DOUBLE[] AS d,
+         GREATEST(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))), 1e-30) AS m
+  FROM embeddings
+),
+qz AS (SELECT vec_id, list_transform(d, x -> round(x * 127.0 / m)) AS qv FROM eq),
+qs AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id, CAST(list_dot_product(e.qv, q.qq) AS BIGINT) AS dot
+  FROM qz e CROSS JOIN qs q
+)
+SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
 
 _JACCARD_SQL = _SHINGLES_CTE + """
 , sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -1004,6 +1112,10 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _CLUSTERS_SQL,
         "curated_corpus": _CURATED_SQL,
         # multimodal_features: binary decode plumbing → rows-only check
+        "stratified_sample": _STRATIFIED_SQL,
+        "pack_sequences": _PACK_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
+        "int8_topk": _INT8_TOPK_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "pii_scrub": _PII_SQL,
         "event_value_quantiles": _QUANTILES_SQL,

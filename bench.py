@@ -35,6 +35,9 @@ HEADLINE = [
     "simhash_pairs",
     "text_stats",
     "pii_scrub",
+    "tfidf_top_terms",
+    "int8_topk",
+    "curated_corpus",
     "pricing_summary",
     "revenue_rollup",
     "shipping_priority",

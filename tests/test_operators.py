@@ -242,3 +242,75 @@ def test_block_selectivity_bounds(spark, sf_dir):
     sel = derive.block_selectivity(t["user_roles"], t["permission_assignment"], t["documentblocks"])
     mx = sel.agg(F.max("selectivity"), F.min("selectivity")).first()
     assert 0.0 < mx[1] and mx[0] <= 1.0
+
+
+# ---------------------------------------------------------------- curation
+
+def test_stratified_sample_caps_and_is_deterministic(spark):
+    from vectorsearch_rbac_spark.operators import curation
+
+    rows = [(i, "en" if i % 2 else "de", f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    s1 = curation.stratified_sample(df, cap=4).collect()
+    s2 = curation.stratified_sample(df, cap=4).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    from collections import Counter
+    per = Counter((r["lang"], r["source"]) for r in s1)
+    assert all(v <= 4 for v in per.values())
+    assert len(per) == 6 and all(v == 4 for v in per.values())  # 10 per stratum → all capped
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark):
+    from vectorsearch_rbac_spark.operators import curation
+    from vectorsearch_rbac_spark.functions import text as T
+
+    rows = [(i, "en", "w " * (50 * (1 + i % 4))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    packs = curation.pack_sequences(df, window_tokens=100, range_size=16).collect()
+    total_tokens = df.select(F.sum(T.token_count("text"))).first()[0]
+    assert sum(p["pack_tokens"] for p in packs) == total_tokens
+    assert sum(p["n_docs"] for p in packs) == 40
+    # a doc starting at offset c lands in pack floor(c/100): seqs start at 0 per range
+    assert min(p["pack_seq"] for p in packs) == 0
+
+
+def test_tfidf_surfaces_distinctive_terms(spark):
+    from vectorsearch_rbac_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "the zebra zebra gallops across the savanna"),
+            (2, "the stock market closed higher today"),
+            (3, "the stock market opened lower today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curation.tfidf_top_terms(df, top_n=2).collect()
+    top1 = {r["doc_id"]: r["term"] for r in out if r["term_rank"] == 1}
+    assert top1[1] == "zebra"  # tf=2 and unique to doc 1
+    assert all(r["term"] != "the" for r in out)  # stopwords excluded
+
+
+def test_int8_topk_matches_numpy(spark):
+    import numpy as np
+    from vectorsearch_rbac_spark.operators import curation
+
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((30, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    qs = spark.createDataFrame(
+        [(0, [float(x) for x in M[0]])], "query_id long, query_vector array<float>"
+    )
+    got = curation.int8_topk(emb, qs, k=5).collect()
+
+    Q = np.round(M.astype(np.float64) * 127.0 / np.abs(M.astype(np.float64)).max(axis=1, keepdims=True))
+    # numpy round is half-even vs Spark half-up; regenerate with same rule
+    D = M.astype(np.float64) * 127.0 / np.abs(M.astype(np.float64)).max(axis=1, keepdims=True)
+    Q = np.floor(np.abs(D) + 0.5) * np.sign(D)
+    dots = (Q @ Q[0]).astype(np.int64)
+    order = sorted(range(30), key=lambda i: (-dots[i], i))[:5]
+    assert [(r["vec_id"], r["dot"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (i, int(dots[i])) for i in order
+    ]

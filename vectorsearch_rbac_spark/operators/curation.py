@@ -1,0 +1,178 @@
+"""Corpus-curation operators for large-scale training-data pipelines
+(SURVEY.md §2 E16-E19): stratified sampling, sequence packing, TF-IDF
+term extraction, and int8-quantized similarity search.
+
+All four are pure DataFrame plans (codegen'd, no Python UDFs) with exact
+DuckDB-oracle formulations. Determinism follows the SURVEY.md §4 contract:
+hashes via ``md5_long``, floats rounded to 6 dp, ties broken by id/term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.vector import md5_long
+
+
+def stratified_sample(
+    documents: DataFrame,
+    cap: int,
+    strata: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum cap sample: rank each stratum's docs by a
+    uniform hash of their id, keep the first ``cap``.
+
+    This is the corpus-balancing step of a pre-training mix (cap the
+    over-represented language/source cells). Hash-rank = a reproducible
+    uniform draw — same sample on any cluster layout, and the oracle
+    reproduces it exactly.
+
+    Scale: one shuffle on the strata key; the rank window is a per-stratum
+    top-``cap``, which Spark evaluates with a partial sort (WindowGroupLimit
+    pushes ``rank <= cap`` below the sort at scan time in Spark 3.5+/4.x, so
+    a 100 TB stratum never fully sorts — each map task keeps ``cap`` rows).
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        md5_long(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        documents.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= cap)
+        .select(id_col, *strata, F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    window_tokens: int = 512,
+    range_size: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: concatenate docs in id order and
+    cut every ``window_tokens`` tokens; report per-pack document count,
+    token total, and first doc.
+
+    A doc starting at cumulative offset c belongs to pack floor(c /
+    window_tokens) — the standard "pack short documents into fixed context
+    windows" step before LLM training.
+
+    Scale: packing is a running sum, which is inherently sequential — so the
+    corpus is first split into independent ``(lang, doc_id DIV
+    range_size)`` ranges and packed within each. Ranges are deterministic
+    (oracle-identical) AND embarrassingly parallel: the window sort touches
+    at most ``range_size`` rows per group, never a global sort.
+    """
+    d = documents.select(
+        id_col,
+        "lang",
+        F.floor(F.col(id_col) / range_size).cast("long").alias("rng"),
+        T.token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "rng")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "pack_seq",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / window_tokens).cast("long"),
+    )
+    return (
+        packed.groupBy("lang", "rng", "pack_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min(id_col).alias("first_doc"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    top_n: int = 3,
+    min_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document: tf = in-doc term count,
+    idf = ln((N+1)/(df+1)), score rounded to 6 dp, ties by term asc.
+
+    Stopwords and terms shorter than ``min_len`` are excluded. The corpus
+    size N is a 1-row aggregate cross-joined in (broadcast — no collect());
+    df is a term-level aggregate joined back on the term key.
+
+    Scale: two shuffles (tf on (doc, term), df on term) + one broadcast;
+    the per-doc top-n window rides the tf shuffle's partitioning. Skewed
+    head terms only skew df — a count-only agg with map-side combine.
+    """
+    sw = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    toks = documents.select(
+        id_col, F.explode(T.tokens(text_col)).alias("term")
+    ).where((F.length("term") >= min_len) & ~F.array_contains(sw, F.col("term")))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = documents.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n), how="cross")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= top_n)
+        .select(id_col, "term", "tfidf", "term_rank")
+    )
+
+
+def int8_quantize(vec, scale: float = 127.0) -> F.Column:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i · 127 /
+    max|x|) as an array<long> (values in [-127, 127]).
+
+    All arithmetic is forced to double and kept in source order
+    ``(x * 127.0) / m`` so the DuckDB oracle computes bit-identical values;
+    round() ties go away-from-zero on both engines.
+    """
+    c = F.col(vec) if isinstance(vec, str) else vec
+    d = F.transform(c, lambda x: x.cast("double"))
+    m = F.greatest(F.array_max(F.transform(d, lambda x: F.abs(x))), F.lit(1e-30))
+    return F.transform(d, lambda x: F.round(x * F.lit(scale) / m, 0).cast("long"))
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized brute-force top-k: both sides int8-quantized, similarity =
+    integer dot product, top-k by (-dot, id). The quantized-search scale
+    path — int8 arithmetic is exact in both engines (no float-sum ordering
+    sensitivity), so this operator has a bit-exact oracle, and at 100 TB the
+    scan reads 4× fewer bytes than float32 with SIMD-friendly math.
+    """
+    e = embeddings.select(id_col, int8_quantize(vec_col).alias("qe"))
+    q = queries.select("query_id", int8_quantize("query_vector").alias("qq"))
+    scored = e.join(F.broadcast(q), how="cross").select(
+        "query_id",
+        F.col(id_col).alias("block_id"),
+        F.aggregate(
+            F.zip_with("qe", "qq", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("block_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("block_id").alias(id_col), "dot", "rank")
+    )
