@@ -231,6 +231,10 @@ def q_curated_corpus(spark, sf_dir):
         T.quality_score("text").alias("quality"),
         T.token_count("text").cast("long").alias("n_tokens"),
     ).where(F.col("quality") >= 0.5)
+    # the survivor set feeds three consumers (minhash pairs, the cluster
+    # node list, and the final canonical join) — materialize it once
+    # instead of re-running the quality scan per consumer
+    kept = kept.localCheckpoint(eager=False)
     pairs = dedup.minhash_candidates(kept, n=3, num_hashes=16, band_size=4)
     clusters = dedup.neardup_clusters(kept.select("doc_id"), pairs)
     canon = dedup.canonical_docs(clusters)

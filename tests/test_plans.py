@@ -100,3 +100,55 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") == 7).select("o_orderkey")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_custkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_stratified_sample_rank_limit_pushdown(spark, sf_dir):
+    """The per-stratum cap must evaluate as a WindowGroupLimit (map-side
+    top-cap), never a full per-stratum sort at 100 TB."""
+    from vectorsearch_rbac_spark.operators import curation
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = curation.stratified_sample(docs, cap=40)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Window on (lang, rng) and the pack aggregate on (lang, rng, pack_seq)
+    must share ONE exchange — hash on the window keys already co-locates
+    every pack group."""
+    from vectorsearch_rbac_spark.operators import curation
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = curation.pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_int8_topk_no_vectors_cross_rank_shuffle(spark, sf_dir):
+    """Quantized arrays must be reduced to a scalar dot BEFORE the rank
+    exchange; queries broadcast (no shuffle of the embeddings side pre-score)."""
+    from vectorsearch_rbac_spark.operators import curation
+    from vectorsearch_rbac_spark.rbac import derive
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = derive.derive_queries(emb, 100)
+    df = curation.int8_topk(emb, qs, k=10)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    ex = p.find("Exchange hashpartitioning(query_id")
+    assert ex != -1
+    import re
+    assert re.search(
+        r"Project \[query_id#\d+L?, vec_id#\d+L? AS block_id#\d+L?, aggregate\(zip_with", p[ex:]
+    ), "rank exchange input must be (ids, scalar dot) — arrays reduced pre-shuffle"
+
+
+def test_tfidf_corpus_count_broadcast(spark, sf_dir):
+    """N (corpus size) joins in as a broadcast single-row relation — the
+    tf-by-term stream must never shuffle for it."""
+    from vectorsearch_rbac_spark.operators import curation
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = curation.tfidf_top_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p
+    assert "WindowGroupLimit" in p
