@@ -141,8 +141,9 @@ def q_sparse_cosine_topk(spark, sf_dir):
 
 
 def q_rbac_adaptive_topk(spark, sf_dir):
-    """ACORN-style adaptive routing (rows-only: the postfilter branch is
-    approximate by design, so no exact SQL oracle)."""
+    """ACORN-style adaptive routing, exact-oracled: the oracle reproduces
+    both the per-query strategy choice (rounded selectivity threshold) and
+    each branch's exact semantics (postfilter = top-40 expand → filter)."""
     from vectorsearch_rbac_spark.plans.strategy import adaptive_knn
 
     t = _rbac(spark, sf_dir)
@@ -597,6 +598,72 @@ ab AS (
 SELECT user_id, CAST(c AS BIGINT) AS accessible_blocks,
        ROUND(c / (SELECT COUNT(*) FROM blocks), 6) AS selectivity
 FROM ab
+"""
+
+# D5 adaptive routing, exact: reproduce the per-query strategy choice
+# (rounded selectivity >= 0.5 → postfilter, else prefilter) and each
+# branch's exact semantics (postfilter = global top-40 → permission filter)
+_ADAPTIVE_SQL = _RBAC_CTE + """
+, uroles AS (
+  SELECT c_custkey AS user_id, c_custkey % 10 AS role_id FROM customer
+  UNION
+  SELECT c_custkey AS user_id, (c_custkey * 7 + 3) % 10 AS role_id FROM customer
+),
+acc AS (
+  SELECT DISTINCT u.user_id, p.document_id
+  FROM uroles u JOIN perm p USING (role_id)
+),
+sel AS (
+  SELECT user_id, ROUND(COUNT(*) / (SELECT COUNT(*) FROM blocks), 6) AS selectivity
+  FROM acc JOIN blocks USING (document_id)
+  GROUP BY user_id
+),
+route AS (
+  SELECT q.query_id,
+         CASE WHEN COALESCE(s.selectivity, 0.0) >= 0.5 THEN 'postfilter'
+              ELSE 'prefilter' END AS strategy
+  FROM qs q LEFT JOIN sel s USING (user_id)
+),
+scored_pre AS (
+  SELECT d.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM qdocs d
+  JOIN blocks b USING (document_id)
+  JOIN qs q ON q.query_id = d.query_id
+  WHERE d.query_id IN (SELECT query_id FROM route WHERE strategy = 'prefilter')
+),
+pre AS (
+  SELECT query_id, block_id, document_id, distance, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+    FROM scored_pre
+  ) WHERE rank <= 10
+),
+scored_post AS (
+  SELECT q.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM blocks b CROSS JOIN qs q
+  WHERE q.query_id IN (SELECT query_id FROM route WHERE strategy = 'postfilter')
+),
+g AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS grank
+    FROM scored_post
+  ) WHERE grank <= 40
+),
+filtered AS (
+  SELECT g.query_id, g.block_id, g.document_id, g.distance
+  FROM g JOIN qdocs d ON d.query_id = g.query_id AND d.document_id = g.document_id
+),
+post AS (
+  SELECT query_id, block_id, document_id, distance, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+    FROM filtered
+  ) WHERE rank <= 10
+)
+SELECT u.query_id, u.block_id, u.document_id, u.distance,
+       CAST(u.rank AS INT) AS rank, r.strategy
+FROM (SELECT * FROM pre UNION ALL SELECT * FROM post) u
+JOIN route r USING (query_id)
 """
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1107,7 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         "hamming_topk": _HAMMING_TOPK_SQL,
         "sparse_cosine_topk": _SPARSE_COSINE_SQL,
-        # rbac_adaptive_topk: postfilter branch approximate → rows-only
+        "rbac_adaptive_topk": _ADAPTIVE_SQL,
         "cosine_neardup": _COSINE_NEARDUP_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_candidates": _MINHASH_SQL,
