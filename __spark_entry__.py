@@ -286,6 +286,20 @@ def q_int8_topk(spark, sf_dir):
     return _i(out, "query_id", "vec_id")
 
 
+def q_remove_boilerplate(spark, sf_dir):
+    """C4-style chunk-level boilerplate removal (E21): chunks shared by ≥20
+    docs are dropped, survivors reassembled in order and hashed."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(curation.remove_boilerplate(docs, chunk_tokens=2, min_docs=20), "doc_id")
+
+
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→8 random projection (E22), literal-matrix
+    oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return _i(curation.random_projection(emb, out_dim=8), "vec_id")
+
+
 def q_doc_fingerprints(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = docs.select(
@@ -464,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "tfidf_top_terms": q_tfidf_top_terms,
         "int8_topk": q_int8_topk,
+        "remove_boilerplate": q_remove_boilerplate,
+        "random_projection": q_random_projection,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "event_value_quantiles": q_event_value_quantiles,
@@ -788,6 +804,30 @@ FROM kept k JOIN cl USING (doc_id)
 WHERE cl.cluster_id = k.doc_id
 """
 )
+
+# E21: aligned 2-token chunks; drop chunks in ≥20 distinct docs; reassemble
+_BOILERPLATE_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ch AS (
+  SELECT doc_id, pos, array_to_string(list_slice(toks, pos*2+1, pos*2+2), ' ') AS chunk
+  FROM (
+    SELECT doc_id, toks, unnest(range(CAST(ceil(len(toks)/2.0) AS BIGINT))) AS pos FROM t
+  )
+),
+bp AS (
+  SELECT chunk FROM (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+  WHERE nd >= 20
+),
+m AS (
+  SELECT ch.doc_id, ch.pos, ch.chunk, (bp.chunk IS NOT NULL) AS is_bp
+  FROM ch LEFT JOIN bp USING (chunk)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  md5(COALESCE(string_agg(CASE WHEN NOT is_bp THEN chunk END, ' ' ORDER BY pos), '')) AS cleaned_hash,
+  CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM m GROUP BY doc_id
+"""
 
 # E16: hash-rank sample, ≤40 per (lang, source); hash = md5_long(doc_id str)
 _STRATIFIED_SQL = f"""
@@ -1183,6 +1223,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _CLUSTERS_SQL,
         "curated_corpus": _CURATED_SQL,
         # multimodal_features: binary decode plumbing → rows-only check
+        "remove_boilerplate": _BOILERPLATE_SQL,
+        "random_projection": curation.random_projection_oracle_sql(out_dim=8, seed=42, dim=64),
         "stratified_sample": _STRATIFIED_SQL,
         "pack_sequences": _PACK_SQL,
         "tfidf_top_terms": _TFIDF_SQL,

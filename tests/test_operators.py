@@ -314,3 +314,35 @@ def test_int8_topk_matches_numpy(spark):
     assert [(r["vec_id"], r["dot"]) for r in sorted(got, key=lambda r: r["rank"])] == [
         (i, int(dots[i])) for i in order
     ]
+
+
+def test_remove_boilerplate_drops_planted_chunks(spark):
+    import hashlib
+    from vectorsearch_rbac_spark.operators import curation
+
+    # 10 docs share the aligned chunk "click here"; unique tails survive
+    rows = [(i, f"click here unique{i} tail{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.remove_boilerplate(df, chunk_tokens=2, min_docs=5).collect()}
+    for i in range(10):
+        assert out[i]["n_removed"] == 1 and out[i]["n_chunks"] == 2
+        expect = hashlib.md5(f"unique{i} tail{i}".encode()).hexdigest()
+        assert out[i]["cleaned_hash"] == expect
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+    from vectorsearch_rbac_spark.operators import curation
+    from vectorsearch_rbac_spark.operators.ann import hyperplanes
+
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((5, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r for r in curation.random_projection(emb, out_dim=4, seed=9).collect()}
+    R = hyperplanes(16, 4, 9)
+    for i in range(5):
+        exp = M[i].astype(np.float64) @ R.T
+        for j in range(4):
+            assert abs(got[i][f"r{j}"] - round(exp[j], 6)) < 2e-6

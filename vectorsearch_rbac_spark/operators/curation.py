@@ -132,6 +132,95 @@ def tfidf_top_terms(
     )
 
 
+def remove_boilerplate(
+    documents: DataFrame,
+    chunk_tokens: int = 2,
+    min_docs: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate removal at token-chunk granularity: split each
+    doc into aligned ``chunk_tokens``-token chunks, drop every chunk whose
+    exact text occurs in ≥ ``min_docs`` distinct documents, reassemble the
+    survivors in order. Returns (doc_id, cleaned_hash, n_removed, n_chunks).
+
+    The corpus-frequency side (chunk → distinct-doc count) is the C4 "line
+    appears in multiple documents" rule; emitting an md5 of the reassembled
+    text keeps the compare payload fixed-width.
+
+    Scale: one explode (bounded ×n_chunks), one count-distinct agg on the
+    chunk key (map-side partial), the boilerplate set re-joined as a
+    broadcast (it's tiny by construction — only chunks crossing the
+    min_docs bar), and one groupBy(doc) to reassemble. Order is restored
+    with a struct array_sort, not a sort of the whole relation.
+    """
+    t = documents.select(id_col, T.tokens(text_col).alias("toks"))
+    n_chunks = (F.ceil(F.size("toks") / F.lit(float(chunk_tokens))) - 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.array_join(F.slice("toks", i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    ch = t.select(id_col, F.posexplode(chunks).alias("pos", "chunk"))
+    bp = (
+        ch.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("chunk", F.lit(True).alias("is_bp"))
+    )
+    marked = ch.join(F.broadcast(bp), "chunk", "left")
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("is_bp").isNull(), F.struct("pos", "chunk")))
+    )
+    return marked.groupBy(id_col).agg(
+        F.md5(F.array_join(F.transform(kept, lambda x: x["chunk"]), " ")).alias("cleaned_hash"),
+        F.sum(F.when(F.col("is_bp").isNotNull(), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.count("*").cast("long").alias("n_chunks"),
+    )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: y_j = <x, R_j> for a fixed
+    seeded Gaussian matrix R, one output column per target dim (rounded to
+    6 dp). The dimensionality-reduction step before cheap ANN prefiltering.
+
+    The matrix rides the plan as literals (broadcast-free, codegen'd); the
+    sequential-fold dot product matches DuckDB's list_dot_product order so
+    the oracle is exact.
+    """
+    from ..functions import vector as V
+    from .ann import hyperplanes
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    R = hyperplanes(dim, out_dim, seed)
+    cols = [
+        (F.round(V.inner_product(F.col(vec_col), F.array(*[F.lit(float(v)) for v in R[j]])), 6)
+         + F.lit(0.0)).alias(f"r{j}")
+        for j in range(out_dim)
+    ]
+    return embeddings.select(id_col, *cols)
+
+
+def random_projection_oracle_sql(out_dim: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB oracle for ``random_projection``: the same seeded matrix as
+    double literals, one list_dot_product per output dim."""
+    from .ann import hyperplanes
+
+    R = hyperplanes(dim, out_dim, seed)
+    cols = ",\n  ".join(
+        "ROUND(list_dot_product(embedding::DOUBLE[], [" +
+        ", ".join(repr(float(v)) for v in R[j]) +
+        f"]::DOUBLE[]), 6) + 0.0 AS r{j}"
+        for j in range(out_dim)
+    )
+    return f"SELECT CAST(vec_id AS BIGINT) AS vec_id,\n  {cols}\nFROM embeddings"
+
+
 def int8_quantize(vec, scale: float = 127.0) -> F.Column:
     """Symmetric per-vector int8 quantization: q_i = round(x_i · 127 /
     max|x|) as an array<long> (values in [-127, 127]).
