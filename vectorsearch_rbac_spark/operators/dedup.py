@@ -91,6 +91,36 @@ def _hv(h: int, s) -> F.Column:
     return (F.lit(a_h) * s + F.lit(b_h)) % MINHASH_P
 
 
+def minhash_signatures_wide(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, mh0..mh{H-1}): the H-wide signature row — ONE groupBy with H
+    min() aggregates, map-side combined to a single row per doc before the
+    only shuffle. The wide form is the scale-preferred representation: band
+    signatures derive from it without any further shuffle."""
+    base = shingles.select("doc_id", (md5_long(F.col("shingle")) % MINHASH_P).alias("s"))
+    return base.groupBy("doc_id").agg(
+        *[F.min(_hv(h, F.col("s"))).alias(f"mh{h}") for h in range(num_hashes)]
+    )
+
+
+def lsh_bands_wide(wide: DataFrame, num_hashes: int = 16, band_size: int = 4) -> DataFrame:
+    """(doc_id, band, band_sig) computed purely column-wise from the wide
+    signature row — md5-fold of each band's minhashes in h-order, identical
+    values to ``lsh_band_buckets`` but with zero additional shuffles."""
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            md5_long(
+                F.concat_ws(",", *[F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)])
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ])
+    return wide.select("doc_id", F.explode(bands).alias("p")).select(
+        "doc_id", F.col("p.band").alias("band"), F.col("p.band_sig").alias("band_sig")
+    )
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(doc_id, h, minhash): min over shingles of a universal hash family
     seeded by ONE md5 per shingle.
@@ -102,10 +132,7 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     per doc before the (single) shuffle. The long format this returns is
     unpivoted from the wide aggregate with zero extra shuffles.
     """
-    base = shingles.select("doc_id", (md5_long(F.col("shingle")) % MINHASH_P).alias("s"))
-    wide = base.groupBy("doc_id").agg(
-        *[F.min(_hv(h, F.col("s"))).alias(f"mh{h}") for h in range(num_hashes)]
-    )
+    wide = minhash_signatures_wide(shingles, num_hashes)
     pairs = F.array(*[
         F.struct(F.lit(h).alias("h"), F.col(f"mh{h}").alias("minhash")) for h in range(num_hashes)
     ])
@@ -149,8 +176,7 @@ def minhash_candidates(
     near-dups). Default None (no cap) keeps exact oracle parity.
     """
     sh = word_shingles(documents, id_col, text_col, n)
-    sig = minhash_signatures(sh, num_hashes)
-    bk = lsh_band_buckets(sig, band_size)
+    bk = lsh_bands_wide(minhash_signatures_wide(sh, num_hashes), num_hashes, band_size)
     buckets = (
         bk.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
