@@ -355,6 +355,14 @@ def neardup_clusters(
     sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).distinct().localCheckpoint()
+    # Size the iteration's parallelism to the SUBGRAPH, not the corpus: the
+    # candidate graph is orders of magnitude smaller than the input, so the
+    # per-round joins run on a handful of partitions (one, locally) instead
+    # of inheriting the corpus-wide shuffle width — per-round cost becomes
+    # proportional to the graph, not to the cluster's task-scheduling floor.
+    n_edges = sym.count()  # free: localCheckpoint already materialized it
+    parts = max(1, min(sym.sparkSession.sparkContext.defaultParallelism, n_edges // 500_000))
+    sym = sym.repartition(parts, "src").localCheckpoint()
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster_id", F.col("node").cast("long")
     ).localCheckpoint()
@@ -391,7 +399,9 @@ def neardup_clusters(
                 F.col("a.node").alias("node"),
                 F.coalesce("b._lc", "a.cluster_id").alias("cluster_id"),
             )
-            .localCheckpoint()
+            # lazy: the convergence count below materializes it — one job
+            # per round instead of two
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.alias("n")
