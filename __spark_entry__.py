@@ -362,6 +362,20 @@ def q_vector_ops(spark, sf_dir):
     return _i(out, "id_a", "id_b")
 
 
+def q_order_priority_returns(spark, sf_dir):
+    """TPC-H q4-shaped EXISTS/left-semi aggregation (F11)."""
+    return PQ.order_priority_returns(
+        load_table(spark, "orders", sf_dir), load_table(spark, "lineitem", sf_dir)
+    )
+
+
+def q_brands_without_returns(spark, sf_dir):
+    """TPC-H q16-shaped NOT-IN/left-anti aggregation (F12)."""
+    return PQ.brands_without_returns(
+        load_table(spark, "part", sf_dir), load_table(spark, "lineitem", sf_dir)
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     return PQ.pricing_summary(load_table(spark, "lineitem", sf_dir))
 
@@ -485,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": q_event_value_quantiles,
         "doc_fingerprints": q_doc_fingerprints,
         "vector_ops": q_vector_ops,
+        "order_priority_returns": q_order_priority_returns,
+        "brands_without_returns": q_brands_without_returns,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "nation_volume": q_nation_volume,
@@ -804,6 +820,26 @@ FROM kept k JOIN cl USING (doc_id)
 WHERE cl.cluster_id = k.doc_id
 """
 )
+
+# F11/F12: EXISTS → left-semi and NOT EXISTS → left-anti aggregations
+_Q4_SEMI_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+_Q16_ANTI_SQL = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) / (COUNT(*) * 100.0), 2) AS avg_price
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_returnflag = 'R'
+                    AND l.l_quantity > 45.0)
+GROUP BY p_brand
+"""
 
 # E21: aligned 2-token chunks; drop chunks in ≥20 distinct docs; reassemble
 _BOILERPLATE_SQL = f"""
@@ -1234,6 +1270,8 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": _QUANTILES_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "vector_ops": _VECTOR_OPS_SQL,
+        "order_priority_returns": _Q4_SEMI_SQL,
+        "brands_without_returns": _Q16_ANTI_SQL,
         "pricing_summary": _PRICING_SQL,
         "shipping_priority": _SHIPPING_SQL,
         "nation_volume": _NATION_VOLUME_SQL,

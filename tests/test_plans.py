@@ -152,3 +152,17 @@ def test_tfidf_corpus_count_broadcast(spark, sf_dir):
     p = curation.tfidf_top_terms(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in p
     assert "WindowGroupLimit" in p
+
+
+def test_semi_anti_joins_stay_key_only(spark, sf_dir):
+    """EXISTS/NOT-IN shapes must compile to semi/anti joins on a key-only
+    probe side — never a full join + filter on wide rows."""
+    from vectorsearch_rbac_spark.plans import queries as PQ
+
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    p_semi = PQ.order_priority_returns(orders, lineitem)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p_semi and "SortMergeJoin" not in p_semi
+    p_anti = PQ.brands_without_returns(part, lineitem)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p_anti and "SortMergeJoin" not in p_anti

@@ -198,3 +198,45 @@ def customer_running_totals(orders: DataFrame, limit_custkey: int = 200) -> Data
         )
         .withColumn("o_totalprice", F.round("o_totalprice", 2))
     )
+
+
+def order_priority_returns(orders: DataFrame, lineitem: DataFrame,
+                           date_lo: str = "1996-01-01", date_hi: str = "1997-01-01") -> DataFrame:
+    """TPC-H q4 shape (EXISTS → left-semi): orders in a date window having at
+    least one returned lineitem, counted by priority. The semi join keeps the
+    orders stream narrow — the probe side is reduced to a distinct key set,
+    never widening the row."""
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_lo)) & (F.col("o_orderdate") < F.lit(date_hi))
+    )
+    flagged = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(flagged, o["o_orderkey"] == flagged["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+def brands_without_returns(part: DataFrame, lineitem: DataFrame,
+                           min_qty: float = 45.0) -> DataFrame:
+    """TPC-H q16-style NOT IN (→ left-anti): parts never part of a large
+    returned shipment, aggregated per brand. Anti join beats a NOT IN
+    subquery at scale: no null-semantics hazard, and the excluded-key set
+    shuffles as a deduplicated key column only."""
+    returned = lineitem.where(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > min_qty)
+    ).select("l_partkey")
+    return (
+        part.join(returned, part["p_partkey"] == returned["l_partkey"], "left_anti")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            # sum exact integer cents, divide once: the average is then
+            # independent of partial-aggregation order (float sums aren't)
+            F.round(
+                F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("long"))
+                / (F.count("*") * F.lit(100.0)),
+                2,
+            ).alias("avg_price"),
+        )
+    )
