@@ -131,3 +131,36 @@ def test_streaming_block_insertion(spark, sf_dir, tmp_path):
     back = spark.read.parquet(str(tmp_path / "store"))
     assert back.count() == 100
     assert "comb_role" in back.columns
+
+
+def test_streaming_corpus_filter_admits_only_novel_quality_docs(spark, sf_dir, tmp_path):
+    """G5 stream-static admission: duplicate docs (same fingerprint as the
+    static corpus) are rejected; novel docs pass iff quality >= threshold;
+    stream result == the equivalent batch anti-join."""
+    from vectorsearch_rbac_spark.functions import text as T
+    from vectorsearch_rbac_spark.streaming.pipelines import streaming_corpus_filter
+
+    corpus = load_table(spark, "documents", sf_dir)
+    # incoming drop: 20 exact duplicates (re-keyed) + 20 unseen docs
+    dupes = corpus.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    novel = corpus.orderBy("doc_id").limit(40).subtract(corpus.limit(20)).limit(20).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" entirely fresh suffix tokens"))
+    ).withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    incoming_dir = str(tmp_path / "incoming")
+    dupes.unionByName(novel).coalesce(1).write.mode("overwrite").parquet(incoming_dir)
+
+    out = _run(
+        streaming_corpus_filter(spark, incoming_dir, corpus, quality_min=0.0),
+        str(tmp_path), "admit",
+    )
+    got = spark.read.parquet(out)
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert all(i >= 2_000_000 for i in got_ids), "no duplicate may be admitted"
+    # batch equivalent: same anti join on fingerprints
+    fps = corpus.select(T.fingerprint("text").alias("fp")).distinct()
+    batch = (
+        spark.read.parquet(incoming_dir)
+        .select("doc_id", T.fingerprint("text").alias("fp"))
+        .join(fps, "fp", "left_anti")
+    )
+    assert got_ids == {r["doc_id"] for r in batch.select("doc_id").collect()}

@@ -7,6 +7,7 @@ from .pipelines import (
     streaming_sessionize,
     stateful_user_stats,
     streaming_block_insertion,
+    streaming_corpus_filter,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "streaming_sessionize",
     "stateful_user_stats",
     "streaming_block_insertion",
+    "streaming_corpus_filter",
 ]

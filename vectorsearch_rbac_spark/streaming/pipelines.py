@@ -158,3 +158,54 @@ def streaming_block_insertion(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def streaming_corpus_filter(
+    spark: SparkSession,
+    incoming_dir: str,
+    corpus: DataFrame,
+    quality_min: float = 0.3,
+) -> DataFrame:
+    """G5: streaming corpus admission — new document drops are
+    quality-scored, exact-dedup'd against the STATIC corpus (stream-static
+    left-anti join on the content fingerprint), and annotated for the sink.
+
+    This is the online half of the curation pipeline: the batch side owns
+    the big corpus; the stream admits only novel, good-enough docs. The
+    static side's fingerprints behave like a dimension: Spark re-plans the
+    join each micro-batch, so a periodically refreshed corpus snapshot is
+    picked up without restarting the query.
+
+    Scale: the anti join hashes only (fingerprint) — the static side is
+    reduced to a key column before the join; the stream side never
+    shuffles (no aggregation), so each micro-batch is map-only + one
+    broadcast-able key-set probe.
+    """
+    from ..functions import text as T
+
+    fps = corpus.select(T.fingerprint("text").alias("fp")).distinct()
+    incoming = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming_dir)
+    )
+    scored = incoming.select(
+        "doc_id",
+        "lang",
+        "source",
+        T.fingerprint("text").alias("fp"),
+        T.quality_score("text").alias("quality"),
+        T.token_count("text").cast("long").alias("n_tokens"),
+    ).where(F.col("quality") >= quality_min)
+    return scored.join(fps, "fp", "left_anti")
