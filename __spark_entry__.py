@@ -362,6 +362,23 @@ def q_vector_ops(spark, sf_dir):
     return _i(out, "id_a", "id_b")
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Salted fact-dim join (F13/scale toolbox): provably identical to the
+    plain join — the oracle runs the unsalted SQL. Exact-milli sums keep the
+    aggregate order-independent."""
+    from vectorsearch_rbac_spark.operators import skew
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "value", "event_id")
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = skew.salted_join(ev, cust, "user_id", salt=8, salt_src="event_id")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("value_milli"),
+    )
+
+
 def q_order_priority_returns(spark, sf_dir):
     """TPC-H q4-shaped EXISTS/left-semi aggregation (F11)."""
     return PQ.order_priority_returns(
@@ -499,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": q_event_value_quantiles,
         "doc_fingerprints": q_doc_fingerprints,
         "vector_ops": q_vector_ops,
+        "skew_salted_join": q_skew_salted_join,
         "order_priority_returns": q_order_priority_returns,
         "brands_without_returns": q_brands_without_returns,
         "pricing_summary": q_pricing_summary,
@@ -820,6 +838,14 @@ FROM kept k JOIN cl USING (doc_id)
 WHERE cl.cluster_id = k.doc_id
 """
 )
+
+# F13: the salted join must be result-identical to the plain join
+_SALTED_JOIN_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+"""
 
 # F11/F12: EXISTS → left-semi and NOT EXISTS → left-anti aggregations
 _Q4_SEMI_SQL = """
@@ -1270,6 +1296,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": _QUANTILES_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "vector_ops": _VECTOR_OPS_SQL,
+        "skew_salted_join": _SALTED_JOIN_SQL,
         "order_priority_returns": _Q4_SEMI_SQL,
         "brands_without_returns": _Q16_ANTI_SQL,
         "pricing_summary": _PRICING_SQL,

@@ -166,3 +166,28 @@ def test_semi_anti_joins_stay_key_only(spark, sf_dir):
     assert "LeftSemi" in p_semi and "SortMergeJoin" not in p_semi
     p_anti = PQ.brands_without_returns(part, lineitem)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in p_anti and "SortMergeJoin" not in p_anti
+
+
+def test_salted_join_splits_shuffle_key(spark, sf_dir):
+    """With broadcast disabled (the regime salting exists for), the join
+    exchange must partition on (key, _salt) — the hot key is split across
+    salt reducers — and the dim side must carry the salt replication."""
+    from vectorsearch_rbac_spark.operators import skew
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "value", "event_id")
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = (
+            skew.salted_join(ev, cust, "user_id", salt=8, salt_src="event_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange hashpartitioning(user_id" in p and "_salt" in p.split(
+        "Exchange hashpartitioning(user_id", 1
+    )[1][:40], "join must shuffle on (key, _salt)"
+    assert "explode" in p.lower(), "dim side must replicate per salt value"
