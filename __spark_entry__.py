@@ -461,7 +461,9 @@ def q_ivf_recall(spark, sf_dir):
     blocks = t["documentblocks"]
     C = ivf.kmeans_fit(blocks, nlists=8, max_iter=8)
     indexed = ivf.assign_centroids(blocks, C)
-    pred = ivf.ivf_search(indexed, t["queries"], C, k=TOPK, nprobe=3)
+    # nprobe=4 of 8 lists: mean recall ~0.82 at sf0.01 (0.64 at nprobe=3);
+    # like pgvector's ivfflat.probes, the knob trades scanned lists for recall
+    pred = ivf.ivf_search(indexed, t["queries"], C, k=TOPK, nprobe=4)
     truth = knn.knn_topk_fast(blocks, t["queries"], k=TOPK)
     return knn.recall_at_k(pred, truth)
 
@@ -469,7 +471,9 @@ def q_ivf_recall(spark, sf_dir):
 def q_lsh_recall(spark, sf_dir):
     """LSH cosine ANN vs brute force: per-query recall@k (rows-only)."""
     t = _rbac(spark, sf_dir)
-    pred = ann.cosine_topk_lsh(t["embeddings"], t["queries"], k=TOPK, n_planes=8)
+    # 6 planes × 6 tables: mean recall ~0.82 at sf0.01 (vs 0.42 at 8×3);
+    # the knob trades candidate fraction (~(1+b)/2^b per table) for recall
+    pred = ann.cosine_topk_lsh(t["embeddings"], t["queries"], k=TOPK, n_planes=6, n_tables=6)
     truth = ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=TOPK)
     return knn.recall_at_k(
         pred.withColumnRenamed("vec_id", "block_id"), truth.withColumnRenamed("vec_id", "block_id")
