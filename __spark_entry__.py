@@ -286,6 +286,25 @@ def q_int8_topk(spark, sf_dir):
     return _i(out, "query_id", "vec_id")
 
 
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic mixture-weight sampling per source (E23)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = curation.mixture_sample(docs, MIX_WEIGHTS, default_weight=0.1).select(
+        "doc_id", "source", "lang"
+    )
+    return _i(out, "doc_id")
+
+
+def q_quality_quantile_filter(spark, sf_dir):
+    """Keep the top-half quality share per language (E24): per-group exact
+    interpolated median as the cutoff."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(curation.quality_quantile_filter(docs, q=0.5), "doc_id")
+
+
 def q_remove_boilerplate(spark, sf_dir):
     """C4-style chunk-level boilerplate removal (E21): chunks shared by ≥20
     docs are dropped, survivors reassembled in order and hashed."""
@@ -515,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_topk": q_int8_topk,
         "remove_boilerplate": q_remove_boilerplate,
         "random_projection": q_random_projection,
+        "mixture_sample": q_mixture_sample,
+        "quality_quantile_filter": q_quality_quantile_filter,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "event_value_quantiles": q_event_value_quantiles,
@@ -893,6 +914,26 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
   CAST(COUNT(*) AS BIGINT) AS n_chunks
 FROM m GROUP BY doc_id
+"""
+
+# E23: deterministic per-source Bernoulli by doc-id hash; literal CASE weights
+_MIXTURE_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang
+FROM documents
+WHERE {_MD5L.format(x="CAST(doc_id AS VARCHAR)")} % 1000000 <
+      (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                   WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 1000000
+"""
+
+# E24: per-lang interpolated median quality as cutoff (quality formula
+# shared with text_stats)
+_QUANTILE_FILTER_SQL = f"""
+WITH ts AS (SELECT doc_id, quality FROM ({{text_stats}})),
+d AS (SELECT t.doc_id, dd.lang, t.quality FROM ts t JOIN documents dd USING (doc_id)),
+cuts AS (SELECT lang, ROUND(quantile_cont(quality, 0.5), 6) AS cutoff FROM d GROUP BY lang)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, quality, cutoff
+FROM d JOIN cuts USING (lang)
+WHERE quality >= cutoff
 """
 
 # E16: hash-rank sample, ≤40 per (lang, source); hash = md5_long(doc_id str)
@@ -1290,6 +1331,8 @@ def oracle_sql() -> dict[str, str]:
         "curated_corpus": _CURATED_SQL,
         # multimodal_features: binary decode plumbing → rows-only check
         "remove_boilerplate": _BOILERPLATE_SQL,
+        "mixture_sample": _MIXTURE_SQL,
+        "quality_quantile_filter": _QUANTILE_FILTER_SQL.format(text_stats=_TEXT_STATS_SQL),
         "random_projection": curation.random_projection_oracle_sql(out_dim=8, seed=42, dim=64),
         "stratified_sample": _STRATIFIED_SQL,
         "pack_sequences": _PACK_SQL,

@@ -346,3 +346,30 @@ def test_random_projection_matches_numpy(spark):
         exp = M[i].astype(np.float64) @ R.T
         for j in range(4):
             assert abs(got[i][f"r{j}"] - round(exp[j], 6)) < 2e-6
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from vectorsearch_rbac_spark.operators import curation
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.mixture_sample(df, {"a": 1.0, "b": 0.2}, default_weight=0.0)
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert by["a"] == 1000  # weight 1.0 keeps everything
+    assert 120 <= by.get("b", 0) <= 280  # ~20% of 1000, hash-uniform
+    again = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert by == again  # deterministic
+
+
+def test_quality_quantile_filter_keeps_top_share(spark, docs):
+    from vectorsearch_rbac_spark.operators import curation
+
+    kept = curation.quality_quantile_filter(docs, q=0.5)
+    per = kept.groupBy("lang").count().collect()
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in per:
+        # >= half survives (ties at the cutoff stay in)
+        assert r["count"] >= totals[r["lang"]] // 2
+    mins = kept.agg(F.min(F.col("quality") - F.col("cutoff"))).first()[0]
+    assert mins >= 0.0

@@ -221,6 +221,57 @@ def random_projection_oracle_sql(out_dim: int = 8, seed: int = 42, dim: int = 64
     return f"SELECT CAST(vec_id AS BIGINT) AS vec_id,\n  {cols}\nFROM embeddings"
 
 
+def mixture_sample(
+    documents: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic corpus-mixture sampling: keep each doc with its
+    source's probability, decided by a uniform hash of the doc id — the
+    "sample source A at 30%, source B at 100%" reweighting step of a
+    pre-training data mixture (Pile/Dolma-style), reproducible across runs
+    and cluster layouts.
+
+    Scale: stateless per-row predicate — no shuffle, no sort, fully pushed
+    into the scan stage; the weights ride the plan as a literal CASE chain.
+    """
+    u = md5_long(F.col(id_col).cast("string")) % 1_000_000
+    w = F.lit(default_weight)
+    for src, frac in sorted(weights.items()):
+        w = F.when(F.col(source_col) == src, F.lit(frac)).otherwise(w)
+    return documents.where(u < w * 1_000_000)
+
+
+def quality_quantile_filter(
+    documents: DataFrame,
+    q: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep each group's top (1-q) quality share: per-``group_col`` exact
+    linear-interpolation quantile of the quality score, then filter
+    ``quality >= cutoff`` — "keep the best half per language".
+
+    Scale: the cutoffs are a groups-sized aggregate (map-side combinable
+    percentile sketch-free exact path is fine: quality is one double per
+    row) broadcast back onto the stream; the corpus itself never sorts.
+    """
+    scored = documents.select(
+        id_col, group_col, T.quality_score(text_col).alias("quality")
+    )
+    cuts = scored.groupBy(group_col).agg(
+        F.round(F.percentile("quality", F.lit(q)), 6).alias("cutoff")
+    )
+    return (
+        scored.join(F.broadcast(cuts), group_col)
+        .where(F.col("quality") >= F.col("cutoff"))
+        .select(id_col, group_col, "quality", "cutoff")
+    )
+
+
 def int8_quantize(vec, scale: float = 127.0) -> F.Column:
     """Symmetric per-vector int8 quantization: q_i = round(x_i · 127 /
     max|x|) as an array<long> (values in [-127, 127]).
