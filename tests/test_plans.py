@@ -191,3 +191,28 @@ def test_salted_join_splits_shuffle_key(spark, sf_dir):
         "Exchange hashpartitioning(user_id", 1
     )[1][:40], "join must shuffle on (key, _salt)"
     assert "explode" in p.lower(), "dim side must replicate per salt value"
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key (same bucket count) must join
+    with ZERO shuffle exchanges — the layout IS the co-location proof."""
+    from vectorsearch_rbac_spark.operators import partitioning
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    lineitem = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    partitioning.write_bucketed(orders, "t_orders_b", "o_orderkey", 4, str(tmp_path / "ob"))
+    partitioning.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b", "o_orderkey", 4, str(tmp_path / "lb"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+        p = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    assert "Exchange" not in p, "bucketed co-located join must not shuffle"
+    assert "SortMergeJoin" in p
