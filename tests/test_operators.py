@@ -373,3 +373,19 @@ def test_quality_quantile_filter_keeps_top_share(spark, docs):
         assert r["count"] >= totals[r["lang"]] // 2
     mins = kept.agg(F.min(F.col("quality") - F.col("cutoff"))).first()[0]
     assert mins >= 0.0
+
+
+def test_ngram_jaccard_df_filter_keeps_neardups(docs):
+    """With the stop-shingle guard on, genuinely-near-dup pairs must still
+    surface: their discriminative shingles are rare by definition."""
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("id_a", "id_b").collect()
+    }
+    filtered = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df_frac=0.2)
+        .select("id_a", "id_b").collect()
+    }
+    assert base, "testdata should contain planted near-dups"
+    assert base <= filtered or len(base - filtered) <= max(1, len(base) // 10)

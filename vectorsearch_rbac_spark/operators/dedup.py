@@ -201,17 +201,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard over n-word shingle sets for every pair sharing ≥ 1
     shingle (pairs with J=0 can't pass any threshold > 0, so the shingle
     equi-join IS the candidate generator — no cross join).
 
-    Scale note: the join key is the shingle; hot shingles are bounded by
-    ``distinct`` per doc and (at 100 TB) would additionally be df-filtered
-    (drop shingles occurring in > f% of docs — stop-shingles contribute
-    candidates, not discrimination).
+    ``max_df_frac`` is the 100 TB guard on the join key: shingles occurring
+    in more than that fraction of docs are dropped BEFORE the self-join —
+    a stop-shingle in f·N docs alone emits (f·N)² candidate rows, while
+    contributing no discrimination (any pair sharing ONLY stop-shingles has
+    near-zero Jaccard anyway). Distances computed on the surviving shingle
+    sets are approximate-high by a bounded amount, so the default (None)
+    keeps exact oracle parity and the knob is opt-in.
     """
     sh = word_shingles(documents, id_col, text_col, n)
+    if max_df_frac is not None:
+        n_docs = documents.select(F.countDistinct(id_col).alias("n"))
+        df_ = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+        keep = (
+            df_.join(F.broadcast(n_docs), how="cross")
+            .where(F.col("df") <= F.col("n") * max_df_frac)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
