@@ -376,9 +376,17 @@ def neardup_clusters(
     n_edges = sym.count()  # free: localCheckpoint already materialized it
     parts = max(1, min(sym.sparkSession.sparkContext.defaultParallelism, n_edges // 500_000))
     sym = sym.repartition(parts, "src").localCheckpoint()
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "cluster_id", F.col("node").cast("long")
-    ).localCheckpoint()
+    # seed labels at min(self, neighbors) — the first propagation round
+    # fused into the init aggregate, one fewer loop iteration
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nbmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_nbmin")).cast("long").alias("cluster_id"),
+        )
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         # min label among neighbors, then combine with own label (no union:
         # join + least keeps the plan a simple agg→join chain)
