@@ -38,6 +38,15 @@ HEADLINE = [
     "tfidf_top_terms",
     "int8_topk",
     "curated_corpus",
+    "remove_boilerplate",
+    "random_projection",
+    "stratified_sample",
+    "pack_sequences",
+    "mixture_sample",
+    "quality_quantile_filter",
+    "skew_salted_join",
+    "order_priority_returns",
+    "brands_without_returns",
     "pricing_summary",
     "revenue_rollup",
     "shipping_priority",
