@@ -262,6 +262,9 @@ def quality_quantile_filter(
     scored = documents.select(
         id_col, group_col, T.quality_score(text_col).alias("quality")
     )
+    # the regex-heavy scoring feeds both the cutoff aggregate and the
+    # filtered stream — materialize it once (lazy: first action computes it)
+    scored = scored.localCheckpoint(eager=False)
     cuts = scored.groupBy(group_col).agg(
         F.round(F.percentile("quality", F.lit(q)), 6).alias("cutoff")
     )
