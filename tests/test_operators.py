@@ -87,6 +87,20 @@ def test_vector_function_identities(spark):
     assert r["l2"] == 5.0 and r["l1"] == 7.0 and r["n"] == 5.0
     assert r["ip"] == 25.0 and abs(r["cd"]) < 1e-12 and r["d"] == 2
 
+    r2 = df.select(
+        V.vector_add("a", "a").alias("add"),
+        V.vector_sub("a", "a").alias("sub"),
+        V.vector_mul("a", "a").alias("mul"),
+        V.l2_normalize("a").alias("unit"),
+        V.l2_normalize("b").alias("zed"),  # zero vector stays zeros, no NaN
+        V.subvector("a", 2, 1).alias("tail"),
+    ).first()
+    assert list(r2["add"]) == [6.0, 8.0] and list(r2["sub"]) == [0.0, 0.0]
+    assert list(r2["mul"]) == [9.0, 16.0]
+    assert abs(sum(x * x for x in r2["unit"]) - 1.0) < 1e-12
+    assert list(r2["zed"]) == [0.0, 0.0]
+    assert list(r2["tail"]) == [4.0]
+
 
 def test_packed_hamming_matches_array_hamming(spark, sf_dir):
     """bit_count(xor) on packed words must equal the element-wise hamming
