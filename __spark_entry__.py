@@ -487,6 +487,29 @@ def q_ivf_recall(spark, sf_dir):
     return knn.recall_at_k(pred, truth)
 
 
+def q_pq_recall(spark, sf_dir):
+    """PQ+refine ANN vs exact L2: per-query recall@k (D6; k-means codebooks
+    → rows-only). ADC scans 16 small ints per vector; floats are fetched
+    only for the k·4 shortlist."""
+    from vectorsearch_rbac_spark.operators import pq
+    from vectorsearch_rbac_spark.functions import vector as V
+
+    t = _rbac(spark, sf_dir)
+    emb, qs = t["embeddings"], t["queries"]
+    scored = emb.join(F.broadcast(qs), how="cross").select(
+        "query_id",
+        F.col("vec_id").alias("block_id"),
+        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
+    )
+    truth = knn.topk_per_query(scored, TOPK).select("query_id", "block_id", "distance", "rank")
+    B = pq.pq_train(emb, m=16, ksub=16)
+    codes = pq.pq_encode(emb, B)
+    pred = pq.pq_search_refined(codes, emb, qs, B, k=TOPK, expansion=4).withColumnRenamed(
+        "vec_id", "block_id"
+    )
+    return knn.recall_at_k(truth, pred)
+
+
 def q_lsh_recall(spark, sf_dir):
     """LSH cosine ANN vs brute force: per-query recall@k (rows-only)."""
     t = _rbac(spark, sf_dir)
@@ -555,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "ivf_recall": q_ivf_recall,
         "lsh_recall": q_lsh_recall,
+        "pq_recall": q_pq_recall,
     }
 
 

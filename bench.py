@@ -54,6 +54,7 @@ HEADLINE = [
     "sessionize_events",
     "hourly_event_stats",
     "ivf_recall",
+    "pq_recall",
 ]
 
 

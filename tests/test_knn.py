@@ -124,3 +124,33 @@ def test_adaptive_strategy_routes(t, spark):
     )
     rows = out.select("query_id", "strategy").distinct().collect()
     assert len({r["query_id"] for r in rows}) == t["queries"].count()
+
+
+def test_pq_refined_recall(spark, sf_dir):
+    """PQ codes: valid range/shape; PQ+refine recall beats the bar the
+    reference's recall harness would apply (compute_recall ≥ threshold)."""
+    import pyspark.sql.functions as F
+    from vectorsearch_rbac_spark.sources import load_table
+    from vectorsearch_rbac_spark.rbac import derive
+    from vectorsearch_rbac_spark.operators import pq, knn
+    from vectorsearch_rbac_spark.functions import vector as V
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = derive.derive_queries(emb, 25)
+    B = pq.pq_train(emb, m=8, ksub=8)
+    codes = pq.pq_encode(emb, B)
+    row = codes.select(
+        F.size("codes").alias("m"), F.array_max("codes").alias("mx"), F.array_min("codes").alias("mn")
+    ).agg(F.max("m"), F.min("m"), F.max("mx"), F.min("mn")).first()
+    assert row[0] == row[1] == 8 and row[2] <= 7 and row[3] >= 0
+
+    scored = emb.join(F.broadcast(qs), how="cross").select(
+        "query_id", F.col("vec_id").alias("block_id"),
+        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"))
+    truth = knn.topk_per_query(scored, 5).select("query_id", "block_id", "distance", "rank")
+    pred = pq.pq_search_refined(codes, emb, qs, B, k=5, expansion=8).withColumnRenamed(
+        "vec_id", "block_id")
+    r = knn.recall_at_k(truth, pred).agg(F.avg("recall")).first()[0]
+    # sf0.001 is the hard regime for PQ (50-vector codebook sample); the
+    # sf0.01 entry (m=16, expansion=4) sits at ~0.86
+    assert r >= 0.6, f"PQ+refine recall too low: {r}"
