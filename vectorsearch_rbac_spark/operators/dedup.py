@@ -256,30 +256,28 @@ def simhash_signatures(
 ) -> DataFrame:
     """Per-doc SimHash: bit j set iff Σ_tokens (2·bit_j(md5_long(tok)) − 1) > 0.
 
-    Expressed as explode(token) × explode(bit) → sum → sign → pack. The
-    double explode is bounded (tokens × bits) and feeds map-side-combinable
-    sums; at 100 TB the identical math runs in one mapInPandas pass — this
-    formulation keeps DuckDB-oracle parity.
+    Shape: explode(token) → ONE groupBy(doc_id) carrying the ``bits``
+    per-bit sums as columns of a single wide aggregate — map-side partial
+    combine reduces every scan partition to one row per doc before the only
+    shuffle, and the sign/pack fold is a post-aggregate projection (no
+    second shuffle, no ×bits row explode). Same values as the per-bit
+    formulation — DuckDB-oracle parity is unchanged.
     """
     toks = (
         documents.select(F.col(id_col).alias("doc_id"), F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
         .withColumn("th", md5_long("tok"))
     )
-    # (j, mask=2^j) as literal pairs: shift amounts must be literals in the
-    # DataFrame API, and masks as plan constants keep everything codegen'd
-    bitmasks = F.array(*[
-        F.struct(F.lit(j).alias("j"), F.lit(1 << j).cast("long").alias("mask")) for j in range(bits)
-    ])
-    tb = toks.select("doc_id", "th", F.explode(bitmasks).alias("b")).select(
-        "doc_id",
-        F.col("b.j").alias("j"),
-        F.col("b.mask").alias("mask"),
-        F.when(F.col("th").bitwiseAND(F.col("b.mask")) != 0, F.lit(1)).otherwise(F.lit(-1)).alias("contrib"),
+    def contrib(j: int) -> F.Column:
+        mask = F.lit(1 << j).cast("long")
+        return F.when(F.col("th").bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+    wide = toks.groupBy("doc_id").agg(
+        *[F.sum(contrib(j)).alias(f"s{j}") for j in range(bits)]
     )
-    per_bit = tb.groupBy("doc_id", "j", "mask").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(F.lit(0))).alias("simhash")
-    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return wide.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_neardup_pairs(
