@@ -305,6 +305,15 @@ def q_quality_quantile_filter(spark, sf_dir):
     return _i(curation.quality_quantile_filter(docs, q=0.5), "doc_id")
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination audit (E25): docs % 50 == 0 play the eval
+    set; every other doc is checked for shingle overlap against it."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return _i(curation.contamination_check(train, bench, n=3), "doc_id")
+
+
 def q_remove_boilerplate(spark, sf_dir):
     """C4-style chunk-level boilerplate removal (E21): chunks shared by ≥20
     docs are dropped, survivors reassembled in order and hashed."""
@@ -559,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "mixture_sample": q_mixture_sample,
         "quality_quantile_filter": q_quality_quantile_filter,
+        "contamination_check": q_contamination_check,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "event_value_quantiles": q_event_value_quantiles,
@@ -960,6 +970,27 @@ FROM d JOIN cuts USING (lang)
 WHERE quality >= cutoff
 """
 
+# E25: shingle overlap vs the doc_id%50==0 "benchmark" subset
+_CONTAMINATION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+train AS (SELECT * FROM sh WHERE doc_id % 50 != 0),
+m AS (
+  SELECT tr.doc_id, tr.shingle, (b.shingle IS NOT NULL) AS hit
+  FROM train tr LEFT JOIN bench b USING (shingle)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS flagged
+FROM m GROUP BY doc_id
+"""
+
 # E16: hash-rank sample, ≤40 per (lang, source); hash = md5_long(doc_id str)
 _STRATIFIED_SQL = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
@@ -1356,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: binary decode plumbing → rows-only check
         "remove_boilerplate": _BOILERPLATE_SQL,
         "mixture_sample": _MIXTURE_SQL,
+        "contamination_check": _CONTAMINATION_SQL,
         "quality_quantile_filter": _QUANTILE_FILTER_SQL.format(text_stats=_TEXT_STATS_SQL),
         "random_projection": curation.random_projection_oracle_sql(out_dim=8, seed=42, dim=64),
         "stratified_sample": _STRATIFIED_SQL,

@@ -403,3 +403,21 @@ def test_ngram_jaccard_df_filter_keeps_neardups(docs):
     }
     assert base, "testdata should contain planted near-dups"
     assert base <= filtered or len(base - filtered) <= max(1, len(base) // 10)
+
+
+def test_contamination_check_flags_planted_overlap(spark):
+    from vectorsearch_rbac_spark.operators import curation
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "totally unrelated text about spark plans here"),
+            (2, "he saw the quick brown fox jumps away fast"),  # shares 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.contamination_check(train, bench, n=3).collect()}
+    assert not out[1]["flagged"] and out[1]["n_contaminated"] == 0
+    assert out[2]["flagged"] and out[2]["n_contaminated"] >= 2  # "the quick brown", "quick brown fox", "brown fox jumps"

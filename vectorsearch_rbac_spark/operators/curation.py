@@ -275,6 +275,41 @@ def quality_quantile_filter(
     )
 
 
+def contamination_check(
+    documents: DataFrame,
+    benchmark_docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination audit (GPT-3/PaLM decontamination style):
+    for every training doc, count its n-gram shingles that appear anywhere
+    in the eval/benchmark set; ``flagged`` marks any overlap. Returns
+    (doc_id, n_shingles, n_contaminated, flagged).
+
+    Scale: the benchmark shingle set is dim-sized (eval suites are small) —
+    a distinct + broadcast; the corpus side is one shingle explode feeding
+    a left join + count aggregate. No corpus self-join anywhere.
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(documents, id_col, text_col, n)
+    bench = (
+        word_shingles(benchmark_docs, id_col, text_col, n)
+        .select("shingle").distinct()
+        .select("shingle", F.lit(True).alias("_hit"))
+    )
+    marked = sh.join(F.broadcast(bench), "shingle", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("long").alias("n_contaminated"),
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_contaminated",
+        (F.col("n_contaminated") > 0).alias("flagged"),
+    )
+
+
 def int8_quantize(vec, scale: float = 127.0) -> F.Column:
     """Symmetric per-vector int8 quantization: q_i = round(x_i · 127 /
     max|x|) as an array<long> (values in [-127, 127]).

@@ -215,7 +215,9 @@ def ngram_jaccard_pairs(
     sets are approximate-high by a bounded amount, so the default (None)
     keeps exact oracle parity and the knob is opt-in.
     """
-    sh = word_shingles(documents, id_col, text_col, n)
+    # the shingle relation feeds the self-join (twice) and the size
+    # aggregate — materialize once instead of re-running the explode+regex
+    sh = word_shingles(documents, id_col, text_col, n).localCheckpoint(eager=False)
     if max_df_frac is not None:
         n_docs = documents.select(F.countDistinct(id_col).alias("n"))
         df_ = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
