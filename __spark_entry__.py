@@ -305,6 +305,42 @@ def q_quality_quantile_filter(spark, sf_dir):
     return _i(curation.quality_quantile_filter(docs, q=0.5), "doc_id")
 
 
+BM25_QUERIES = [(0, ["table", "vector"]), (100, ["stream", "window"]), (200, ["customer", "part"])]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword top-k over documents (E26) for a literal 3-query
+    workload."""
+    from vectorsearch_rbac_spark.operators import retrieval
+
+    docs = load_table(spark, "documents", sf_dir)
+    qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
+    return retrieval.bm25_topk(docs, qt, k=TOPK)
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid search (E27): RRF fusion of the BM25 top-50 with the cosine
+    top-50 (vectors mapped to docs by vec_id % N), top-10 fused."""
+    from vectorsearch_rbac_spark.operators import retrieval
+
+    t = _rbac(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+    n_docs = docs.count()
+    qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
+    text_ranks = retrieval.bm25_topk(docs, qt, k=50)
+    qids = [q for q, _ in BM25_QUERIES]
+    vec = ann.cosine_topk_bruteforce(
+        emb, t["queries"].where(F.col("query_id").isin(qids)), k=50
+    )
+    vec_ranks = (
+        vec.withColumn("doc_id", F.col("vec_id") % n_docs)
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("rank").alias("rank"))
+    )
+    out = retrieval.rrf_fuse(text_ranks, vec_ranks, k=TOPK)
+    return _i(out, "query_id", "doc_id")
+
+
 def q_contamination_check(spark, sf_dir):
     """Benchmark-contamination audit (E25): docs % 50 == 0 play the eval
     set; every other doc is checked for shingle overlap against it."""
@@ -569,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "quality_quantile_filter": q_quality_quantile_filter,
         "contamination_check": q_contamination_check,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "event_value_quantiles": q_event_value_quantiles,
@@ -968,6 +1006,70 @@ cuts AS (SELECT lang, ROUND(quantile_cont(quality, 0.5), 6) AS cutoff FROM d GRO
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, quality, cutoff
 FROM d JOIN cuts USING (lang)
 WHERE quality >= cutoff
+"""
+
+# E26/E27: BM25 (k1=1.2, b=0.75) over the literal 3-query workload; the
+# hybrid oracle fuses BM25 top-50 with cosine top-50 via RRF(60)
+_BM25_CTE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM tok) / (SELECT COUNT(DISTINCT doc_id) FROM tok) AS avg_len),
+q(query_id, term) AS (VALUES (0,'table'),(0,'vector'),(100,'stream'),(100,'window'),(200,'customer'),(200,'part')),
+bmscored AS (
+  SELECT q.query_id, tf.doc_id,
+    ROUND(SUM( ln(1.0 + (s.n_docs - dfx.df + 0.5)/(dfx.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlen.dlen / s.avg_len)) ), 6) AS score
+  FROM tf JOIN q USING (term) JOIN dfx USING (term) JOIN dlen USING (doc_id) CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+bmranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM bmscored
+)
+"""
+
+_BM25_SQL = _BM25_CTE + """
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM bmranked WHERE rank <= 10
+"""
+
+_HYBRID_SQL = _BM25_CTE + """
+, n AS (SELECT COUNT(*) AS n_docs FROM documents),
+qs AS (SELECT vec_id AS query_id, embedding AS query_vector FROM embeddings
+       WHERE vec_id IN (0, 100, 200)),
+cscored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6) + 0.0 AS distance
+  FROM embeddings e CROSS JOIN qs q
+),
+cranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+  FROM cscored
+),
+vdoc AS (
+  SELECT query_id, doc_id, CAST(MIN(rank) AS BIGINT) AS rank_b FROM (
+    SELECT query_id, CAST(vec_id % (SELECT n_docs FROM n) AS BIGINT) AS doc_id, rank
+    FROM cranked WHERE rank <= 50
+  ) GROUP BY query_id, doc_id
+),
+tdoc AS (SELECT query_id, doc_id, rank AS rank_a FROM bmranked WHERE rank <= 50),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0/(60 + a.rank_a), 0.0) + COALESCE(1.0/(60 + b.rank_b), 0.0), 6) AS rrf_score
+  FROM tdoc a FULL OUTER JOIN vdoc b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id, rrf_score,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 10
 """
 
 # E25: shingle overlap vs the doc_id%50==0 "benchmark" subset
@@ -1388,6 +1490,8 @@ def oracle_sql() -> dict[str, str]:
         "remove_boilerplate": _BOILERPLATE_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "contamination_check": _CONTAMINATION_SQL,
+        "bm25_topk": _BM25_SQL,
+        "hybrid_rrf_topk": _HYBRID_SQL,
         "quality_quantile_filter": _QUANTILE_FILTER_SQL.format(text_stats=_TEXT_STATS_SQL),
         "random_projection": curation.random_projection_oracle_sql(out_dim=8, seed=42, dim=64),
         "stratified_sample": _STRATIFIED_SQL,

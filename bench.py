@@ -44,6 +44,9 @@ HEADLINE = [
     "pack_sequences",
     "mixture_sample",
     "quality_quantile_filter",
+    "contamination_check",
+    "bm25_topk",
+    "hybrid_rrf_topk",
     "skew_salted_join",
     "order_priority_returns",
     "brands_without_returns",

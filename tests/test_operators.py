@@ -421,3 +421,32 @@ def test_contamination_check_flags_planted_overlap(spark):
     out = {r["doc_id"]: r for r in curation.contamination_check(train, bench, n=3).collect()}
     assert not out[1]["flagged"] and out[1]["n_contaminated"] == 0
     assert out[2]["flagged"] and out[2]["n_contaminated"] >= 2  # "the quick brown", "quick brown fox", "brown fox jumps"
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from vectorsearch_rbac_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine for big data processing and more words here"),
+            (3, "entirely unrelated content about cooking recipes"),
+        ],
+        "doc_id long, text string",
+    )
+    qt = spark.createDataFrame([(1, ["spark"])], "query_id long, terms array<string>")
+    out = sorted(retrieval.bm25_topk(docs, qt, k=3).collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in out] == [1, 2]  # doc 3 has no match at all
+    assert out[0]["score"] > out[1]["score"]
+
+
+def test_rrf_fuse_rewards_agreement(spark):
+    from vectorsearch_rbac_spark.operators import retrieval
+
+    a = spark.createDataFrame([(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame([(1, 10, 2), (1, 12, 1)], "query_id long, doc_id long, rank long")
+    out = {r["doc_id"]: r for r in retrieval.rrf_fuse(a, b, k=3).collect()}
+    # doc 10 appears in both lists → highest fused score
+    assert out[10]["rank"] == 1
+    assert abs(out[10]["rrf_score"] - round(1 / 61 + 1 / 62, 6)) < 1e-9
+    assert set(out) == {10, 11, 12}

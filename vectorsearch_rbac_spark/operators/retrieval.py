@@ -1,0 +1,105 @@
+"""Text retrieval + hybrid fusion (SURVEY.md §2 E26/E27).
+
+The text-side complement to the vector search operators: BM25 keyword
+scoring over the documents table, and reciprocal-rank fusion (RRF) of a
+BM25 ranking with a vector-similarity ranking — the standard hybrid-search
+combiner (used by every vector DB that also does keyword search; pgvector
+deployments pair it with Postgres FTS the same way).
+
+Both are pure DataFrame plans with exact DuckDB oracles: BM25 is two
+aggregates (tf by (doc, term), df by term) + a broadcast corpus-stats row;
+RRF is an outer join of two rank lists with a rational score — integer
+ranks in, deterministic doubles out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k per query: ``query_terms`` is (query_id, terms
+    array<string>); score(d,q) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·len/avg)),
+    idf = ln(1 + (N-df+0.5)/(df+0.5)); rounded to 6 dp, ties by doc id.
+
+    Scale: tf/df are the same two shuffles the TF-IDF operator pays; the
+    query side explodes to (query_id, term) — queries are dim-sized, so the
+    term join broadcasts them; the per-query rank window ships (ids, score).
+    """
+    toks = documents.select(F.col(id_col).alias("doc_id"), F.explode(T.tokens(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dlen"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = documents.agg(
+        F.count("*").cast("long").alias("n_docs"),
+    ).crossJoin(toks.agg((F.count("*") / F.countDistinct("doc_id")).alias("avg_len")))
+
+    q = query_terms.select("query_id", F.explode("terms").alias("term"))
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(df_, "term")
+        .join(dlen, "doc_id")
+        .join(F.broadcast(stats), how="cross")
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dlen") / F.col("avg_len"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, id, rank) lists:
+    score = Σ_lists 1/(rrf_k + rank), absent list contributes 0. Integer
+    ranks → the score is a deterministic rational, exact across engines."""
+    a = rank_a.select("query_id", id_col, F.col("rank").alias("rank_a"))
+    b = rank_b.select("query_id", id_col, F.col("rank").alias("rank_b"))
+    fused = (
+        a.join(b, ["query_id", id_col], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rrf_score", "rank")
+    )
