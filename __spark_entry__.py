@@ -457,6 +457,11 @@ def q_brands_without_returns(spark, sf_dir):
     )
 
 
+def q_events_json_stats(spark, sf_dir):
+    """Semi-structured JSON extraction + typed aggregation (F14)."""
+    return PQ.events_json_stats(load_table(spark, "events", sf_dir))
+
+
 def q_pricing_summary(spark, sf_dir):
     return PQ.pricing_summary(load_table(spark, "lineitem", sf_dir))
 
@@ -612,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": q_event_value_quantiles,
         "doc_fingerprints": q_doc_fingerprints,
         "vector_ops": q_vector_ops,
+        "events_json_stats": q_events_json_stats,
         "skew_salted_join": q_skew_salted_join,
         "order_priority_returns": q_order_priority_returns,
         "brands_without_returns": q_brands_without_returns,
@@ -935,6 +941,16 @@ FROM kept k JOIN cl USING (doc_id)
 WHERE cl.cluster_id = k.doc_id
 """
 )
+
+# F14: typed JSON field extraction + exact integer aggregation
+_EVENTS_JSON_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
 
 # F13: the salted join must be result-identical to the plain join
 _SALTED_JOIN_SQL = """
@@ -1503,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": _QUANTILES_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "vector_ops": _VECTOR_OPS_SQL,
+        "events_json_stats": _EVENTS_JSON_SQL,
         "skew_salted_join": _SALTED_JOIN_SQL,
         "order_priority_returns": _Q4_SEMI_SQL,
         "brands_without_returns": _Q16_ANTI_SQL,

@@ -240,3 +240,21 @@ def brands_without_returns(part: DataFrame, lineitem: DataFrame,
             ).alias("avg_price"),
         )
     )
+
+
+def events_json_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured processing (F14): extract a typed field from the JSON
+    ``props`` column and aggregate it per event type. ``get_json_object``
+    evaluates JVM-side inside codegen — the JSON never reaches Python, and
+    column pruning still drops every other column at the scan."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
