@@ -450,3 +450,16 @@ def test_rrf_fuse_rewards_agreement(spark):
     assert out[10]["rank"] == 1
     assert abs(out[10]["rrf_score"] - round(1 / 61 + 1 / 62, 6)) < 1e-9
     assert set(out) == {10, 11, 12}
+
+
+def test_cli_list_and_oracle(capsys):
+    from vectorsearch_rbac_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "rbac_prefilter_topk  [exact-oracle]" in out
+    assert "pq_recall  [rows-only]" in out
+    assert main(["oracle", "pricing_summary"]) == 0
+    assert "ROUND(SUM(l_quantity), 2)" in capsys.readouterr().out
+    assert main(["oracle", "pq_recall"]) == 1  # rows-only → no SQL
+    assert main(["run", "nonexistent_query"]) == 2
