@@ -457,6 +457,11 @@ def q_brands_without_returns(spark, sf_dir):
     )
 
 
+def q_daily_type_pivot(spark, sf_dir):
+    """Pivot: day × event-type count matrix (F15)."""
+    return PQ.daily_type_pivot(load_table(spark, "events", sf_dir))
+
+
 def q_events_json_stats(spark, sf_dir):
     """Semi-structured JSON extraction + typed aggregation (F14)."""
     return PQ.events_json_stats(load_table(spark, "events", sf_dir))
@@ -617,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": q_event_value_quantiles,
         "doc_fingerprints": q_doc_fingerprints,
         "vector_ops": q_vector_ops,
+        "daily_type_pivot": q_daily_type_pivot,
         "events_json_stats": q_events_json_stats,
         "skew_salted_join": q_skew_salted_join,
         "order_priority_returns": q_order_priority_returns,
@@ -941,6 +947,17 @@ FROM kept k JOIN cl USING (doc_id)
 WHERE cl.cluster_id = k.doc_id
 """
 )
+
+# F15: day × event-type pivot via portable conditional aggregation
+_PIVOT_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY day
+"""
 
 # F14: typed JSON field extraction + exact integer aggregation
 _EVENTS_JSON_SQL = """
@@ -1519,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": _QUANTILES_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "vector_ops": _VECTOR_OPS_SQL,
+        "daily_type_pivot": _PIVOT_SQL,
         "events_json_stats": _EVENTS_JSON_SQL,
         "skew_salted_join": _SALTED_JOIN_SQL,
         "order_priority_returns": _Q4_SEMI_SQL,

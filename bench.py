@@ -56,6 +56,8 @@ HEADLINE = [
     "nation_volume",
     "sessionize_events",
     "hourly_event_stats",
+    "events_json_stats",
+    "daily_type_pivot",
     "ivf_recall",
     "pq_recall",
 ]

@@ -258,3 +258,18 @@ def events_json_stats(events: DataFrame) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def daily_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot (F15): one row per day, one count column per event type.
+    ``groupBy().pivot(values=...)`` with explicit values keeps the plan a
+    single-pass pivot aggregate (no extra job to discover the columns) —
+    map-side combined like any keyed agg."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select("day", *[F.col(t).cast("long").alias(f"n_{t}") for t in types])
+    )
