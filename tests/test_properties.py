@@ -86,3 +86,24 @@ def test_binary_quantize_pack_popcount_consistency(spark, v):
         npos=F.size(F.filter(_arr(v), lambda x: x > 0)),
     )
     assert r["h"] == r["npos"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(s=st.text(alphabet=st.characters(codec="ascii", exclude_characters="'\\\x00"), min_size=0, max_size=60))
+def test_text_metric_ranges(spark, s):
+    """Quality/ratio metrics stay in [0,1] and counts stay non-negative for
+    arbitrary ascii input (empty, punctuation soup, whitespace runs)."""
+    from vectorsearch_rbac_spark.functions import text as T
+
+    r = _one_row(
+        spark,
+        q=T.quality_score(F.lit(s)),
+        sw=T.stopword_ratio(F.lit(s)),
+        pr=T.punct_ratio(F.lit(s)),
+        rep=T.repetition_ratio(F.lit(s)),
+        n=T.token_count(F.lit(s)),
+        nb=T.bpe_ish_token_count(F.lit(s)),
+    )
+    assert 0.0 <= r["q"] <= 1.0
+    assert 0.0 <= r["sw"] <= 1.0 and 0.0 <= r["pr"] <= 1.0 and 0.0 <= r["rep"] <= 1.0
+    assert r["n"] >= 0 and r["nb"] >= 0
