@@ -221,6 +221,13 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media, feat_dim=8)
 
 
+def q_levenshtein_neardup(spark, sf_dir):
+    """Edit-distance near-dup pairs on normalized 64-char prefixes (E28),
+    blocked on (first token, length band)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(dedup.levenshtein_neardup_pairs(docs, max_dist=8), "id_a", "id_b")
+
+
 def q_curated_corpus(spark, sf_dir):
     """Flagship training-data curation pipeline, end-to-end in one plan:
     quality-score filter → MinHash near-dup clustering over survivors →
@@ -604,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "neardup_clusters": q_neardup_clusters,
+        "levenshtein_neardup": q_levenshtein_neardup,
         "curated_corpus": q_curated_corpus,
         "multimodal_features": q_multimodal_features,
         "stratified_sample": q_stratified_sample,
@@ -1105,6 +1113,19 @@ FROM (
 ) WHERE rank <= 10
 """
 
+# E28: blocked levenshtein on normalized 64-char prefixes
+_LEVENSHTEIN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, p, string_split(p, ' ')[1] AS b_tok,
+         CAST(FLOOR(length(p) / 16) AS BIGINT) AS b_len
+  FROM (SELECT doc_id, substr({_NORM}, 1, 64) AS p FROM documents)
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+FROM t a JOIN t b ON a.b_tok = b.b_tok AND a.b_len = b.b_len AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 8
+"""
+
 # E25: shingle overlap vs the doc_id%50==0 "benchmark" subset
 _CONTAMINATION_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -1518,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "neardup_clusters": _CLUSTERS_SQL,
+        "levenshtein_neardup": _LEVENSHTEIN_SQL,
         "curated_corpus": _CURATED_SQL,
         # multimodal_features: binary decode plumbing → rows-only check
         "remove_boilerplate": _BOILERPLATE_SQL,

@@ -463,3 +463,19 @@ def test_cli_list_and_oracle(capsys):
     assert "ROUND(SUM(l_quantity), 2)" in capsys.readouterr().out
     assert main(["oracle", "pq_recall"]) == 1  # rows-only → no SQL
     assert main(["run", "nonexistent_query"]) == 2
+
+
+def test_levenshtein_neardup_finds_typo_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy cat tonight"),  # 3 edits
+            (3, "the slow green turtle walks under the busy bridge"),
+            (4, "completely different text that shares no prefix at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["edit_dist"]
+           for r in dedup.levenshtein_neardup_pairs(df, max_dist=8).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 3
+    assert all(k == (1, 2) for k in got)

@@ -345,6 +345,42 @@ def simhash_neardup_pairs_banded(
     )
 
 
+def levenshtein_neardup_pairs(
+    documents: DataFrame,
+    max_dist: int = 8,
+    prefix_len: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance near-dup (a < b, levenshtein ≤ max_dist) on normalized
+    ``prefix_len``-char prefixes — the "same doc, small character edits"
+    detector that token-set methods miss (shingle sets are insensitive to
+    within-token typos; levenshtein is exactly sensitive to them).
+
+    Candidates are blocked on (first token, length band): a quadratic
+    verifier must never see the full corpus, so pairs form only inside
+    blocks, the standard record-linkage trade — cross-block near-dups
+    (first-token edit, length-band straddle) are deliberately out of scope
+    and the oracle replicates the same blocking exactly.
+    """
+    p = F.substring(normalize_text(text_col), 1, prefix_len)
+    t = documents.select(
+        F.col(id_col).alias("doc_id"),
+        p.alias("p"),
+        F.substring_index(p, " ", 1).alias("b_tok"),
+        F.floor(F.length(p) / 16).cast("long").alias("b_len"),
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("p").alias("p_a"), "b_tok", "b_len")
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("p").alias("p_b"), "b_tok", "b_len")
+    return (
+        a.join(b, ["b_tok", "b_len"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("p_a", "p_b").cast("long"))
+        .where(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 def neardup_clusters(
     documents: DataFrame,
     pairs: DataFrame,
