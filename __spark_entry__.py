@@ -464,6 +464,21 @@ def q_brands_without_returns(spark, sf_dir):
     )
 
 
+def q_asof_last_order(spark, sf_dir):
+    """As-of join (F16): each event matched to the user's most recent order
+    at or before the event time (union-window implementation; the oracle is
+    DuckDB's native ASOF LEFT JOIN)."""
+    from vectorsearch_rbac_spark.operators import asof
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, "orders", sf_dir)
+    r = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    ).agg(F.max("o_orderkey").alias("o_orderkey"))
+    out = asof.asof_join_backward(ev, r, "user_id", "ts", "o_orderdate", ["o_orderkey"])
+    return _i(out.select("event_id", "user_id", "o_orderkey"), "event_id", "user_id")
+
+
 def q_daily_type_pivot(spark, sf_dir):
     """Pivot: day × event-type count matrix (F15)."""
     return PQ.daily_type_pivot(load_table(spark, "events", sf_dir))
@@ -630,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": q_event_value_quantiles,
         "doc_fingerprints": q_doc_fingerprints,
         "vector_ops": q_vector_ops,
+        "asof_last_order": q_asof_last_order,
         "daily_type_pivot": q_daily_type_pivot,
         "events_json_stats": q_events_json_stats,
         "skew_salted_join": q_skew_salted_join,
@@ -955,6 +971,17 @@ FROM kept k JOIN cl USING (doc_id)
 WHERE cl.cluster_id = k.doc_id
 """
 )
+
+# F16: DuckDB native ASOF LEFT JOIN is the oracle for the union-window impl
+_ASOF_SQL = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(r.o_orderkey AS BIGINT) AS o_orderkey
+FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
 
 # F15: day × event-type pivot via portable conditional aggregation
 _PIVOT_SQL = """
@@ -1558,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": _QUANTILES_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "vector_ops": _VECTOR_OPS_SQL,
+        "asof_last_order": _ASOF_SQL,
         "daily_type_pivot": _PIVOT_SQL,
         "events_json_stats": _EVENTS_JSON_SQL,
         "skew_salted_join": _SALTED_JOIN_SQL,

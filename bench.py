@@ -58,6 +58,7 @@ HEADLINE = [
     "hourly_event_stats",
     "events_json_stats",
     "daily_type_pivot",
+    "asof_last_order",
     "ivf_recall",
     "pq_recall",
 ]

@@ -479,3 +479,23 @@ def test_levenshtein_neardup_finds_typo_pairs(spark):
            for r in dedup.levenshtein_neardup_pairs(df, max_dist=8).collect()}
     assert (1, 2) in got and got[(1, 2)] == 3
     assert all(k == (1, 2) for k in got)
+
+
+def test_asof_join_backward_semantics(spark):
+    """Inclusive backward match, per-key isolation, null when no prior row."""
+    from vectorsearch_rbac_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 1, 50), (4, 2, 100)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 11), (1, 200, 12), (2, 300, 21)],
+        "user_id long, rts long, payload long",
+    )
+    out = {r["event_id"]: r["payload"] for r in
+           asof.asof_join_backward(left, right, "user_id", "ts", "rts", ["payload"]).collect()}
+    assert out[1] == 11      # inclusive: rts == ts matches
+    assert out[2] == 12      # latest preceding
+    assert out[3] is None    # before any right row
+    assert out[4] is None    # other key's rows invisible (user 2 first right at 300)
