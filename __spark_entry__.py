@@ -479,9 +479,30 @@ def q_asof_last_order(spark, sf_dir):
     return _i(out.select("event_id", "user_id", "o_orderkey"), "event_id", "user_id")
 
 
+def q_range_join_trailing_hour(spark, sf_dir):
+    """Range join (F17): each event paired with the same user's events of
+    the trailing hour (inclusive of itself) via epoch-bucketed equi-join —
+    no per-key cross product — then a per-event aggregate."""
+    from vectorsearch_rbac_spark.operators import asof
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    prior = ev.select("user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+    j = asof.range_join_trailing(ev, prior, "user_id", "ts", "pts", 3600, ["pid"])
+    out = j.groupBy("event_id", "user_id").agg(
+        F.count("*").cast("long").alias("n_recent"),
+        F.max("pid").alias("last_event"),
+    )
+    return _i(out, "event_id", "user_id", "last_event")
+
+
 def q_daily_type_pivot(spark, sf_dir):
     """Pivot: day × event-type count matrix (F15)."""
     return PQ.daily_type_pivot(load_table(spark, "events", sf_dir))
+
+
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style hour→day→total continuous-aggregate rollup (F18)."""
+    return PQ.time_rollup(load_table(spark, "events", sf_dir))
 
 
 def q_events_json_stats(spark, sf_dir):
@@ -646,7 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "vector_ops": q_vector_ops,
         "asof_last_order": q_asof_last_order,
+        "range_join_trailing_hour": q_range_join_trailing_hour,
         "daily_type_pivot": q_daily_type_pivot,
+        "time_rollup": q_time_rollup,
         "events_json_stats": q_events_json_stats,
         "skew_salted_join": q_skew_salted_join,
         "order_priority_returns": q_order_priority_returns,
@@ -983,6 +1006,17 @@ SELECT CAST(e.event_id AS BIGINT) AS event_id, CAST(e.user_id AS BIGINT) AS user
 FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
 """
 
+# F17: plain inequality join is the range-join oracle
+_RANGE_JOIN_SQL = """
+SELECT CAST(e.event_id AS BIGINT) AS event_id, CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_recent, CAST(MAX(p.event_id) AS BIGINT) AS last_event
+FROM events e JOIN events p
+  ON p.user_id = e.user_id
+ AND p.ts <= e.ts
+ AND p.ts > e.ts - INTERVAL 1 HOUR
+GROUP BY e.event_id, e.user_id
+"""
+
 # F15: day × event-type pivot via portable conditional aggregation
 _PIVOT_SQL = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -992,6 +1026,16 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY day
+"""
+
+# F18: ROLLUP(day, hour) time hierarchy with exact integer milli sums
+_TIME_ROLLUP_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events
+GROUP BY ROLLUP(day, hour)
 """
 
 # F14: typed JSON field extraction + exact integer aggregation
@@ -1586,7 +1630,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _FINGERPRINT_SQL,
         "vector_ops": _VECTOR_OPS_SQL,
         "asof_last_order": _ASOF_SQL,
+        "range_join_trailing_hour": _RANGE_JOIN_SQL,
         "daily_type_pivot": _PIVOT_SQL,
+        "time_rollup": _TIME_ROLLUP_SQL,
         "events_json_stats": _EVENTS_JSON_SQL,
         "skew_salted_join": _SALTED_JOIN_SQL,
         "order_priority_returns": _Q4_SEMI_SQL,

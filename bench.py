@@ -59,6 +59,8 @@ HEADLINE = [
     "events_json_stats",
     "daily_type_pivot",
     "asof_last_order",
+    "range_join_trailing_hour",
+    "time_rollup",
     "ivf_recall",
     "pq_recall",
 ]

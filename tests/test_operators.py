@@ -499,3 +499,25 @@ def test_asof_join_backward_semantics(spark):
     assert out[2] == 12      # latest preceding
     assert out[3] is None    # before any right row
     assert out[4] is None    # other key's rows invisible (user 2 first right at 300)
+
+
+def test_range_join_trailing_window_bounds(spark):
+    """(lo, hi] semantics: boundary at exactly -window excluded, at 0
+    included; cross-key rows invisible; epoch-boundary straddle matched."""
+    from vectorsearch_rbac_spark.operators import asof
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, 1, t0)], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (1, t0, 10),                                   # same instant → in
+            (1, t0 - dt.timedelta(seconds=3599), 11),      # just inside
+            (1, t0 - dt.timedelta(seconds=3600), 12),      # exactly -window → out
+            (2, t0, 13),                                   # other key → out
+        ],
+        "user_id long, pts timestamp, pid long",
+    )
+    got = {r["pid"] for r in asof.range_join_trailing(
+        left, right, "user_id", "ts", "pts", 3600, ["pid"]).collect()}
+    assert got == {10, 11}

@@ -20,6 +20,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join_trailing(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Range join (F17): pair each left row with every right row of the same
+    key where right_ts ∈ (left_ts - window, left_ts] — "events joined to the
+    orders of the trailing week".
+
+    The scalable shape: both sides bucket time into epochs of exactly
+    ``window_seconds``; a trailing window then spans at most 2 epochs, so
+    the right side is duplicated into (epoch, epoch+1) and the join is a
+    pure equi-join on (key, epoch) — bounded ×2 blowup — with the precise
+    interval predicate applied AFTER co-location. A naive inequality join
+    is a per-key cross product; this never materializes one.
+    """
+    le = left.withColumn("_epoch", F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds))
+    r0 = right.select(
+        F.col(key), F.col(right_ts).alias("_rts"), *payload_cols
+    ).withColumn("_repoch", F.floor(F.unix_timestamp(F.col("_rts")) / window_seconds))
+    re = r0.withColumn("_epoch", F.explode(F.array(F.col("_repoch"), F.col("_repoch") + 1))).drop("_repoch")
+    j = le.join(re, [key, "_epoch"])
+    # the precise predicate compares raw timestamps (sub-second exact);
+    # the epoch bucket above was only for co-location
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECONDS")
+    return (
+        j.where((F.col("_rts") <= F.col(left_ts)) & (F.col("_rts") > lo))
+        .drop("_epoch", "_rts")
+    )
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,

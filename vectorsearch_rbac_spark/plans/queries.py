@@ -273,3 +273,22 @@ def daily_type_pivot(events: DataFrame) -> DataFrame:
         .na.fill(0, types)
         .select("day", *[F.col(t).cast("long").alias(f"n_{t}") for t in types])
     )
+
+
+def time_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate (F18): one pass produces the
+    hour-level rollup, its day-level parent, and the grand total via
+    ROLLUP(day, hour) grouping sets — the batch equivalent of a
+    TimescaleDB continuous aggregate hierarchy. Value sums are exact
+    integer millis so parents equal the sum of their children bit-for-bit
+    regardless of aggregation order."""
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
+    return (
+        events.select(day.alias("day"), hour.alias("hour"), "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("value_milli"),
+        )
+    )
