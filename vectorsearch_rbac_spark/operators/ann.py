@@ -173,8 +173,6 @@ def cosine_neardup_pairs(
             .join(b.withColumnRenamed("id_b", "_ib"), F.col("id_b") == F.col("_ib"))
             .select("id_a", "id_b", "va", "vb")
         )
-    elif False:
-        pass
     else:
         planes = hyperplanes(len(embeddings.select(vec_col).first()[0]), n_planes, seed)
         ab = lsh_bucket(embeddings, planes, vec_col=vec_col)
