@@ -325,6 +325,22 @@ def q_bm25_topk(spark, sf_dir):
     return retrieval.bm25_topk(docs, qt, k=TOPK)
 
 
+def q_rbac_bm25_topk(spark, sf_dir):
+    """Permission-aware keyword search (C8/E26×RBAC): the reference's core
+    concept — search under access control — applied to BM25: permitted
+    (query, doc) pairs semi-join the scored stream before the rank."""
+    from vectorsearch_rbac_spark.operators import retrieval
+
+    t = _rbac(spark, sf_dir)
+    qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
+    qdocs = (
+        t["query_roles"].join(t["permission_assignment"], "role_id")
+        .select("query_id", F.col("document_id").alias("doc_id"))
+        .distinct()
+    )
+    return retrieval.bm25_topk(t["documents"], qt, k=TOPK, permitted=qdocs)
+
+
 def q_hybrid_rrf_topk(spark, sf_dir):
     """Hybrid search (E27): RRF fusion of the BM25 top-50 with the cosine
     top-50 (vectors mapped to docs by vec_id % N), top-10 fused."""
@@ -660,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile_filter": q_quality_quantile_filter,
         "contamination_check": q_contamination_check,
         "bm25_topk": q_bm25_topk,
+        "rbac_bm25_topk": q_rbac_bm25_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
@@ -1149,6 +1166,27 @@ SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, score, CAST(rank AS BIGINT) A
 FROM bmranked WHERE rank <= 10
 """
 
+# RBAC'd BM25: permission semi-join BEFORE the rank (prefilter semantics)
+_RBAC_BM25_SQL = _BM25_CTE + """
+, qsq AS (SELECT vec_id AS query_id, vec_id % 97 AS user_id FROM embeddings WHERE vec_id % 100 = 0),
+qroles2 AS (
+  SELECT query_id, user_id % 10 AS role_id FROM qsq
+  UNION
+  SELECT query_id, (user_id * 7 + 3) % 10 AS role_id FROM qsq
+),
+perm2 AS (
+  SELECT doc_id AS document_id, doc_id % 10 AS role_id FROM documents
+  UNION
+  SELECT doc_id AS document_id, (doc_id + 3) % 10 AS role_id FROM documents
+),
+qdocs2 AS (SELECT DISTINCT r.query_id, p.document_id FROM qroles2 r JOIN perm2 p USING (role_id))
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM bmscored s JOIN qdocs2 d ON d.query_id = s.query_id AND d.document_id = s.doc_id
+) WHERE rank <= 10
+"""
+
 _HYBRID_SQL = _BM25_CTE + """
 , n AS (SELECT COUNT(*) AS n_docs FROM documents),
 qs AS (SELECT vec_id AS query_id, embedding AS query_vector FROM embeddings
@@ -1617,6 +1655,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _MIXTURE_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "bm25_topk": _BM25_SQL,
+        "rbac_bm25_topk": _RBAC_BM25_SQL,
         "hybrid_rrf_topk": _HYBRID_SQL,
         "quality_quantile_filter": _QUANTILE_FILTER_SQL.format(text_stats=_TEXT_STATS_SQL),
         "random_projection": curation.random_projection_oracle_sql(out_dim=8, seed=42, dim=64),

@@ -30,10 +30,17 @@ def bm25_topk(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    permitted: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k per query: ``query_terms`` is (query_id, terms
     array<string>); score(d,q) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·len/avg)),
     idf = ln(1 + (N-df+0.5)/(df+0.5)); rounded to 6 dp, ties by doc id.
+
+    ``permitted`` (optional, (query_id, doc_id)) applies RBAC to keyword
+    search the way the reference applies it to vector search: a semi-join
+    drops unpermitted docs BEFORE the rank window, so corpus statistics
+    (idf, avg_len) stay global but the ranking is permission-aware —
+    prefilter semantics, same as `knn.knn_prefilter`.
 
     Scale: tf/df are the same two shuffles the TF-IDF operator pays; the
     query side explodes to (query_id, term) — queries are dim-sized, so the
@@ -66,6 +73,10 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
+    if permitted is not None:
+        scored = scored.join(
+            F.broadcast(permitted.select("query_id", F.col("doc_id"))), ["query_id", "doc_id"], "left_semi"
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
