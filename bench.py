@@ -46,6 +46,7 @@ HEADLINE = [
     "quality_quantile_filter",
     "contamination_check",
     "bm25_topk",
+    "rbac_bm25_topk",
     "hybrid_rrf_topk",
     "skew_salted_join",
     "order_priority_returns",
