@@ -155,15 +155,22 @@ def q_rbac_adaptive_topk(spark, sf_dir):
 
 
 def q_generated_rbac_topk(spark, sf_dir):
-    """End-to-end over SYNTHETIC RBAC (tree-based generator, seeded
-    xxhash64 → deterministic but not SQL-expressible → rows-only): generated
-    user_roles/permissions drive the same prefilter search."""
+    """End-to-end over SYNTHETIC RBAC (tree-based generator, md5-seeded →
+    exact DuckDB oracle): generated user_roles/permissions drive the same
+    prefilter search.
+
+    Parity: reference services/rbac_generator/tree_based_rbac_data_generator.py
+    feeding controller prefilter search — here the whole generate→derive→search
+    chain is one declarative plan."""
     from vectorsearch_rbac_spark.rbac import generators
 
     t = _rbac(spark, sf_dir)
     n_docs = t["documents"].count()
     g = generators.tree_rbac(spark, num_users=100, num_documents=n_docs, height=3, branching=3)
-    queries = t["queries"].withColumn("user_id", F.col("query_id") % 100 + 1)
+    # query index (query_id / stride) spread over the 100 generated users
+    queries = t["queries"].withColumn(
+        "user_id", F.floor(F.col("query_id") / QUERY_STRIDE) % 100 + 1
+    )
     qroles = (
         queries.select("query_id", "user_id")
         .join(g["user_roles"], "user_id")
@@ -213,12 +220,28 @@ def q_neardup_clusters(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing (rows-only): synthesize binary media column,
-    decode (deterministic fake) + feature-extract via mapInPandas."""
+    decode (deterministic fake) + feature-extract via mapInPandas.
+
+    The raw ``feature array<float>`` is folded to scalar columns
+    (``feature_hash`` = md5 of the 4-dp-rounded values, plus ``feat_dim``)
+    so the driver's pandas canonicalizer can sort/hash the rows."""
     from vectorsearch_rbac_spark.operators import multimodal
 
     docs = load_table(spark, "documents", sf_dir).limit(100)
     media = multimodal.synthesize_media(docs, kind="image")
-    return multimodal.extract_features(media, feat_dim=8)
+    feats = multimodal.extract_features(media, feat_dim=8)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        F.md5(
+            F.array_join(
+                F.transform("feature", lambda x: F.round(x.cast("double"), 4).cast("string")),
+                ",",
+            )
+        ).alias("feature_hash"),
+        F.size("feature").cast("long").alias("feat_dim"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
 
 
 def q_levenshtein_neardup(spark, sf_dir):
@@ -887,6 +910,52 @@ SELECT u.query_id, u.block_id, u.document_id, u.distance,
        CAST(u.rank AS INT) AS rank, r.strategy
 FROM (SELECT * FROM pre UNION ALL SELECT * FROM post) u
 JOIN route r USING (query_id)
+"""
+
+# tree_rbac(height=3, branching=3, seed=42, num_users=100) reproduced in SQL:
+# 40 roles (complete 3-ary tree, root=0, first leaf=13), 27 leaves owning
+# disjoint doc ranges of size dp = max(1, n_docs // 27), ancestors inherit
+# via (leaf + 13 - (b^up - 1)/2) // b^up for up in 0..3; users hash to roles
+# with the shared md5 -> 15 hex -> BIGINT scheme (salt '42:').
+_GENERATED_SQL = _RBAC_CTE + """
+, params AS (SELECT GREATEST(1, COUNT(*) // 27) AS dp, COUNT(*) AS nd FROM documents),
+gusers AS (SELECT unnest(range(1, 101)) AS user_id),
+guroles AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('42:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 40 AS INT) AS role_id
+  FROM gusers
+),
+gqs AS (SELECT query_id, query_id // 100 % 100 + 1 AS user_id FROM qs),
+gqroles AS (
+  SELECT DISTINCT q.query_id, u.role_id FROM gqs q JOIN guroles u USING (user_id)
+),
+gleaves AS (SELECT unnest(range(27)) AS leaf),
+gleafdocs AS (
+  SELECT leaf, u.d AS document_id
+  FROM gleaves, params, UNNEST(range(leaf * dp, (leaf + 1) * dp)) AS u(d)
+  WHERE u.d < nd
+),
+ganc AS (
+  SELECT leaf, CAST((leaf + 13 - (bk - 1) // 2) // bk AS INT) AS role_id
+  FROM gleaves, UNNEST([1, 3, 9, 27]) AS p(bk)
+),
+gpa AS (
+  SELECT DISTINCT a.role_id, d.document_id % (SELECT nd FROM params) AS document_id
+  FROM ganc a JOIN gleafdocs d USING (leaf)
+),
+gqdocs AS (SELECT DISTINCT r.query_id, p.document_id FROM gqroles r JOIN gpa p USING (role_id)),
+scored AS (
+  SELECT d.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM gqdocs d
+  JOIN blocks b USING (document_id)
+  JOIN qs q ON q.query_id = d.query_id
+)
+SELECT query_id, block_id, document_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+  FROM scored
+) WHERE rank <= 10
 """
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1642,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         "hamming_topk": _HAMMING_TOPK_SQL,
         "sparse_cosine_topk": _SPARSE_COSINE_SQL,
         "rbac_adaptive_topk": _ADAPTIVE_SQL,
+        "generated_rbac_topk": _GENERATED_SQL,
         "cosine_neardup": _COSINE_NEARDUP_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_candidates": _MINHASH_SQL,

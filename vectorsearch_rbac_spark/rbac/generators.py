@@ -8,10 +8,13 @@ b0..b1, disjoint doc sets per role, ancestors inherit descendants' docs),
 
 The reference builds these with driver-side Python loops + psycopg2 inserts;
 here generation is declarative DataFrame transforms seeded with deterministic
-per-row hashes (xxhash64 with a fixed seed column) so the same (seed, size)
-always yields the same relations on any cluster layout — no RNG state on the
-driver, no collect. Scales to billions of users: everything is
-``spark.range`` + column arithmetic + joins.
+per-row hashes (the shared cross-engine ``md5 → 15 hex → BIGINT`` scheme) so
+the same (seed, size) always yields the same relations on any cluster layout
+— no RNG state on the driver, no collect — AND every generated relation has
+an exact DuckDB-oracle formulation
+(``('0x' || substr(md5(seed || ':' || x), 1, 15))::BIGINT % mod``).
+Scales to billions of users: everything is ``spark.range`` + column
+arithmetic + joins.
 """
 
 from __future__ import annotations
@@ -19,10 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vector import md5_long
+
 
 def _h(col, seed: int, mod: int):
-    """Deterministic pseudo-random int in [0, mod) from a column + seed."""
-    return F.pmod(F.xxhash64(col.cast("long"), F.lit(seed)), F.lit(mod))
+    """Deterministic pseudo-random int in [0, mod) from a column + seed.
+
+    Cross-engine: md5_long is 60-bit non-negative, so plain ``%`` matches
+    DuckDB exactly (no pmod vs % sign mismatch).
+    """
+    return md5_long(col.cast("long").cast("string"), salt=seed) % mod
 
 
 def random_rbac(
