@@ -644,7 +644,9 @@ def q_pq_recall(spark, sf_dir):
     pred = pq.pq_search_refined(codes, emb, qs, B, k=TOPK, expansion=4).withColumnRenamed(
         "vec_id", "block_id"
     )
-    return knn.recall_at_k(truth, pred)
+    # (pred, truth) argument order as in ivf/lsh_recall: a query missing
+    # from pred scores recall 0 instead of silently dropping out of the mean
+    return knn.recall_at_k(pred, truth)
 
 
 def q_lsh_recall(spark, sf_dir):

@@ -196,25 +196,32 @@ def hamming_topk(
     """Exact hamming top-k over binary-quantized, bit-packed signatures.
 
     Parity: pgvector ``<~>`` search on ``bit`` columns (bitutils.c uses
-    word-wise popcount; so do we — two bit_count(xor) per 64-dim row).
-    This is the scale path for similarity search: the scan reads two LONG
-    columns instead of a float array (32× fewer bytes), and the distance is
-    branch-free integer math inside codegen.
+    word-wise popcount; so do we — one bit_count(xor) per 32-dim word,
+    word count derived from the actual vector dimension). The scan reads
+    ``ceil(dim/32)`` LONG columns instead of a float array (32× fewer
+    bytes), and the distance is branch-free integer math inside codegen.
     """
-    def packed(df, a0, a1):
+    dim = len(embeddings.select(vec_col).first()[0])
+    n_words = max(1, -(-dim // 32))  # ceil; trailing partial word packs short
+
+    def packed(df, prefix):
         q = V.binary_quantize(vec_col)
         return df.select(
-            "*", V.pack_bits(q, 0).alias(a0), V.pack_bits(q, 1).alias(a1)
+            "*", *[V.pack_bits(q, w).alias(f"{prefix}{w}") for w in range(n_words)]
         )
 
-    e = packed(embeddings, "p0", "p1").select(id_col, "p0", "p1")
-    qs = packed(queries.withColumnRenamed("query_vector", vec_col), "q0", "q1").select(
-        "query_id", "q0", "q1"
+    e = packed(embeddings, "p").select(id_col, *[f"p{w}" for w in range(n_words)])
+    qs = packed(queries.withColumnRenamed("query_vector", vec_col), "q").select(
+        "query_id", *[f"q{w}" for w in range(n_words)]
     )
+    dist = sum(
+        (F.bit_count(F.col(f"p{w}").bitwiseXOR(F.col(f"q{w}"))) for w in range(n_words)),
+        start=F.lit(0),
+    ).cast("long")
     scored = e.join(F.broadcast(qs), how="cross").select(
         "query_id",
         F.col(id_col).alias("block_id"),
-        V.hamming_packed("p0", "p1", "q0", "q1").alias("distance"),
+        dist.alias("distance"),
     )
     w = topk_per_query(scored, k, id_col="block_id")
     return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")

@@ -323,13 +323,30 @@ def local_topk(
                 D = -(X @ Q_.T)
             else:
                 raise ValueError(metric)
-            kk = min(k, D.shape[0])
-            idx = np.argpartition(D, kk - 1, axis=0)[:kk]  # (kk, Q)
+            # Select on ROUNDED distances with (distance, block_id) order so
+            # boundary ties resolve exactly as the stage-2 merge / the exact
+            # window plan do — argpartition picks a candidate threshold, then
+            # every row at-or-below it competes under the deterministic order.
+            Dr = np.round(D, 6)
+            bids = pdf[b_id].to_numpy()
+            dids = pdf[d_id].to_numpy()
+            n = Dr.shape[0]
+            kk = min(k, n)
+            part_idx = np.argpartition(Dr, kk - 1, axis=0)[:kk] if kk < n else None
+            sel_rows = []
+            for qi in range(len(qids_)):
+                col = Dr[:, qi]
+                if part_idx is None:
+                    cand = np.arange(n)
+                else:
+                    cand = np.flatnonzero(col <= col[part_idx[:, qi]].max())
+                sel_rows.append(cand[np.lexsort((bids[cand], col[cand]))][:kk])
+            sel = np.concatenate(sel_rows)
             out = {
                 "query_id": np.repeat(qids_, kk),
-                b_id: pdf[b_id].to_numpy()[idx.T.ravel()],
-                d_id: pdf[d_id].to_numpy()[idx.T.ravel()],
-                "distance": np.round(D.T[np.arange(len(qids_))[:, None], idx.T].ravel(), 6),
+                b_id: bids[sel],
+                d_id: dids[sel],
+                "distance": Dr[sel, np.repeat(np.arange(len(qids_)), kk)],
             }
             yield pd.DataFrame(out)
 

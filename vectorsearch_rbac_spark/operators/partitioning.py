@@ -94,24 +94,33 @@ def qdtree_assignment(
     )
     cur = blocks.join(F.broadcast(doc_roles), "document_id").withColumn("pid", F.lit(0).cast("long"))
 
-    rng = np.random.default_rng(seed)
+    role_sample_rate = 0.5
     for depth in range(max_depth):
         # per-node sizes; stop when all nodes small enough
         sizes = {r["pid"]: r["n"] for r in cur.groupBy("pid").agg(F.count("*").alias("n")).collect()}
-        big = [p for p, n in sizes.items() if n > max_leaf_size]
+        # sorted(pid) order + per-node seeded RNG → partition ids are
+        # deterministic across cluster layouts and dict orderings
+        big = sorted(p for p, n in sizes.items() if n > max_leaf_size)
         if not big:
             break
         split_exprs = None
         for pid in big:
             node = cur.where(F.col("pid") == pid)
             if depth % 2 == 0:
-                # role split: pick the role closest to 50/50 membership on a sample
-                sample = node.select(F.explode("_roles").alias("r")).sample(0.5, seed=seed + depth).groupBy("r").count().collect()
+                # role split: pick the role closest to 50/50 membership —
+                # scale sampled counts back by the sample rate before
+                # comparing against the full node size
+                sample = node.select(F.explode("_roles").alias("r")).sample(role_sample_rate, seed=seed + depth).groupBy("r").count().collect()
                 n_node = sizes[pid]
-                best = min(sample, key=lambda row: abs(row["count"] / max(n_node, 1) - 0.5)) if sample else None
+                best = (
+                    min(sample, key=lambda row: (abs(row["count"] / role_sample_rate / max(n_node, 1) - 0.5), row["r"]))
+                    if sample
+                    else None
+                )
                 cond = F.array_contains("_roles", int(best["r"])) if best is not None else F.lit(False)
             else:
                 # centroid split: 2-means on a sample of vectors
+                rng = np.random.default_rng([seed, depth, pid])
                 vecs = [r[0] for r in node.select(vec_col).sample(0.3, seed=seed + depth).limit(512).collect()]
                 if len(vecs) < 2:
                     cond = F.lit(False)

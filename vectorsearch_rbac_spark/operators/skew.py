@@ -36,7 +36,18 @@ def salted_join(
     At 100 TB: ``salt`` scales with the observed skew ratio (hot-key rows /
     median-key rows); the dim replication cost is salt × |dim|, which stays
     broadcast-sized for dimension tables.
+
+    Only fact-preserving join types are allowed: under 'right'/'full' the
+    replicated dim side would emit every unmatched dim row once per salt
+    value, silently breaking equivalence with the unsalted join.
     """
+    safe = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+            "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — dim replication would "
+            f"duplicate unmatched dim rows; use one of {sorted(safe)}"
+        )
     src = F.col(salt_src) if salt_src else F.hash(*[F.col(c) for c in fact.columns])
     f = fact.withColumn("_salt", F.pmod(F.hash(src), F.lit(salt)))
     d = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
