@@ -91,17 +91,32 @@ def q_rbac_qdtree_topk(spark, sf_dir):
 
 
 def q_rbac_dynamic_topk(spark, sf_dir):
-    """Dynamic comb-role store lifecycle: build on 80% of blocks, insert the
-    rest, delete block_id % 17 == 3, then search. Final store state is
-    SQL-expressible, so the oracle is prefilter over blocks w/ the delete
-    predicate."""
+    """Dynamic comb-role store lifecycle WITH heavy-partition rebalance:
+    skewed permissions plant a hot access set (docs with doc_id % 3 == 0
+    collapse to roles {1,4}, so comb "1,4" holds ~40% of blocks), build on
+    80% of blocks, insert the rest, delete block_id % 17 == 3, split
+    partitions above 10% of the corpus into centroid sub-buckets
+    (heavy_partition_refine.py parity), then search. The physical split
+    provably cannot change results (routing matches on comb_role), so the
+    oracle is prefilter over the skewed perms + delete predicate."""
     t = _rbac(spark, sf_dir)
     blocks = t["documentblocks"]
+    d = F.col("document_id")
+    docs = t["documents"].select(F.col("doc_id").alias("document_id"))
+    pa = (
+        docs.where(d % 3 == 0).select("document_id", F.lit(1).cast("int").alias("role_id"))
+        .unionAll(docs.where(d % 3 == 0).select("document_id", F.lit(4).cast("int").alias("role_id")))
+        .unionAll(docs.where(d % 3 != 0).select("document_id", (d % 10).cast("int").alias("role_id")))
+        .unionAll(docs.where(d % 3 != 0).select("document_id", ((d + 3) % 10).cast("int").alias("role_id")))
+        .distinct()
+    )
     initial = blocks.where(F.col("block_id") % 5 != 0)
     arriving = blocks.where(F.col("block_id") % 5 == 0)
-    store = dynamic.build_store(initial, t["permission_assignment"])
-    store = dynamic.insert_blocks(store, arriving, t["permission_assignment"])
+    store = dynamic.build_store(initial, pa)
+    store = dynamic.insert_blocks(store, arriving, pa)
     store = dynamic.delete_blocks(store, blocks.where(F.col("block_id") % 17 == 3).select("block_id"))
+    n_total = blocks.count()
+    store = dynamic.rebalance_heavy_partitions(store, max_partition_size=max(n_total // 10, 50))
     out = dynamic.knn_dynamic(store, t["queries"], t["query_roles"], k=TOPK)
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
@@ -181,6 +196,47 @@ def q_generated_rbac_topk(spark, sf_dir):
         "document_id", F.col("document_id") % n_docs
     ).distinct()
     out = knn.knn_prefilter(t["documentblocks"], queries, qroles, pa, k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
+def q_sharing_tree_rbac_topk(spark, sf_dir):
+    """End-to-end over sharing-tree RBAC (B-family: shared docs, downward
+    permission inheritance) — md5-seeded generator → exact DuckDB oracle;
+    generated user_roles/permissions drive the same prefilter search.
+
+    Parity: services/rbac_generator/sharing_tree_based_rbac_data_generator.py
+    feeding the controller prefilter search."""
+    from vectorsearch_rbac_spark.rbac import generators
+
+    t = _rbac(spark, sf_dir)
+    n_docs = t["documents"].count()
+    g = generators.sharing_tree_rbac(
+        spark, num_users=100, num_roles=40, num_documents=n_docs, branching=3
+    )
+    queries = t["queries"].withColumn(
+        "user_id", F.floor(F.col("query_id") / QUERY_STRIDE) % 100 + 1
+    )
+    qroles = (
+        queries.select("query_id", "user_id")
+        .join(g["user_roles"], "user_id")
+        .select("query_id", "role_id")
+        .distinct()
+    )
+    out = knn.knn_prefilter(t["documentblocks"], queries, qroles, g["permission_assignment"], k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
+def q_rbac_prefilter_zipf_topk(spark, sf_dir):
+    """Prefilter top-k under a ZIPF-SKEWED workload: the hottest query
+    vector serves ~50% of queries (a=2 zipf via integer inverse-CDF), users
+    uniform — mirrors reference generate_queries with zipf_param>0, which
+    uniform-stride workloads hide. Exact oracle (pure integer draw)."""
+    t = _rbac(spark, sf_dir)
+    queries = derive.derive_queries_zipf(t["embeddings"], n_queries=50, seed=7)
+    qroles = derive.query_roles(queries)
+    out = knn.knn_prefilter(
+        t["documentblocks"], queries, qroles, t["permission_assignment"], k=TOPK
+    )
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
@@ -682,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_cosine_topk": q_sparse_cosine_topk,
         "rbac_adaptive_topk": q_rbac_adaptive_topk,
         "generated_rbac_topk": q_generated_rbac_topk,
+        "sharing_tree_rbac_topk": q_sharing_tree_rbac_topk,
+        "rbac_prefilter_zipf_topk": q_rbac_prefilter_zipf_topk,
         "cosine_neardup": q_cosine_neardup,
         "exact_dedup": q_exact_dedup,
         "minhash_candidates": q_minhash_candidates,
@@ -813,10 +871,23 @@ FROM (
 """
 
 _DYNAMIC_SQL = _RBAC_CTE + """
-, scored AS (
+, perm2 AS (
+  SELECT doc_id AS document_id,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE doc_id % 10 END AS INT) AS role_id
+  FROM documents
+  UNION
+  SELECT doc_id AS document_id,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE (doc_id + 3) % 10 END AS INT) AS role_id
+  FROM documents
+),
+qdocs2 AS (
+  SELECT DISTINCT r.query_id, p.document_id
+  FROM qroles r JOIN perm2 p USING (role_id)
+),
+scored AS (
   SELECT d.query_id, b.block_id, b.document_id,
          ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
-  FROM qdocs d
+  FROM qdocs2 d
   JOIN blocks b USING (document_id)
   JOIN qs q ON q.query_id = d.query_id
   WHERE b.block_id % 17 != 3
@@ -912,6 +983,103 @@ SELECT u.query_id, u.block_id, u.document_id, u.distance,
        CAST(u.rank AS INT) AS rank, r.strategy
 FROM (SELECT * FROM pre UNION ALL SELECT * FROM post) u
 JOIN route r USING (query_id)
+"""
+
+# sharing_tree_rbac(num_roles=40, branching=3, seed=42) in SQL: docs with
+# md5('52:'||d)%100 < 30 are SHARED to 1 + md5('53:'||d)%8 roles drawn as
+# 1 + md5('54:'||d*131+j)%39, the rest uniquely to 1 + md5('55:'||d)%39;
+# role x inherits every ancestor's docs (k parent-steps: floor((x - geo)/b^k));
+# users 1..100 hash to roles via md5('56:'||u)%39.
+_SHARING_SQL = _RBAC_CTE + """
+, params AS (SELECT COUNT(*) AS nd FROM documents),
+sflag AS (
+  SELECT d AS document_id,
+         ('0x' || substr(md5('52:' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 100 AS pshare
+  FROM (SELECT unnest(range((SELECT nd FROM params))) AS d)
+),
+sshared AS (
+  SELECT f.document_id,
+         CAST(1 + ('0x' || substr(md5('54:' || CAST(f.document_id * 131 + j AS VARCHAR)), 1, 15))::BIGINT % 39 AS INT) AS role_id
+  FROM sflag f,
+       UNNEST(range(1, 2 + ('0x' || substr(md5('53:' || CAST(f.document_id AS VARCHAR)), 1, 15))::BIGINT % 8)) AS u(j)
+  WHERE f.pshare < 30
+),
+sunique AS (
+  SELECT document_id,
+         CAST(1 + ('0x' || substr(md5('55:' || CAST(document_id AS VARCHAR)), 1, 15))::BIGINT % 39 AS INT) AS role_id
+  FROM sflag WHERE pshare >= 30
+),
+sbase AS (
+  SELECT DISTINCT document_id, role_id
+  FROM (SELECT * FROM sshared UNION ALL SELECT * FROM sunique)
+),
+sanc AS (
+  SELECT r.role_id, CAST(FLOOR((r.role_id - (bk - 1) // 2) * 1.0 / bk) AS INT) AS anc_role
+  FROM (SELECT CAST(unnest(range(40)) AS INT) AS role_id) r, UNNEST([1, 3, 9, 27]) AS p(bk)
+),
+spa AS (
+  SELECT DISTINCT a.role_id, b2.document_id
+  FROM sanc a JOIN sbase b2 ON b2.role_id = a.anc_role
+  WHERE a.anc_role >= 0
+),
+suroles AS (
+  SELECT user_id, CAST(1 + ('0x' || substr(md5('56:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 39 AS INT) AS role_id
+  FROM (SELECT unnest(range(1, 101)) AS user_id)
+),
+sqs AS (SELECT query_id, query_id // 100 % 100 + 1 AS user_id FROM qs),
+sqroles AS (SELECT DISTINCT q.query_id, u.role_id FROM sqs q JOIN suroles u USING (user_id)),
+sqdocs AS (SELECT DISTINCT r.query_id, p.document_id FROM sqroles r JOIN spa p USING (role_id)),
+scored AS (
+  SELECT d.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM sqdocs d
+  JOIN blocks b USING (document_id)
+  JOIN qs q ON q.query_id = d.query_id
+)
+SELECT query_id, block_id, document_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+# zipf workload: query i draws h_i uniform in [1,1e6] (md5 scheme), zipf
+# rank k_i = 1e6 // h_i (P(k≥x) ≈ 1/x), target vector = k_i % count — all
+# integer math, bit-exact across engines; users uniform via md5 % 97.
+_ZIPF_SQL = _RBAC_CTE + """
+, znv AS (SELECT COUNT(*) AS nv FROM embeddings),
+zq1 AS (
+  SELECT i AS query_id,
+         ('0x' || substr(md5('z7:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 1000000 + 1 AS h,
+         ('0x' || substr(md5('u7:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 97 AS user_id
+  FROM (SELECT unnest(range(50)) AS i)
+),
+zqs AS (
+  SELECT z.query_id, z.user_id, e.embedding AS query_vector
+  FROM zq1 z CROSS JOIN znv CROSS JOIN embeddings e
+  WHERE e.vec_id = (1000000 // z.h) % znv.nv
+),
+zqroles AS (
+  SELECT query_id, user_id % 10 AS role_id FROM zqs
+  UNION
+  SELECT query_id, (user_id * 7 + 3) % 10 AS role_id FROM zqs
+),
+zqdocs AS (
+  SELECT DISTINCT r.query_id, p.document_id
+  FROM zqroles r JOIN perm p USING (role_id)
+),
+scored AS (
+  SELECT d.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM zqdocs d
+  JOIN blocks b USING (document_id)
+  JOIN zqs q ON q.query_id = d.query_id
+)
+SELECT query_id, block_id, document_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+  FROM scored
+) WHERE rank <= 10
 """
 
 # tree_rbac(height=3, branching=3, seed=42, num_users=100) reproduced in SQL:
@@ -1714,6 +1882,8 @@ def oracle_sql() -> dict[str, str]:
         "sparse_cosine_topk": _SPARSE_COSINE_SQL,
         "rbac_adaptive_topk": _ADAPTIVE_SQL,
         "generated_rbac_topk": _GENERATED_SQL,
+        "sharing_tree_rbac_topk": _SHARING_SQL,
+        "rbac_prefilter_zipf_topk": _ZIPF_SQL,
         "cosine_neardup": _COSINE_NEARDUP_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_candidates": _MINHASH_SQL,

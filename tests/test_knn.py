@@ -115,6 +115,65 @@ def test_dynamic_store_lifecycle(t):
     assert not (got2 & truth)
 
 
+def test_rebalance_heavy_partitions(t):
+    """A planted hot access set is split into ⌈n/max⌉ centroid buckets;
+    light partitions keep their comb_role key; search results are identical
+    to the unbalanced store (routing is by comb_role, not part_key)."""
+    blocks = t["documentblocks"]
+    # plant: every doc collapses to access set {1,4} when doc_id % 2 == 0
+    d = F.col("document_id")
+    docs = blocks.select("document_id").distinct()
+    pa = (
+        docs.where(d % 2 == 0).select("document_id", F.lit(1).cast("int").alias("role_id"))
+        .unionAll(docs.where(d % 2 == 0).select("document_id", F.lit(4).cast("int").alias("role_id")))
+        .unionAll(docs.where(d % 2 != 0).select("document_id", (d % 10).cast("int").alias("role_id")))
+        .unionAll(docs.where(d % 2 != 0).select("document_id", ((d + 3) % 10).cast("int").alias("role_id")))
+        .distinct()
+    )
+    store = dynamic.build_store(blocks, pa)
+    sizes = {r["comb_role"]: r["n_blocks"] for r in dynamic.partition_sizes(store).collect()}
+    hot = max(sizes, key=sizes.get)
+    assert hot == "1,4" and sizes[hot] > store.count() * 0.4
+
+    max_size = max(store.count() // 8, 20)
+    bal = dynamic.rebalance_heavy_partitions(store, max_partition_size=max_size)
+    keys = [r["part_key"] for r in bal.select("part_key").distinct().collect()]
+    sub = [k for k in keys if k.startswith("1,4#")]
+    import math
+
+    assert len(sub) == min(math.ceil(sizes[hot] / max_size), max(sizes[hot] // 2, 1))
+    assert "1,4" not in keys  # the hot comb only exists as sub-buckets
+    # light partitions unsplit
+    assert all("#" not in k for k in keys if not k.startswith("1,4#"))
+    # physical split never changes results
+    before = _ids(dynamic.knn_dynamic(store, t["queries"], t["query_roles"], k=10))
+    after = _ids(dynamic.knn_dynamic(bal, t["queries"], t["query_roles"], k=10))
+    assert before == after
+
+
+def test_versioned_store_rollback(t, tmp_path):
+    """Insert/delete rollback parity: a delete is undone by restoring the
+    pre-delete version, bit-exactly, and history is preserved."""
+    blocks = t["documentblocks"]
+    vs = dynamic.VersionedStore(str(tmp_path / "store"))
+    store = dynamic.build_store(blocks, t["permission_assignment"])
+    v0 = vs.commit(store)
+    deleted = blocks.where(F.col("block_id") % 7 == 0).select("block_id")
+    v1 = vs.commit(dynamic.delete_blocks(vs.read(v0), deleted))
+    assert vs.read(v1).count() < vs.read(v0).count()
+
+    v2 = vs.restore(v0)  # rollback the delete
+    assert v2 == 2 and vs.latest_version == 2
+    restored = vs.read()
+    assert restored.count() == store.count()
+    # exact state: same block ids per comb_role as the original
+    orig = {(r["comb_role"], r["block_id"]) for r in store.select("comb_role", "block_id").collect()}
+    back = {(r["comb_role"], r["block_id"]) for r in restored.select("comb_role", "block_id").collect()}
+    assert orig == back
+    # pre-restore history still readable (restore is undoable)
+    assert vs.read(v1).count() < vs.read(v2).count()
+
+
 def test_adaptive_strategy_routes(t, spark):
     from vectorsearch_rbac_spark.plans.strategy import adaptive_knn
 

@@ -206,6 +206,29 @@ def test_generators_shapes(spark):
     assert e["permission_assignment"].count() > 0
 
 
+def test_sharing_tree_generator_closure(spark):
+    g = generators.sharing_tree_rbac(spark, num_users=50, num_roles=13, num_documents=60, branching=3)
+    pa = g["permission_assignment"]
+    # every document lands on at least one role; root (role 0) owns nothing
+    assert pa.select("document_id").distinct().count() == 60
+    assert pa.where(F.col("role_id") == 0).count() == 0
+    # downward inheritance: child's doc set is a superset of its parent's
+    # (parent(n) = (n-1)//3 in the left-packed complete tree)
+    child = pa.withColumn("parent", F.floor((F.col("role_id") - 1) / 3).cast("int"))
+    parent_docs = pa.select(
+        F.col("role_id").alias("parent"), F.col("document_id")
+    )
+    missing = (
+        parent_docs.join(child.select("role_id", "parent").distinct(), "parent")
+        .join(pa, ["role_id", "document_id"], "left_anti")
+        .count()
+    )
+    assert missing == 0, "child roles must inherit every ancestor document"
+    # sharing: some documents are reachable from more than one base role
+    base = g["base_assignment"]
+    assert base.groupBy("document_id").count().where(F.col("count") > 1).count() > 0
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     doc = load_table(spark, "documents", sf_dir).limit(20)
     media = multimodal.synthesize_media(doc, kind="image")

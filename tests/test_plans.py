@@ -216,3 +216,25 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
     assert "Exchange" not in p, "bucketed co-located join must not shuffle"
     assert "SortMergeJoin" in p
+
+
+def test_cosine_neardup_exact_path_is_driver_free(spark, sf_dir):
+    """The exact all-pairs path must be a pure distributed plan: building it
+    may not collect (or otherwise pull) the embedding relation to the driver
+    — at 100 TB a driver-side matrix is the first OOM."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+    from vectorsearch_rbac_spark.operators import ann
+
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collect during plan construction")
+
+    with mock.patch.object(DataFrame, "collect", boom), \
+         mock.patch.object(DataFrame, "toPandas", boom), \
+         mock.patch.object(DataFrame, "first", boom), \
+         mock.patch.object(DataFrame, "take", boom):
+        df = ann.cosine_neardup_pairs(emb, threshold=0.35)
+    assert df.count() > 0  # executes distributed (patches released)

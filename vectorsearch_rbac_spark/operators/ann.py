@@ -124,50 +124,77 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 0,
     seed: int = 42,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs (a < b) with cosine similarity ≥ threshold.
 
-    ``n_planes=0`` → exact all-pairs (oracle-checkable; only sane at small
-    N). ``n_planes>0`` → LSH-bucketed: pairs are only generated within a
-    bucket, the 100 TB path (near-dups almost surely collide in some probe).
+    ``n_planes=0`` → exact all-pairs via BLOCKED group-pair matmul: rows
+    hash into ``n_blocks`` groups; each unordered group pair (ga ≤ gb)
+    becomes one ``applyInPandas`` task that BLAS-multiplies its two
+    sub-blocks. Nothing is collected or broadcast — shuffle volume is
+    N·n_blocks rows and per-task memory is two blocks, so ``n_blocks``
+    (∝ √(N²/B²) for target block size B) is the only scale knob. The flops
+    stay O(N²) because the result is exact; ``n_planes>0`` is the
+    sub-quadratic LSH-bucketed path (near-dups almost surely collide in
+    some probe) when approximate candidates are acceptable.
+
+    Both paths re-score surviving candidates with the codegen'd exact
+    expression so emitted values are bit-identical to the sequential-sum
+    oracle (the BLAS sweep uses a small safety margin).
     """
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if n_planes == 0:
-        # two-stage exact: (1) BLAS sweep finds candidate pairs with a
-        # safety margin — each scan partition multiplies its rows against
-        # the broadcast (normalized) matrix, never materializing the O(N²)
-        # join; (2) the few survivors are re-scored with the codegen'd
-        # exact expression so emitted values are bit-identical to the
-        # sequential-sum oracle. (Broadcasting the matrix bounds this to
-        # ~10⁷ vectors; beyond that use n_planes>0.)
         import numpy as np
         import pandas as pd
-        from typing import Iterator
 
-        rows = embeddings.select(id_col, vec_col).collect()
-        ids = np.array([r[0] for r in rows])
-        M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-        bc = embeddings.sparkSession.sparkContext.broadcast((ids, M))
+        e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        g = F.pmod(F.col("_id"), F.lit(n_blocks))
+        # row in group g plays side A of pairs (g, h ≥ g) and side B of (h ≤ g, g)
+        lefts = e.select(
+            "_id", "_v", g.alias("_pa"),
+            F.explode(F.sequence(g, F.lit(n_blocks - 1))).alias("_pb"),
+            F.lit(0).alias("_side"),
+        )
+        rights = e.select(
+            "_id", "_v",
+            F.explode(F.sequence(F.lit(0), g)).alias("_pa"),
+            g.alias("_pb"), F.lit(1).alias("_side"),
+        )
         margin = 1e-4
+        chunk = 1024  # bound the similarity-matrix slice to chunk×|B| doubles
 
-        def cand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            ids_, M_ = bc.value
-            pos = {int(i): p for p, i in enumerate(ids_)}
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-                S = X @ M_.T
-                my = pdf[id_col].to_numpy()
+        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            A = pdf[pdf["_side"] == 0]
+            B = pdf[pdf["_side"] == 1]
+            empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"), "id_b": pd.array([], dtype="int64")})
+            if len(A) == 0 or len(B) == 0:
+                return empty
+            diagonal = bool(pdf["_pa"].iat[0] == pdf["_pb"].iat[0])
+            XA = np.stack(A["_v"].to_numpy()).astype(np.float64)
+            XB = np.stack(B["_v"].to_numpy()).astype(np.float64)
+            XA /= np.maximum(np.linalg.norm(XA, axis=1, keepdims=True), 1e-30)
+            XB /= np.maximum(np.linalg.norm(XB, axis=1, keepdims=True), 1e-30)
+            ids_a = A["_id"].to_numpy()
+            ids_b = B["_id"].to_numpy()
+            outs = []
+            for lo in range(0, len(XA), chunk):
+                S = XA[lo : lo + chunk] @ XB.T
                 ii, jj = np.nonzero(S >= threshold - margin)
-                ia, ib = my[ii], ids_[jj]
-                keep = ia < ib
-                yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+                ia, ib = ids_a[lo + ii], ids_b[jj]
+                if diagonal:
+                    keep = ia < ib  # same rows on both sides: each pair seen twice
+                    ia, ib = ia[keep], ib[keep]
+                else:
+                    ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)  # disjoint groups: orient
+                outs.append(pd.DataFrame({"id_a": ia.astype("int64"), "id_b": ib.astype("int64")}))
+            return pd.concat(outs) if outs else empty
 
-        cand_pairs = embeddings.mapInPandas(cand, schema="id_a long, id_b long")
+        cand_pairs = (
+            lefts.unionAll(rights)
+            .groupBy("_pa", "_pb")
+            .applyInPandas(block_pairs, schema="id_a long, id_b long")
+        )
         pairs = (
             cand_pairs.join(a.withColumnRenamed("id_a", "_ia"), F.col("id_a") == F.col("_ia"))
             .join(b.withColumnRenamed("id_b", "_ib"), F.col("id_b") == F.col("_ib"))

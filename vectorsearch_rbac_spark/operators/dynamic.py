@@ -71,6 +71,115 @@ def delete_blocks(store: DataFrame, deleted_ids: DataFrame, id_col: str = "block
     return store.join(F.broadcast(deleted_ids), id_col, "left_anti")
 
 
+def partition_sizes(store: DataFrame) -> DataFrame:
+    """comb_role → block count (the heavy-partition detector's input)."""
+    return store.groupBy("comb_role").agg(F.count("*").alias("n_blocks"))
+
+
+def rebalance_heavy_partitions(
+    store: DataFrame,
+    max_partition_size: int,
+    vec_col: str = "vector",
+    seed: int = 42,
+) -> DataFrame:
+    """Split comb_role partitions above ``max_partition_size`` into
+    centroid-keyed sub-partitions; the physical write key becomes
+    ``part_key`` (= comb_role for light partitions, ``comb_role#bucket``
+    for split ones).
+
+    Parity: reference ``dynamic_partition/hnsw/heavy_partition_refine.py:203``
+    (``rebalance_heavy_partition`` — greedy role-predicate splits of
+    oversized partitions under a log(size)/selectivity cost model :261).
+    The reference's partitions aggregate several access-sets, so role
+    predicates can cut them; this store keys partitions by the EXACT access
+    set (every doc in a partition has identical roles), so the meaningful
+    splitter is the centroid predicate (the reference's qd-tree alternative)
+    — k-means sub-buckets sized to ``max_partition_size``.
+
+    Search stays EXACT and unchanged: routing still matches on comb_role
+    (all sub-partitions of a split comb serve the same access set), so
+    results are provably identical to the unbalanced store. What splitting
+    buys at 100 TB: no straggler files/tasks from a hot access-set (one
+    partition holding 40% of the corpus becomes ⌈n/max⌉ balanced buckets),
+    and a locality key for ANN-style sub-partition pruning if recall < 1 is
+    acceptable.
+    """
+    import math
+
+    from . import ivf
+
+    sizes = partition_sizes(store).collect()  # dim-sized: one row per access set
+    heavy = {r["comb_role"]: r["n_blocks"] for r in sizes if r["n_blocks"] > max_partition_size}
+    light = store if not heavy else store.where(~F.col("comb_role").isin(list(heavy)))
+    out = light.withColumn("part_key", F.col("comb_role"))
+    for comb in sorted(heavy):
+        part = store.where(F.col("comb_role") == comb)
+        m = min(int(math.ceil(heavy[comb] / max_partition_size)), max(heavy[comb] // 2, 1))
+        C = ivf.kmeans_fit(part, nlists=m, vec_col=vec_col, seed=seed)
+        sub = ivf.assign_centroids(part, C, vec_col=vec_col)
+        out = out.unionByName(
+            sub.withColumn(
+                "part_key", F.concat_ws("#", F.col("comb_role"), F.col("centroid_id"))
+            ).drop("centroid_id")
+        )
+    return out
+
+
+class VersionedStore:
+    """Versioned parquet snapshots of the dynamic store: every mutation
+    writes version ``v+1``; ``restore(v)`` reopens any past state.
+
+    Parity: reference ``dynamic_partition/hnsw/insertion_rolllback.py`` /
+    ``deletion_rolllback.py`` — there, undo is bespoke code that re-deletes
+    inserted tuples / re-inserts deleted ones into the HNSW graphs. The
+    lakehouse answer is TABLE VERSIONING: mutations never touch old files,
+    so rollback is opening an older snapshot — O(1), exact, and concurrent
+    readers are never disturbed. On Delta/Iceberg this maps to native time
+    travel (``VERSION AS OF``); plain parquet gets the same semantics from
+    version-suffixed directories written via :func:`insert_blocks` /
+    :func:`delete_blocks` outputs.
+
+    Scale: each version only rewrites partitions the mutation touched is the
+    Delta/Iceberg refinement; the plain-parquet form here rewrites the store
+    per version, which is fine for the store sizes the reference's rollback
+    targets and keeps the recovery contract testable with zero deps.
+    """
+
+    def __init__(self, base_path: str, spark=None):
+        self.base_path = base_path.rstrip("/")
+        self._spark = spark
+        self.versions: list[int] = []
+
+    def _path(self, version: int) -> str:
+        return f"{self.base_path}/v={version}"
+
+    @property
+    def latest_version(self) -> int:
+        return self.versions[-1] if self.versions else -1
+
+    def commit(self, store: DataFrame, partition_key: str | None = None) -> int:
+        """Write the next version; returns its number."""
+        v = self.latest_version + 1
+        w = store.write.mode("overwrite")
+        if partition_key:
+            w = w.partitionBy(partition_key)
+        w.parquet(self._path(v))
+        self._spark = self._spark or store.sparkSession
+        self.versions.append(v)
+        return v
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.latest_version if version is None else version
+        if v not in self.versions:
+            raise ValueError(f"unknown version {v}; have {self.versions}")
+        return self._spark.read.parquet(self._path(v))
+
+    def restore(self, version: int) -> int:
+        """Roll back: re-commit the old snapshot as the new latest version
+        (history is preserved — restore is itself undoable)."""
+        return self.commit(self.read(version))
+
+
 def comb_role_members(store: DataFrame) -> DataFrame:
     """comb_role → member role_id (exploded routing dimension, broadcast)."""
     return (

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vector import md5_long
+
 NUM_ROLES = 10
 # query user assignment modulus (prime, spreads queries across users)
 USER_MOD = 97
@@ -88,6 +90,39 @@ def derive_queries(embeddings: DataFrame, stride: int = 100) -> DataFrame:
         (F.col("vec_id") % USER_MOD).alias("user_id"),
         F.col("embedding").alias("query_vector"),
     )
+
+
+def derive_queries_zipf(embeddings: DataFrame, n_queries: int = 50, seed: int = 7) -> DataFrame:
+    """Zipf-skewed query workload: query *i* targets the vector at zipf rank
+    ``k_i = floor(M / h_i)`` (``h_i`` uniform in [1, M] via the md5 scheme),
+    so ``P(rank ≥ k) ≈ 1/k`` — the a=2 zipf tail — and the hottest vector
+    serves ~50% of queries. Users stay uniform.
+
+    Parity: reference ``services/read_dataset_function.py:739``
+    (``np.random.zipf(zipf_param) % total_blocks`` picks skewed block
+    indices, users drawn uniformly). The inverse-CDF here is PURE INTEGER
+    math (no float pow), so the DuckDB oracle reproduces it bit-exactly:
+    ``(M // h) % count(embeddings)``.
+
+    Benchmarks over uniform workloads hide hot-vector/hot-user skew; this is
+    the workload to run prefilter/postfilter under before trusting a layout
+    at scale.
+    """
+    spark = embeddings.sparkSession
+    M = 1_000_000
+    n_vec = embeddings.select(F.count("*").alias("nv"))
+    idx = spark.range(n_queries).select(F.col("id").alias("query_id"))
+    drawn = (
+        idx.withColumn("h", md5_long(F.col("query_id").cast("string"), salt=f"z{seed}") % M + 1)
+        .withColumn("user_id", md5_long(F.col("query_id").cast("string"), salt=f"u{seed}") % USER_MOD)
+        .crossJoin(F.broadcast(n_vec))
+        .select("query_id", "user_id", F.expr("1000000 DIV h").cast("long").alias("k"), "nv")
+        .withColumn("pick", F.col("k") % F.col("nv"))
+    )
+    return drawn.join(
+        embeddings.select(F.col("vec_id").alias("pick"), F.col("embedding").alias("query_vector")),
+        "pick",
+    ).select("query_id", "user_id", "query_vector")
 
 
 def query_roles(queries: DataFrame) -> DataFrame:

@@ -142,6 +142,91 @@ def tree_rbac(
     }
 
 
+def sharing_tree_rbac(
+    spark: SparkSession,
+    num_users: int,
+    num_roles: int,
+    num_documents: int,
+    branching: int = 3,
+    percent_shared: int = 30,
+    max_share: int = 8,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Sharing-tree RBAC: a role hierarchy where DOCUMENTS ARE SHARED across
+    several roles and permissions flow DOWN the tree (a child role inherits
+    every ancestor's documents) — the opposite closure direction from
+    ``tree_rbac``.
+
+    Parity: ``sharing_tree_based_rbac_data_generator.py`` — role tree of
+    random branching b0..b1 (re-expressed: fixed ``branching``, roles 0..R-1
+    left-packed complete, role 0 = root with no documents, parent(n) =
+    (n-1)//b); ``split_documents_into_shared_sets`` (:91) assigns
+    ``percent_shared``% of docs to a Poisson-distributed number of random
+    roles (re-expressed: bounded-uniform degree 1..``max_share`` via md5
+    draws — overlap structure preserved, exact DuckDB oracle gained) and the
+    rest uniquely; ``assign_sharing_permissions_to_tree`` (:141) unions each
+    role's own set with everything inherited from its ancestors; users are
+    spread evenly over non-root roles (:196).
+
+    Scale: base assignment is explode + hash column math (no RNG state, no
+    collect); the downward closure joins the dim-sized (role, ancestor)
+    relation — O(R·depth) rows — against the base assignment, so the only
+    big relation (doc assignments) is touched once.
+    """
+    b = branching
+    R = num_roles
+    # ancestor chain of node n after k parent-steps (0-indexed left-packed
+    # complete tree): floor((n - (b^k - 1)/(b - 1)) / b^k) while >= 0
+    max_depth = 0
+    while (b ** (max_depth + 1) - 1) // (b - 1) <= R - 1:
+        max_depth += 1
+
+    roles = spark.range(R).select(F.col("id").cast("int").alias("role_id"))
+    docs = spark.range(num_documents).select(F.col("id").alias("document_id"))
+
+    shared = docs.where(_h(F.col("document_id"), seed + 10, 100) < percent_shared)
+    degree = 1 + _h(F.col("document_id"), seed + 11, max_share)
+    shared_base = (
+        shared.select("document_id", F.explode(F.sequence(F.lit(1), degree)).alias("j"))
+        .select(
+            "document_id",
+            (1 + _h(F.col("document_id") * 131 + F.col("j"), seed + 12, R - 1)).cast("int").alias("role_id"),
+        )
+    )
+    unique_base = docs.where(_h(F.col("document_id"), seed + 10, 100) >= percent_shared).select(
+        "document_id", (1 + _h(F.col("document_id"), seed + 13, R - 1)).cast("int").alias("role_id")
+    )
+    base = shared_base.unionAll(unique_base).distinct()
+
+    # (role, ancestor) pairs incl. self (k=0); root contributes nothing
+    anc = roles.select(
+        "role_id", F.explode(F.sequence(F.lit(0), F.lit(max_depth))).alias("k")
+    )
+    bk = F.pow(F.lit(float(b)), F.col("k")).cast("long")
+    geo = ((bk - 1) / F.lit(b - 1)).cast("long")
+    anc = anc.select(
+        "role_id", F.floor((F.col("role_id") - geo) / bk).cast("int").alias("anc_role")
+    ).where(F.col("anc_role") >= 0).distinct()
+
+    permission_assignment = (
+        anc.join(base.withColumnRenamed("role_id", "anc_role"), "anc_role")
+        .select("role_id", "document_id")
+        .distinct()
+    )
+
+    users = spark.range(1, num_users + 1).select(F.col("id").alias("user_id"))
+    user_roles = users.select(
+        "user_id", (1 + _h(F.col("user_id"), seed + 14, R - 1)).cast("int").alias("role_id")
+    )
+    return {
+        "users": users,
+        "roles": roles,
+        "user_roles": user_roles,
+        "permission_assignment": permission_assignment,
+        "base_assignment": base,
+    }
+
+
 def erbac(
     spark: SparkSession,
     num_users: int,
