@@ -90,6 +90,32 @@ def q_rbac_qdtree_topk(spark, sf_dir):
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
+def q_rbac_layouts_topk(spark, sf_dir):
+    """All four exact physical layouts in ONE driver-checked entry
+    (registry curation: each strategy must produce results identical to
+    prefilter, so one oracle covers four execution paths): C3 per-role
+    replication, C4 comb-role partitioning, C5 row-level-security filter,
+    D3 qd-tree leaf routing — tagged by ``strategy``."""
+    t = _rbac(spark, sf_dir)
+    args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    assigned = partitioning.qdtree_assignment(
+        t["documentblocks"], t["permission_assignment"], max_leaf_size=64, max_depth=4
+    )
+    parts = [
+        ("role_partition", knn.knn_role_partition(*args, k=TOPK)),
+        ("comb_role", knn.knn_comb_role_partition(*args, k=TOPK)),
+        ("rls", knn.knn_rls(*args, k=TOPK)),
+        ("qdtree", knn.knn_qdtree(assigned, t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)),
+    ]
+    out = None
+    for name, df in parts:
+        tagged = _i(df, "query_id", "block_id", "document_id", "rank").withColumn(
+            "strategy", F.lit(name)
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 def q_rbac_dynamic_topk(spark, sf_dir):
     """Dynamic comb-role store lifecycle WITH heavy-partition rebalance:
     skewed permissions plant a hot access set (docs with doc_id % 3 == 0
@@ -246,14 +272,53 @@ def q_cosine_neardup(spark, sf_dir):
 
 
 def q_exact_dedup(spark, sf_dir):
+    """E1 exact dedup + E12 fingerprints in one pass: per-doc content hash
+    and shingle fingerprint, plus the dedup group resolution (keeper =
+    min doc_id per content hash, group size) — one shuffle on the hash."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, "documents", sf_dir)
-    out = docs.select("doc_id", T.fingerprint("text").alias("content_hash"))
-    return _i(out, "doc_id")
+    h = docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("content_hash"),
+        T.shingle_fingerprint("text", 5).alias("shingle_fp"),
+    )
+    w = Window.partitionBy("content_hash")
+    out = h.withColumn("keeper_id", F.min("doc_id").over(w)).withColumn(
+        "group_size", F.count("*").over(w)
+    )
+    return _i(out, "doc_id", "keeper_id", "group_size")
 
 
 def q_minhash_candidates(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     return _i(dedup.minhash_candidates(docs, n=3, num_hashes=16, band_size=4), "id_a", "id_b")
+
+
+def q_neardup_pairs(spark, sf_dir):
+    """Every near-dup pair generator in ONE driver-checked entry (registry
+    curation): E2 MinHash+LSH, E4 n-gram Jaccard, E3 SimHash, E28 blocked
+    Levenshtein, E5 cosine near-dup — (method, id_a, id_b, score) union.
+    Each method keeps its own exact-oracle formulation inside the union."""
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    parts = [
+        ("minhash", dedup.minhash_candidates(docs, n=3, num_hashes=16, band_size=4)
+            .select("id_a", "id_b", F.lit(1.0).alias("score"))),
+        ("ngram_jaccard", dedup.ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T)
+            .select("id_a", "id_b", F.col("jaccard").alias("score"))),
+        ("simhash", dedup.simhash_neardup_pairs(docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_T)
+            .select("id_a", "id_b", F.col("hamming").cast("double").alias("score"))),
+        ("levenshtein", dedup.levenshtein_neardup_pairs(docs, max_dist=8)
+            .select("id_a", "id_b", F.col("edit_dist").cast("double").alias("score"))),
+        ("cosine", ann.cosine_neardup_pairs(emb, threshold=COS_NEARDUP_T)
+            .select("id_a", "id_b", F.col("cosine_sim").alias("score"))),
+    ]
+    out = None
+    for name, df in parts:
+        tagged = _i(df, "id_a", "id_b").withColumn("method", F.lit(name))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -443,6 +508,53 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     return _i(out, "query_id", "doc_id")
 
 
+def q_retrieval_topk(spark, sf_dir):
+    """Text/hybrid retrieval in ONE driver-checked entry (registry
+    curation): E26 BM25, C8 permission-aware BM25 (RBAC semi-join before
+    the rank), E27 hybrid RRF fusion — (method, query_id, doc_id, score,
+    rank) union; each branch keeps its exact oracle inside the union.
+
+    The BM25 score table (tf/df/dlen corpus aggregates) is computed ONCE
+    and lazily checkpointed; all three branches rank over it — without the
+    shared plan the union recomputes the corpus aggregates per branch."""
+    from vectorsearch_rbac_spark.operators import retrieval
+
+    t = _rbac(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+    qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
+    scored = retrieval.bm25_scores(docs, qt).localCheckpoint(eager=False)
+    qdocs = (
+        t["query_roles"].join(t["permission_assignment"], "role_id")
+        .select("query_id", F.col("document_id").alias("doc_id"))
+        .distinct()
+    )
+    # hybrid branch: BM25 top-50 (from the shared table) × cosine top-50
+    n_docs = docs.count()
+    qids = [q for q, _ in BM25_QUERIES]
+    vec = ann.cosine_topk_bruteforce(
+        emb, t["queries"].where(F.col("query_id").isin(qids)), k=50
+    )
+    vec_ranks = (
+        vec.withColumn("doc_id", F.col("vec_id") % n_docs)
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("rank").alias("rank"))
+    )
+    hybrid = retrieval.rrf_fuse(retrieval.bm25_rank(scored, k=50), vec_ranks, k=TOPK)
+    parts = [
+        ("bm25", retrieval.bm25_rank(scored, k=TOPK).select(
+            "query_id", "doc_id", "score", "rank")),
+        ("rbac_bm25", retrieval.bm25_rank(scored, k=TOPK, permitted=qdocs).select(
+            "query_id", "doc_id", "score", "rank")),
+        ("hybrid_rrf", hybrid.select(
+            "query_id", "doc_id", F.col("rrf_score").alias("score"), "rank")),
+    ]
+    out = None
+    for name, df in parts:
+        tagged = _i(df, "query_id", "doc_id", "rank").withColumn("method", F.lit(name))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 def q_contamination_check(spark, sf_dir):
     """Benchmark-contamination audit (E25): docs % 50 == 0 play the eval
     set; every other doc is checked for shingle overlap against it."""
@@ -464,16 +576,6 @@ def q_random_projection(spark, sf_dir):
     oracle."""
     emb = load_table(spark, "embeddings", sf_dir)
     return _i(curation.random_projection(emb, out_dim=8), "vec_id")
-
-
-def q_doc_fingerprints(spark, sf_dir):
-    docs = load_table(spark, "documents", sf_dir)
-    out = docs.select(
-        "doc_id",
-        T.fingerprint("text").alias("fp"),
-        T.shingle_fingerprint("text", 5).alias("shingle_fp"),
-    )
-    return _i(out, "doc_id")
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -661,11 +763,6 @@ def q_hourly_event_stats(spark, sf_dir):
     return _i(out, "n_events", "n_users")
 
 
-def q_distinct_users(spark, sf_dir):
-    out = PQ.distinct_users_per_type(load_table(spark, "events", sf_dir))
-    return _i(out, "n_users")
-
-
 def q_ivf_recall(spark, sf_dir):
     """IVF ANN vs brute force: per-query recall@k (approximate op → no SQL
     oracle; driver records rows-only)."""
@@ -717,75 +814,94 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """All three ANN recall checks in ONE entry (registry curation): per-
+    query recall@10 vs exact ground truth for D1 IVF (nprobe=4/8), E8
+    hyperplane LSH (6 planes × 6 tables), D6 PQ+refine (expansion=4) —
+    approximate ops, so rows-only by design; pytest pins the recall floors."""
+    parts = [
+        ("ivf", q_ivf_recall(spark, sf_dir)),
+        ("lsh", q_lsh_recall(spark, sf_dir)),
+        ("pq", q_pq_recall(spark, sf_dir)),
+    ]
+    out = None
+    for name, df in parts:
+        tagged = df.select(
+            F.lit(name).alias("method"), "query_id", F.round("recall", 6).alias("recall")
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch RBAC prefilter top-k on sf0.001."""
     return q_rbac_prefilter_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 entries — curated to fit the driver's 50-slot check window so EVERY
+    operator family in SURVEY.md §2 gets a driver-checked CORRECTNESS row.
+    Families with result-identical variants are unioned into one tagged
+    entry (rbac_layouts, neardup_pairs, retrieval, ann_recall); the
+    per-variant functions remain for bench granularity and tests."""
     return {
+        # RBAC vector search (B/C/D families)
         "rbac_prefilter_topk": q_rbac_prefilter_topk,
         "rbac_postfilter_topk": q_rbac_postfilter_topk,
-        "rbac_role_partition_topk": q_rbac_role_partition_topk,
-        "rbac_comb_role_topk": q_rbac_comb_role_topk,
-        "rbac_rls_topk": q_rbac_rls_topk,
-        "rbac_qdtree_topk": q_rbac_qdtree_topk,
+        "rbac_layouts_topk": q_rbac_layouts_topk,
         "rbac_dynamic_topk": q_rbac_dynamic_topk,
         "rbac_topk_fast": q_rbac_topk_fast,
         "rbac_selectivity": q_rbac_selectivity,
-        "cosine_topk": q_cosine_topk,
-        "hamming_topk": q_hamming_topk,
-        "sparse_cosine_topk": q_sparse_cosine_topk,
         "rbac_adaptive_topk": q_rbac_adaptive_topk,
         "generated_rbac_topk": q_generated_rbac_topk,
         "sharing_tree_rbac_topk": q_sharing_tree_rbac_topk,
         "rbac_prefilter_zipf_topk": q_rbac_prefilter_zipf_topk,
-        "cosine_neardup": q_cosine_neardup,
+        # vector / similarity search (A/E families)
+        "cosine_topk": q_cosine_topk,
+        "hamming_topk": q_hamming_topk,
+        "sparse_cosine_topk": q_sparse_cosine_topk,
+        "vector_ops": q_vector_ops,
+        "int8_topk": q_int8_topk,
+        "ann_recall": q_ann_recall,
+        # dedup (E1-E5, E14, E28)
         "exact_dedup": q_exact_dedup,
-        "minhash_candidates": q_minhash_candidates,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash_pairs": q_simhash_pairs,
+        "neardup_pairs": q_neardup_pairs,
         "neardup_clusters": q_neardup_clusters,
-        "levenshtein_neardup": q_levenshtein_neardup,
+        # curation pipeline (E16-E25)
         "curated_corpus": q_curated_corpus,
-        "multimodal_features": q_multimodal_features,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "int8_topk": q_int8_topk,
         "remove_boilerplate": q_remove_boilerplate,
         "random_projection": q_random_projection,
         "mixture_sample": q_mixture_sample,
         "quality_quantile_filter": q_quality_quantile_filter,
         "contamination_check": q_contamination_check,
-        "bm25_topk": q_bm25_topk,
-        "rbac_bm25_topk": q_rbac_bm25_topk,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        # retrieval (E26/E27/C8)
+        "retrieval_topk": q_retrieval_topk,
+        # text analysis (E9-E12, E15)
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
-        "event_value_quantiles": q_event_value_quantiles,
-        "doc_fingerprints": q_doc_fingerprints,
-        "vector_ops": q_vector_ops,
-        "asof_last_order": q_asof_last_order,
-        "range_join_trailing_hour": q_range_join_trailing_hour,
-        "daily_type_pivot": q_daily_type_pivot,
-        "time_rollup": q_time_rollup,
-        "events_json_stats": q_events_json_stats,
-        "skew_salted_join": q_skew_salted_join,
-        "order_priority_returns": q_order_priority_returns,
-        "brands_without_returns": q_brands_without_returns,
+        # multimodal (E13)
+        "multimodal_features": q_multimodal_features,
+        # relational / temporal (F family)
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "nation_volume": q_nation_volume,
         "top_parts_per_brand": q_top_parts_per_brand,
-        "revenue_rollup": q_revenue_rollup,
-        "customer_running_totals": q_customer_running_totals,
         "sessionize_events": q_sessionize_events,
         "hourly_event_stats": q_hourly_event_stats,
-        "distinct_users": q_distinct_users,
-        "ivf_recall": q_ivf_recall,
-        "lsh_recall": q_lsh_recall,
-        "pq_recall": q_pq_recall,
+        "event_value_quantiles": q_event_value_quantiles,
+        "revenue_rollup": q_revenue_rollup,
+        "customer_running_totals": q_customer_running_totals,
+        "order_priority_returns": q_order_priority_returns,
+        "brands_without_returns": q_brands_without_returns,
+        "skew_salted_join": q_skew_salted_join,
+        "events_json_stats": q_events_json_stats,
+        "daily_type_pivot": q_daily_type_pivot,
+        "asof_last_order": q_asof_last_order,
+        "range_join_trailing_hour": q_range_join_trailing_hour,
+        "time_rollup": q_time_rollup,
     }
 
 
@@ -1156,13 +1272,6 @@ SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio, repetition_r
        WHEN ascii_ratio >= 0.97 THEN 'latin'
        ELSE 'other' END AS lang_pred
 FROM s
-"""
-
-_FINGERPRINT_SQL = f"""
-WITH t AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
-SELECT doc_id, md5(norm) AS fp,
-       md5(array_to_string(list_filter(toks, (x, i) -> i % 5 = 1), ' ')) AS shingle_fp
-FROM t
 """
 
 _MD5L = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -1704,7 +1813,19 @@ SELECT id_a, id_b, cosine_sim FROM (
 ) WHERE cosine_sim >= {COS_NEARDUP_T}
 """
 
-_EXACT_DEDUP_SQL = f"SELECT doc_id, md5({_NORM}) AS content_hash FROM documents"
+# E1 + E12 merged: content/shingle fingerprints + dedup group resolution
+_EXACT_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id, md5(norm) AS content_hash,
+         md5(array_to_string(list_filter(toks, (x, i) -> i % 5 = 1), ' ')) AS shingle_fp
+  FROM t
+)
+SELECT doc_id, content_hash, shingle_fp,
+       MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper_id,
+       CAST(COUNT(*) OVER (PARTITION BY content_hash) AS BIGINT) AS group_size
+FROM h
+"""
 
 _VECTOR_OPS_SQL = """
 WITH p AS (
@@ -1863,69 +1984,84 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
 FROM events GROUP BY 1, 2
 """
 
-_DISTINCT_USERS_SQL = "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+# curated-union oracles: each merged entry unions its members' exact
+# formulations (DuckDB allows WITH-bearing subqueries inside parentheses)
+_LAYOUTS_SQL = f"""
+SELECT s.strategy, p.query_id, p.block_id, p.document_id, p.distance, p.rank
+FROM ({_PREFILTER_SQL}) p
+CROSS JOIN (SELECT unnest(['role_partition', 'comb_role', 'rls', 'qdtree']) AS strategy) s
+"""
+
+_NEARDUP_PAIRS_SQL = f"""
+SELECT 'minhash' AS method, id_a, id_b, 1.0 AS score FROM ({_MINHASH_SQL})
+UNION ALL
+SELECT 'ngram_jaccard' AS method, id_a, id_b, jaccard AS score FROM ({_JACCARD_SQL})
+UNION ALL
+SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS DOUBLE) AS score FROM ({_SIMHASH_SQL})
+UNION ALL
+SELECT 'levenshtein' AS method, id_a, id_b, CAST(edit_dist AS DOUBLE) AS score FROM ({_LEVENSHTEIN_SQL})
+UNION ALL
+SELECT 'cosine' AS method, id_a, id_b, cosine_sim AS score FROM ({_COSINE_NEARDUP_SQL})
+"""
+
+_RETRIEVAL_SQL = f"""
+SELECT 'bm25' AS method, query_id, doc_id, score, rank FROM ({_BM25_SQL})
+UNION ALL
+SELECT 'rbac_bm25' AS method, query_id, doc_id, score, rank FROM ({_RBAC_BM25_SQL})
+UNION ALL
+SELECT 'hybrid_rrf' AS method, query_id, doc_id, rrf_score AS score, rank FROM ({_HYBRID_SQL})
+"""
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "rbac_prefilter_topk": _PREFILTER_SQL,
         "rbac_postfilter_topk": _POSTFILTER_SQL,
-        "rbac_role_partition_topk": _PREFILTER_SQL,
-        "rbac_comb_role_topk": _PREFILTER_SQL,
-        "rbac_rls_topk": _PREFILTER_SQL,
-        "rbac_qdtree_topk": _PREFILTER_SQL,
+        "rbac_layouts_topk": _LAYOUTS_SQL,
         "rbac_dynamic_topk": _DYNAMIC_SQL,
         "rbac_topk_fast": _GLOBAL_TOPK_SQL,
         "rbac_selectivity": _SELECTIVITY_SQL,
-        "cosine_topk": _COSINE_TOPK_SQL,
-        "hamming_topk": _HAMMING_TOPK_SQL,
-        "sparse_cosine_topk": _SPARSE_COSINE_SQL,
         "rbac_adaptive_topk": _ADAPTIVE_SQL,
         "generated_rbac_topk": _GENERATED_SQL,
         "sharing_tree_rbac_topk": _SHARING_SQL,
         "rbac_prefilter_zipf_topk": _ZIPF_SQL,
-        "cosine_neardup": _COSINE_NEARDUP_SQL,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "hamming_topk": _HAMMING_TOPK_SQL,
+        "sparse_cosine_topk": _SPARSE_COSINE_SQL,
+        "vector_ops": _VECTOR_OPS_SQL,
+        "int8_topk": _INT8_TOPK_SQL,
+        # ann_recall: approximate ops → rows-only check by design
         "exact_dedup": _EXACT_DEDUP_SQL,
-        "minhash_candidates": _MINHASH_SQL,
-        "ngram_jaccard": _JACCARD_SQL,
-        "simhash_pairs": _SIMHASH_SQL,
+        "neardup_pairs": _NEARDUP_PAIRS_SQL,
         "neardup_clusters": _CLUSTERS_SQL,
-        "levenshtein_neardup": _LEVENSHTEIN_SQL,
         "curated_corpus": _CURATED_SQL,
-        # multimodal_features: binary decode plumbing → rows-only check
-        "remove_boilerplate": _BOILERPLATE_SQL,
-        "mixture_sample": _MIXTURE_SQL,
-        "contamination_check": _CONTAMINATION_SQL,
-        "bm25_topk": _BM25_SQL,
-        "rbac_bm25_topk": _RBAC_BM25_SQL,
-        "hybrid_rrf_topk": _HYBRID_SQL,
-        "quality_quantile_filter": _QUANTILE_FILTER_SQL.format(text_stats=_TEXT_STATS_SQL),
-        "random_projection": curation.random_projection_oracle_sql(out_dim=8, seed=42, dim=64),
         "stratified_sample": _STRATIFIED_SQL,
         "pack_sequences": _PACK_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
-        "int8_topk": _INT8_TOPK_SQL,
+        "remove_boilerplate": _BOILERPLATE_SQL,
+        "random_projection": curation.random_projection_oracle_sql(out_dim=8, seed=42, dim=64),
+        "mixture_sample": _MIXTURE_SQL,
+        "quality_quantile_filter": _QUANTILE_FILTER_SQL.format(text_stats=_TEXT_STATS_SQL),
+        "contamination_check": _CONTAMINATION_SQL,
+        "retrieval_topk": _RETRIEVAL_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "pii_scrub": _PII_SQL,
-        "event_value_quantiles": _QUANTILES_SQL,
-        "doc_fingerprints": _FINGERPRINT_SQL,
-        "vector_ops": _VECTOR_OPS_SQL,
-        "asof_last_order": _ASOF_SQL,
-        "range_join_trailing_hour": _RANGE_JOIN_SQL,
-        "daily_type_pivot": _PIVOT_SQL,
-        "time_rollup": _TIME_ROLLUP_SQL,
-        "events_json_stats": _EVENTS_JSON_SQL,
-        "skew_salted_join": _SALTED_JOIN_SQL,
-        "order_priority_returns": _Q4_SEMI_SQL,
-        "brands_without_returns": _Q16_ANTI_SQL,
+        # multimodal_features: binary decode plumbing → rows-only check
         "pricing_summary": _PRICING_SQL,
         "shipping_priority": _SHIPPING_SQL,
         "nation_volume": _NATION_VOLUME_SQL,
         "top_parts_per_brand": _TOP_PARTS_SQL,
-        "revenue_rollup": _ROLLUP_SQL,
-        "customer_running_totals": _RUNNING_TOTALS_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "hourly_event_stats": _HOURLY_SQL,
-        "distinct_users": _DISTINCT_USERS_SQL,
-        # ivf_recall / lsh_recall: approximate → rows-only check by design
+        "event_value_quantiles": _QUANTILES_SQL,
+        "revenue_rollup": _ROLLUP_SQL,
+        "customer_running_totals": _RUNNING_TOTALS_SQL,
+        "order_priority_returns": _Q4_SEMI_SQL,
+        "brands_without_returns": _Q16_ANTI_SQL,
+        "skew_salted_join": _SALTED_JOIN_SQL,
+        "events_json_stats": _EVENTS_JSON_SQL,
+        "daily_type_pivot": _PIVOT_SQL,
+        "asof_last_order": _ASOF_SQL,
+        "range_join_trailing_hour": _RANGE_JOIN_SQL,
+        "time_rollup": _TIME_ROLLUP_SQL,
     }

@@ -2,7 +2,13 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "recall": {strategy: {"recall_at_10": r, "sec": s}}, "sf": ...}
+
+The ``recall`` block mirrors the reference's ``run_search_experiment``
+(basic_benchmark/common_function.py): per-strategy (latency, recall@10)
+pairs, so speed and accuracy are read together — a fast ANN strategy only
+counts if its recall holds.
 """
 
 from __future__ import annotations
@@ -19,12 +25,30 @@ from vectorsearch_rbac_spark.sources import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Registry entries are the driver-checked surface; merged union entries
+# (rbac_layouts, neardup_pairs, retrieval, ann_recall) are benched through
+# their member functions instead so per-operator timings stay visible.
+EXTRA = {
+    "rbac_comb_role_topk": entry.q_rbac_comb_role_topk,
+    "cosine_neardup": entry.q_cosine_neardup,
+    "minhash_candidates": entry.q_minhash_candidates,
+    "ngram_jaccard": entry.q_ngram_jaccard,
+    "simhash_pairs": entry.q_simhash_pairs,
+    "bm25_topk": entry.q_bm25_topk,
+    "rbac_bm25_topk": entry.q_rbac_bm25_topk,
+    "hybrid_rrf_topk": entry.q_hybrid_rrf_topk,
+    "ivf_recall": entry.q_ivf_recall,
+    "pq_recall": entry.q_pq_recall,
+}
+
 HEADLINE = [
     "rbac_prefilter_topk",
     "rbac_postfilter_topk",
     "rbac_comb_role_topk",
     "rbac_dynamic_topk",
     "rbac_topk_fast",
+    "rbac_prefilter_zipf_topk",
+    "sharing_tree_rbac_topk",
     "cosine_topk",
     "hamming_topk",
     "sparse_cosine_topk",
@@ -67,6 +91,41 @@ HEADLINE = [
 ]
 
 
+def _mean_recall(df) -> float:
+    from pyspark.sql import functions as F
+
+    return round(df.agg(F.avg("recall")).first()[0], 4)
+
+
+def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
+    """(latency, recall@10) per search strategy — run_search_experiment parity.
+
+    prefilter/postfilter recall is measured against exact permitted ground
+    truth; ivf/lsh/pq against the exact unfiltered top-k.
+    """
+    from vectorsearch_rbac_spark.operators import knn
+
+    out: dict[str, dict[str, float]] = {}
+    truth = entry.q_rbac_prefilter_topk(spark, SF_DIR)
+    for name, fn in (
+        ("prefilter", entry.q_rbac_prefilter_topk),
+        ("postfilter", entry.q_rbac_postfilter_topk),
+    ):
+        t0 = time.time()
+        pred = fn(spark, SF_DIR)
+        r = _mean_recall(knn.recall_at_k(pred, truth))
+        out[name] = {"recall_at_10": r, "sec": round(time.time() - t0, 3)}
+    for name, fn in (
+        ("ivf", entry.q_ivf_recall),
+        ("lsh", entry.q_lsh_recall),
+        ("pq", entry.q_pq_recall),
+    ):
+        t0 = time.time()
+        r = _mean_recall(fn(spark, SF_DIR))
+        out[name] = {"recall_at_10": r, "sec": round(time.time() - t0, 3)}
+    return out
+
+
 def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
@@ -83,15 +142,19 @@ def main() -> None:
     # that plan shape (~1s/query, a fixed cost irrelevant at cluster scale);
     # run 2 measures the engine's actual execution throughput.
     for name in HEADLINE:
+        fn = qs.get(name, EXTRA.get(name))
         best, n = None, 0
         for _ in range(2):
             t0 = time.time()
-            df = qs[name](spark, SF_DIR)
+            df = fn(spark, SF_DIR)
             n = df.count()
             el = time.time() - t0
             best = el if best is None or el < best else best
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    recalls = _strategy_recalls(spark)
+    for s, v in recalls.items():
+        print(f"# recall {s}: {v['recall_at_10']} in {v['sec']}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -101,6 +164,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall": recalls,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -229,6 +229,20 @@ def test_sharing_tree_generator_closure(spark):
     assert base.groupBy("document_id").count().where(F.col("count") > 1).count() > 0
 
 
+def test_distinct_users_exact_and_approx(spark, sf_dir):
+    """F7 distinct counting: exact countDistinct vs the mergeable HLL path
+    (approx must land within 5% of exact on every event type)."""
+    from vectorsearch_rbac_spark.plans import queries as PQ
+    from vectorsearch_rbac_spark.sources import load_table as lt
+
+    events = lt(spark, "events", sf_dir)
+    exact = {r["event_type"]: r["n_users"] for r in PQ.distinct_users_per_type(events).collect()}
+    approx = {r["event_type"]: r["n_users"] for r in PQ.distinct_users_per_type(events, approx=True).collect()}
+    assert set(exact) == set(approx) and len(exact) > 0
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(0.05 * v, 2)
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     doc = load_table(spark, "documents", sf_dir).limit(20)
     media = multimodal.synthesize_media(doc, kind="image")
@@ -481,10 +495,10 @@ def test_cli_list_and_oracle(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "rbac_prefilter_topk  [exact-oracle]" in out
-    assert "pq_recall  [rows-only]" in out
+    assert "ann_recall  [rows-only]" in out
     assert main(["oracle", "pricing_summary"]) == 0
     assert "ROUND(SUM(l_quantity), 2)" in capsys.readouterr().out
-    assert main(["oracle", "pq_recall"]) == 1  # rows-only → no SQL
+    assert main(["oracle", "ann_recall"]) == 1  # rows-only → no SQL
     assert main(["run", "nonexistent_query"]) == 2
 
 

@@ -423,17 +423,17 @@ def neardup_clusters(
         )
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    def _round(cur: DataFrame) -> DataFrame:
         # min label among neighbors, then combine with own label (no union:
         # join + least keeps the plan a simple agg→join chain)
         nbr = (
-            sym.join(labels.select(F.col("node").alias("src"), "cluster_id"), "src")
+            sym.join(cur.select(F.col("node").alias("src"), "cluster_id"), "src")
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("_nbr_min"))
             .withColumnRenamed("dst", "node")
         )
         new = (
-            labels.join(nbr, "node", "left")
+            cur.join(nbr, "node", "left")
             .select(
                 "node",
                 F.least(
@@ -443,7 +443,7 @@ def neardup_clusters(
         )
         # pointer jumping: point each node at its label's label, so chains
         # collapse in O(log diameter) rounds instead of O(diameter)
-        new = (
+        return (
             new.alias("a")
             .join(
                 new.select(
@@ -457,12 +457,25 @@ def neardup_clusters(
                 F.coalesce("b._lc", "a.cluster_id").alias("cluster_id"),
             )
             # lazy: the convergence count below materializes it — one job
-            # per round instead of two
+            # per (double-)round instead of two
             .localCheckpoint(eager=False)
         )
+
+    # Two propagation rounds per convergence check: labels only decrease, so
+    # "unchanged across a double round" ⇒ each half was a fixpoint. Halves
+    # the driver-side job count — on a small candidate subgraph the per-job
+    # scheduling floor, not the data, dominates the loop's wall-clock.
+    it = 0
+    while it < max_iter:
+        prev = labels
+        new = _round(labels)
+        it += 1
+        if it < max_iter:
+            new = _round(new)
+            it += 1
         changed = (
             new.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(prev.alias("o"), "node")
             .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .limit(1)
             .count()

@@ -24,27 +24,17 @@ BM25_B = 0.75
 RRF_K = 60
 
 
-def bm25_topk(
+def bm25_scores(
     documents: DataFrame,
     query_terms: DataFrame,
-    k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
-    permitted: DataFrame | None = None,
 ) -> DataFrame:
-    """BM25 top-k per query: ``query_terms`` is (query_id, terms
-    array<string>); score(d,q) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·len/avg)),
-    idf = ln(1 + (N-df+0.5)/(df+0.5)); rounded to 6 dp, ties by doc id.
-
-    ``permitted`` (optional, (query_id, doc_id)) applies RBAC to keyword
-    search the way the reference applies it to vector search: a semi-join
-    drops unpermitted docs BEFORE the rank window, so corpus statistics
-    (idf, avg_len) stay global but the ranking is permission-aware —
-    prefilter semantics, same as `knn.knn_prefilter`.
-
-    Scale: tf/df are the same two shuffles the TF-IDF operator pays; the
-    query side explodes to (query_id, term) — queries are dim-sized, so the
-    term join broadcasts them; the per-query rank window ships (ids, score).
+    """Rank-free BM25 score table (query_id, doc_id, score) — the expensive
+    half of `bm25_topk` (tf/df/dlen aggregates over the corpus), split out
+    so one scored table can feed several rankings (plain, RBAC-filtered,
+    hybrid shortlist) without recomputing the corpus aggregates; callers
+    that fan out localCheckpoint the result once.
     """
     toks = documents.select(F.col(id_col).alias("doc_id"), F.explode(T.tokens(text_col)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
@@ -73,6 +63,16 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
+    return scored
+
+
+def bm25_rank(
+    scored: DataFrame,
+    k: int = 10,
+    permitted: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k rank over a `bm25_scores` table: optional RBAC semi-join BEFORE
+    the rank window (prefilter semantics), ties by doc id."""
     if permitted is not None:
         scored = scored.join(
             F.broadcast(permitted.select("query_id", F.col("doc_id"))), ["query_id", "doc_id"], "left_semi"
@@ -83,6 +83,31 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    permitted: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k per query: ``query_terms`` is (query_id, terms
+    array<string>); score(d,q) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·len/avg)),
+    idf = ln(1 + (N-df+0.5)/(df+0.5)); rounded to 6 dp, ties by doc id.
+
+    ``permitted`` (optional, (query_id, doc_id)) applies RBAC to keyword
+    search the way the reference applies it to vector search: a semi-join
+    drops unpermitted docs BEFORE the rank window, so corpus statistics
+    (idf, avg_len) stay global but the ranking is permission-aware —
+    prefilter semantics, same as `knn.knn_prefilter`.
+
+    Scale: tf/df are the same two shuffles the TF-IDF operator pays; the
+    query side explodes to (query_id, term) — queries are dim-sized, so the
+    term join broadcasts them; the per-query rank window ships (ids, score).
+    """
+    return bm25_rank(bm25_scores(documents, query_terms, id_col, text_col), k, permitted)
 
 
 def rrf_fuse(
