@@ -18,6 +18,7 @@ from vectorsearch_rbac_spark.sources import load_table
 from vectorsearch_rbac_spark.rbac import derive
 from vectorsearch_rbac_spark.operators import knn, ann, curation, dedup, dynamic, ivf, partitioning
 from vectorsearch_rbac_spark.functions import text as T
+from vectorsearch_rbac_spark.functions import vector as V
 from vectorsearch_rbac_spark.plans import queries as PQ
 
 TOPK = 10
@@ -171,6 +172,25 @@ def q_hamming_topk(spark, sf_dir):
     """Bit-packed hamming top-k (pgvector bit-search parity)."""
     t = _rbac(spark, sf_dir)
     out = ann.hamming_topk(t["embeddings"], t["queries"], k=TOPK)
+    return _i(out, "query_id", "vec_id", "rank")
+
+
+def q_halfvec_topk(spark, sf_dir):
+    """halfvec (fp16) L2 top-k — pgvector ``halfvec`` parity (SURVEY §1):
+    corpus and query vectors are rounded to their nearest IEEE binary16
+    values (round-half-even, bit-exact vs numpy float16 — pytest-pinned)
+    before an exact L2 search. The 2-bytes-per-component storage tier;
+    tools/space_report.py prices it (reference
+    basic_benchmark/space_calculate.py:19 BYTES_PER_COMPONENT)."""
+    t = _rbac(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", V.fp16_quantize("embedding").alias("embedding"))
+    qs = t["queries"].select("query_id", V.fp16_quantize("query_vector").alias("query_vector"))
+    scored = (
+        emb.join(F.broadcast(qs), how="cross")
+        .withColumn("distance", F.round(V.l2_distance("embedding", "query_vector"), 6) + F.lit(0.0))
+        .select("query_id", "vec_id", "distance")
+    )
+    out = knn.topk_per_query(scored, TOPK, id_col="vec_id")
     return _i(out, "query_id", "vec_id", "rank")
 
 
@@ -860,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "hamming_topk": q_hamming_topk,
         "sparse_cosine_topk": q_sparse_cosine_topk,
+        "halfvec_topk": q_halfvec_topk,
         "vector_ops": q_vector_ops,
         "int8_topk": q_int8_topk,
         "ann_recall": q_ann_recall,
@@ -1713,6 +1734,33 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_T}
 """
 
+# IEEE binary16 round-trip (matches functions/vector.py fp16_quantize):
+# round_even == Spark bround; power-of-two scaling is exact in double.
+_FP16 = (
+    "list_transform({v}::DOUBLE[], x -> CASE "
+    "WHEN abs(x) >= 65520.0 THEN 65504.0 * sign(x) "
+    "WHEN abs(x) < 6.103515625e-05 THEN round_even(x * 16777216.0, 0) / 16777216.0 "
+    "ELSE round_even(x / pow(2.0, floor(log2(abs(x))) - 10), 0)"
+    " * pow(2.0, floor(log2(abs(x))) - 10) END)"
+)
+
+_HALFVEC_TOPK_SQL = f"""
+WITH eh AS (
+  SELECT vec_id, {_FP16.format(v="embedding")} AS h FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, h AS qh FROM eh WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_distance(e.h, q.qh), 6) + 0.0 AS distance
+  FROM eh e CROSS JOIN qs q
+)
+SELECT query_id, vec_id, distance, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
 _COSINE_TOPK_SQL = """
 WITH qs AS (
   SELECT vec_id AS query_id, embedding AS query_vector
@@ -2028,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         "hamming_topk": _HAMMING_TOPK_SQL,
         "sparse_cosine_topk": _SPARSE_COSINE_SQL,
+        "halfvec_topk": _HALFVEC_TOPK_SQL,
         "vector_ops": _VECTOR_OPS_SQL,
         "int8_topk": _INT8_TOPK_SQL,
         # ann_recall: approximate ops → rows-only check by design

@@ -52,6 +52,7 @@ HEADLINE = [
     "cosine_topk",
     "hamming_topk",
     "sparse_cosine_topk",
+    "halfvec_topk",
     "cosine_neardup",
     "minhash_candidates",
     "neardup_clusters",

@@ -102,6 +102,34 @@ def test_vector_function_identities(spark):
     assert list(r2["tail"]) == [4.0]
 
 
+def test_fp16_quantize_bit_exact_vs_numpy(spark, sf_dir):
+    """halfvec parity: fp16_quantize must reproduce the IEEE binary16
+    round-trip bit-for-bit (numpy float16 is the ground truth) on real
+    embeddings AND on the edge lattice (zeros, subnormals, boundaries);
+    the one pinned divergence is overflow, which saturates to ±65504
+    instead of numpy's ±Infinity."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(100)
+    rows = emb.select("vec_id", "embedding", V.fp16_quantize("embedding").alias("q")).collect()
+    assert len(rows) > 0
+    for r in rows:
+        ref = np.float64(np.float16(np.asarray(r["embedding"], dtype=np.float32)))
+        assert np.array_equal(ref, np.asarray(r["q"]))
+
+    edge = [0.0, -0.0, 1e-9, 2.0 ** -25, 2.0 ** -24, 6.0e-5, 2.0 ** -14,
+            0.1, -0.333333, 1.0, 2048.1, 65504.0, 65519.0]
+    got = (
+        spark.createDataFrame([(edge,)], "v array<double>")
+        .select(V.fp16_quantize("v").alias("q")).first()["q"]
+    )
+    assert got == [float(np.float64(np.float16(x))) for x in edge]
+    # overflow saturates (finite), rather than numpy's inf
+    sat = spark.createDataFrame([([65520.0, -1e6],)], "v array<double>").select(
+        V.fp16_quantize("v").alias("q")).first()["q"]
+    assert sat == [65504.0, -65504.0]
+
+
 def test_packed_hamming_matches_array_hamming(spark, sf_dir):
     """bit_count(xor) on packed words must equal the element-wise hamming
     on the 0/1 arrays, for every pair in a sample."""
@@ -241,6 +269,35 @@ def test_distinct_users_exact_and_approx(spark, sf_dir):
     assert set(exact) == set(approx) and len(exact) > 0
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(0.05 * v, 2)
+
+
+def test_space_report_layouts(spark, sf_dir, tmp_path):
+    """Space accounting (reference space_calculate.py parity): the fp16
+    binary tier must round-trip through fp16_pack/unpack to exactly the
+    quantized lattice, logical sizes must follow the bytes-per-component
+    table (halfvec = vector/2, int8 = vector/4), and role-partition
+    physical bytes must exceed comb-role (replication vs single-copy)."""
+    from vectorsearch_rbac_spark.sources import space
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rt = emb.limit(20).select(
+        "vec_id",
+        V.fp16_quantize("embedding").alias("q"),
+        space.fp16_unpack(space.fp16_pack(V.fp16_quantize("embedding"))).alias("rt"),
+    )
+    for r in rt.collect():
+        assert [float(x) for x in r["q"]] == [float(x) for x in r["rt"]]
+
+    rep = space.space_report(spark, sf_dir, str(tmp_path))
+    assert set(rep) == {"flat", "role_partition", "comb_role", "halfvec", "int8", "bit"}
+    for v in rep.values():
+        assert v["physical_mb"] > 0 and v["files"] > 0 and v["logical_mb"] > 0
+    # report values carry 3-dp rounding → bound the check by that error
+    assert abs(rep["halfvec"]["logical_mb"] - rep["flat"]["logical_mb"] / 2) <= 2e-3
+    assert abs(rep["int8"]["logical_mb"] - rep["flat"]["logical_mb"] / 4) <= 2e-3
+    # per-role replication stores shared blocks once per role
+    assert rep["role_partition"]["physical_mb"] > rep["comb_role"]["physical_mb"]
+    assert rep["role_partition"]["logical_mb"] > rep["flat"]["logical_mb"]
 
 
 def test_multimodal_plumbing(spark, sf_dir):

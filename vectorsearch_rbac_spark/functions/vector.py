@@ -115,6 +115,39 @@ def binary_quantize(a: ColumnOrName) -> Column:
     return F.transform(_c(a), lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)))
 
 
+FP16_MAX = 65504.0  # largest finite binary16 value
+
+
+def fp16_quantize(a: ColumnOrName) -> Column:
+    """pgvector ``halfvec`` parity: round every component to its nearest
+    IEEE-754 binary16 value (round-half-even), kept as double so downstream
+    distance math is unchanged — the 2-bytes-per-component storage tier
+    (reference basic_benchmark/space_calculate.py:19 prices halfvec at 2).
+
+    Pure expression → whole-stage codegen, and exactly mirrorable in SQL
+    (DuckDB ``round_even``), so fp16 search keeps an exact oracle:
+    - normal range (|x| ≥ 2⁻¹⁴): step = 2^(floor(log2|x|) − 10) — an 11-bit
+      significand; dividing by a power of two is exact in double, bround is
+      exact, so the result is bit-identical to a float16 round-trip.
+    - subnormal (|x| < 2⁻¹⁴): fixed step 2⁻²⁴.
+    - overflow (|x| ≥ 65520): saturates to ±65504. binary16 rounds these to
+      ±Infinity; a scan-side quantizer prefers a finite saturation to
+      poisoning distances with Inf (unreachable for unit-norm embeddings;
+      divergence pinned in tests).
+    """
+    def _one(x: Column) -> Column:
+        x = x.cast("double")
+        ax = F.abs(x)
+        step = F.pow(F.lit(2.0), (F.floor(F.log2(ax)) - F.lit(10)).cast("double"))
+        return (
+            F.when(ax >= F.lit(65520.0), F.lit(FP16_MAX) * F.signum(x))
+            .when(ax < F.lit(2.0 ** -14), F.bround(x * F.lit(2.0 ** 24)) / F.lit(2.0 ** 24))
+            .otherwise(F.bround(x / step) * step)
+        )
+
+    return F.transform(_c(a), _one)
+
+
 def hamming_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     """pgvector ``<~>`` on bit vectors (bitutils.c); inputs are 0/1 arrays."""
     return F.aggregate(
