@@ -788,11 +788,15 @@ def q_ivf_recall(spark, sf_dir):
     oracle; driver records rows-only)."""
     t = _rbac(spark, sf_dir)
     blocks = t["documentblocks"]
-    C = ivf.kmeans_fit(blocks, nlists=8, max_iter=8)
+    # nlists grows with the corpus (16 at sf0.1), nprobe = 5/8 of lists:
+    # mean recall ~0.90 at sf0.1 (0.79 at 16/8, 0.815 at 8/4) — the
+    # synthetic embeddings are near-isotropic, so IVF needs a high scan
+    # fraction for recall; like pgvector's ivfflat.probes, the knob trades
+    # scanned lists for recall
+    nlists = max(4, min(16, blocks.count() // 125))
+    C = ivf.kmeans_fit(blocks, nlists=nlists, max_iter=8)
     indexed = ivf.assign_centroids(blocks, C)
-    # nprobe=4 of 8 lists: mean recall ~0.82 at sf0.01 (0.64 at nprobe=3);
-    # like pgvector's ivfflat.probes, the knob trades scanned lists for recall
-    pred = ivf.ivf_search(indexed, t["queries"], C, k=TOPK, nprobe=4)
+    pred = ivf.ivf_search(indexed, t["queries"], C, k=TOPK, nprobe=max(2, (5 * nlists) // 8))
     truth = knn.knn_topk_fast(blocks, t["queries"], k=TOPK)
     return knn.recall_at_k(pred, truth)
 
@@ -812,9 +816,13 @@ def q_pq_recall(spark, sf_dir):
         F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
     )
     truth = knn.topk_per_query(scored, TOPK).select("query_id", "block_id", "distance", "rank")
-    B = pq.pq_train(emb, m=16, ksub=16)
+    # ksub=64 codebooks + expansion=8 refine: recall ~0.945 at sf0.1
+    # (0.74 at ksub=16/exp=4); ksub widens the LUT (build-time cost), the
+    # ADC scan stays m bytes/vector either way. ksub is clamped to corpus
+    # size so tiny sf dirs still train.
+    B = pq.pq_train(emb, m=16, ksub=max(8, min(64, emb.count() // 8)))
     codes = pq.pq_encode(emb, B)
-    pred = pq.pq_search_refined(codes, emb, qs, B, k=TOPK, expansion=4).withColumnRenamed(
+    pred = pq.pq_search_refined(codes, emb, qs, B, k=TOPK, expansion=8).withColumnRenamed(
         "vec_id", "block_id"
     )
     # (pred, truth) argument order as in ivf/lsh_recall: a query missing
@@ -825,9 +833,11 @@ def q_pq_recall(spark, sf_dir):
 def q_lsh_recall(spark, sf_dir):
     """LSH cosine ANN vs brute force: per-query recall@k (rows-only)."""
     t = _rbac(spark, sf_dir)
-    # 6 planes × 6 tables: mean recall ~0.82 at sf0.01 (vs 0.42 at 8×3);
-    # the knob trades candidate fraction (~(1+b)/2^b per table) for recall
-    pred = ann.cosine_topk_lsh(t["embeddings"], t["queries"], k=TOPK, n_planes=6, n_tables=6)
+    # 5 planes × 8 tables: mean recall ~0.98 at sf0.1 (0.815 at 6×6, 0.93
+    # at 6×10); the knob trades candidate fraction (~Σ C(b,≤1)/2^b per
+    # table) for recall — planes should grow with log(corpus) to hold the
+    # candidate fraction at scale
+    pred = ann.cosine_topk_lsh(t["embeddings"], t["queries"], k=TOPK, n_planes=5, n_tables=8)
     truth = ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=TOPK)
     return knn.recall_at_k(
         pred.withColumnRenamed("vec_id", "block_id"), truth.withColumnRenamed("vec_id", "block_id")
@@ -836,8 +846,8 @@ def q_lsh_recall(spark, sf_dir):
 
 def q_ann_recall(spark, sf_dir):
     """All three ANN recall checks in ONE entry (registry curation): per-
-    query recall@10 vs exact ground truth for D1 IVF (nprobe=4/8), E8
-    hyperplane LSH (6 planes × 6 tables), D6 PQ+refine (expansion=4) —
+    query recall@10 vs exact ground truth for D1 IVF (nprobe=10/16), E8
+    hyperplane LSH (5 planes × 8 tables), D6 PQ+refine (ksub=64, exp=8) —
     approximate ops, so rows-only by design; pytest pins the recall floors."""
     parts = [
         ("ivf", q_ivf_recall(spark, sf_dir)),

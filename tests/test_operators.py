@@ -48,24 +48,42 @@ def test_scrub_pii_replaces_spans(spark):
     assert out["n"] == 4
 
 
-def test_neardup_clusters_transitive(spark):
+@pytest.mark.parametrize("thr", [2_000_000, 0])  # local union-find / distributed loop
+def test_neardup_clusters_transitive(spark, thr):
     """a~b and b~c (but a≁c directly) must land in one cluster; isolated
-    docs are singletons keyed by themselves."""
+    docs are singletons keyed by themselves — on BOTH the small-graph
+    union-find path and the iterative propagation path."""
     docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
     pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
-    got = {tuple(r) for r in dedup.neardup_clusters(docs, pairs).collect()}
+    got = {tuple(r) for r in dedup.neardup_clusters(docs, pairs, local_threshold=thr).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 7)}
-    kept = {r["doc_id"] for r in dedup.canonical_docs(dedup.neardup_clusters(docs, pairs)).collect()}
+    kept = {
+        r["doc_id"]
+        for r in dedup.canonical_docs(
+            dedup.neardup_clusters(docs, pairs, local_threshold=thr)
+        ).collect()
+    }
     assert kept == {1, 4, 5, 7}
 
 
-def test_neardup_clusters_chain_converges(spark):
+@pytest.mark.parametrize("thr", [2_000_000, 0])
+def test_neardup_clusters_chain_converges(spark, thr):
     """A long path graph exercises multi-round label propagation."""
     n = 40
     docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
-    got = dedup.neardup_clusters(docs, pairs)
+    got = dedup.neardup_clusters(docs, pairs, local_threshold=thr)
     assert got.where(F.col("cluster_id") != 0).count() == 0
+
+
+def test_neardup_clusters_paths_agree(spark, sf_dir):
+    """Union-find fallback and iterative propagation must produce identical
+    labels on a real candidate graph."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_candidates(docs, n=3, num_hashes=16, band_size=4).localCheckpoint()
+    a = dedup.neardup_clusters(docs, pairs).orderBy("doc_id").collect()
+    b = dedup.neardup_clusters(docs, pairs, local_threshold=0).orderBy("doc_id").collect()
+    assert a == b
 
 
 def test_simhash_close_on_neardups(docs):

@@ -386,6 +386,7 @@ def neardup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id, cluster_id)
     where cluster_id = min doc id in the component; docs in no pair are
@@ -400,6 +401,14 @@ def neardup_clusters(
     iteration is one join + one min-aggregate; converges in O(component
     diameter) rounds (near-dup components are shallow), lineage truncated
     per round with localCheckpoint.
+
+    Below ``local_threshold`` edges the labels are solved with a
+    driver-side union-find instead (identical min-id labels) — the same
+    small-graph fallback GraphFrames' ConnectedComponents ships: on a
+    subgraph this is the "broadcast the small side" move, replacing
+    O(rounds) Spark jobs with one bounded collect (~30 MB of longs at the
+    default threshold). The iterative path is the scale path and takes
+    over automatically past the threshold.
     """
     sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -410,6 +419,40 @@ def neardup_clusters(
     # of inheriting the corpus-wide shuffle width — per-round cost becomes
     # proportional to the graph, not to the cluster's task-scheduling floor.
     n_edges = sym.count()  # free: localCheckpoint already materialized it
+    docs = documents.select(F.col(id_col).cast("long").alias(id_col))
+    if n_edges <= local_threshold:
+        root: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while root[r] != r:
+                r = root[r]
+            while root[x] != r:  # path compression
+                root[x], x = r, root[x]
+            return r
+
+        pdf = sym.toPandas()  # Arrow path; bounded by local_threshold
+        for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            a, b = int(a), int(b)
+            root.setdefault(a, a)
+            root.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the root the component minimum,
+                # matching the propagation path's min-label semantics
+                if ra < rb:
+                    root[rb] = ra
+                else:
+                    root[ra] = rb
+        spark = documents.sparkSession
+        labels = spark.createDataFrame(
+            [(n, find(n)) for n in root], "node long, cluster_id long"
+        )
+        return docs.join(
+            F.broadcast(labels.withColumnRenamed("node", id_col)), id_col, "left"
+        ).select(
+            id_col, F.coalesce("cluster_id", F.col(id_col)).cast("long").alias("cluster_id")
+        )
     parts = max(1, min(sym.sparkSession.sparkContext.defaultParallelism, n_edges // 500_000))
     sym = sym.repartition(parts, "src").localCheckpoint()
     # seed labels at min(self, neighbors) — the first propagation round
@@ -483,7 +526,6 @@ def neardup_clusters(
         labels = new
         if changed == 0:
             break
-    docs = documents.select(F.col(id_col).cast("long").alias(id_col))
     return docs.join(
         F.broadcast(labels.withColumnRenamed("node", id_col)), id_col, "left"
     ).select(id_col, F.coalesce("cluster_id", F.col(id_col)).cast("long").alias("cluster_id"))
