@@ -783,6 +783,29 @@ def q_hourly_event_stats(spark, sf_dir):
     return _i(out, "n_events", "n_users")
 
 
+def q_streaming_hourly_stats(spark, sf_dir):
+    """G1 with a full-strength oracle: hourly event stats computed by a
+    REAL Structured Streaming query — events re-dropped as a directory of
+    parquet files, availableNow file-source stream, complete-mode
+    aggregation into a memory sink — and the result is identical to the
+    batch time-bucket plan, so the exact SQL oracle applies to a streaming
+    execution. (F6 semantics × G1 execution; n_users stays on the batch
+    variant — distinct aggregation is not streamable. Complete+availableNow
+    is the bounded-replay harness; the append+watermark pipelines in
+    streaming/pipelines.py are the unbounded production path, G-group
+    tests.)"""
+    import tempfile
+
+    from vectorsearch_rbac_spark import streaming as S
+
+    events = load_table(spark, "events", sf_dir)
+    drop = tempfile.mkdtemp(prefix="stream_hourly_") + "/in"
+    events.repartition(4).write.mode("overwrite").parquet(drop)
+    stream = S.stream_events_from_dir(spark, drop, max_files_per_trigger=2)
+    out = S.run_bounded_to_memory(S.hourly_stats_stream(stream))
+    return _i(out, "n_events")
+
+
 def q_ivf_recall(spark, sf_dir):
     """IVF ANN vs brute force: per-query recall@k (approximate op → no SQL
     oracle; driver records rows-only)."""
@@ -921,7 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_volume": q_nation_volume,
         "top_parts_per_brand": q_top_parts_per_brand,
         "sessionize_events": q_sessionize_events,
-        "hourly_event_stats": q_hourly_event_stats,
+        "streaming_hourly_stats": q_streaming_hourly_stats,
         "event_value_quantiles": q_event_value_quantiles,
         "revenue_rollup": q_revenue_rollup,
         "customer_running_totals": q_customer_running_totals,
@@ -2042,6 +2065,14 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
 FROM events GROUP BY 1, 2
 """
 
+# streaming variant: same bucketing minus the (non-streamable) distinct
+_STREAMING_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value, ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
 # curated-union oracles: each merged entry unions its members' exact
 # formulations (DuckDB allows WITH-bearing subqueries inside parentheses)
 _LAYOUTS_SQL = f"""
@@ -2111,7 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_volume": _NATION_VOLUME_SQL,
         "top_parts_per_brand": _TOP_PARTS_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
-        "hourly_event_stats": _HOURLY_SQL,
+        "streaming_hourly_stats": _STREAMING_HOURLY_SQL,
         "event_value_quantiles": _QUANTILES_SQL,
         "revenue_rollup": _ROLLUP_SQL,
         "customer_running_totals": _RUNNING_TOTALS_SQL,

@@ -38,6 +38,7 @@ EXTRA = {
     "rbac_bm25_topk": entry.q_rbac_bm25_topk,
     "hybrid_rrf_topk": entry.q_hybrid_rrf_topk,
     "ivf_recall": entry.q_ivf_recall,
+    "hourly_event_stats": entry.q_hourly_event_stats,
     "pq_recall": entry.q_pq_recall,
 }
 
@@ -81,7 +82,7 @@ HEADLINE = [
     "shipping_priority",
     "nation_volume",
     "sessionize_events",
-    "hourly_event_stats",
+    "streaming_hourly_stats",
     "events_json_stats",
     "daily_type_pivot",
     "asof_last_order",

@@ -45,6 +45,17 @@ def test_windowed_counts_match_batch(spark, event_dir, tmp_path, sf_dir):
     assert j.where(got["n_events"] != batch["n_events"]).count() == 0
 
 
+def test_bounded_memory_replay_equals_batch(spark, event_dir):
+    """complete-mode availableNow replay into a memory sink must equal the
+    batch plan exactly — the harness behind the streaming_hourly_stats
+    oracle entry (no window held back, unlike append mode)."""
+    stream = S.stream_events_from_dir(spark, event_dir, max_files_per_trigger=1)
+    got = S.run_bounded_to_memory(S.hourly_stats_stream(stream))
+    batch = S.hourly_stats_stream(spark.read.parquet(event_dir))
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
 def test_streaming_dedup(spark, event_dir, tmp_path):
     stream = S.stream_events_from_dir(spark, event_dir)
     out = _run(S.streaming_dedup(stream), str(tmp_path), "dedup")

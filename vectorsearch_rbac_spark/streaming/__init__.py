@@ -3,6 +3,8 @@ from .pipelines import (
     EVENT_SCHEMA,
     stream_events_from_dir,
     windowed_event_counts,
+    run_bounded_to_memory,
+    hourly_stats_stream,
     streaming_dedup,
     streaming_sessionize,
     stateful_user_stats,
@@ -15,6 +17,8 @@ __all__ = [
     "EVENT_SCHEMA",
     "stream_events_from_dir",
     "windowed_event_counts",
+    "run_bounded_to_memory",
+    "hourly_stats_stream",
     "streaming_dedup",
     "streaming_sessionize",
     "stateful_user_stats",

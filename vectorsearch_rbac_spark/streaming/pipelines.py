@@ -67,6 +67,60 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: 
     )
 
 
+_MEMORY_SINK_SEQ = iter(range(1, 1 << 30))
+
+
+def run_bounded_to_memory(stream_df: DataFrame, output_mode: str = "complete", timeout_s: int = 300) -> DataFrame:
+    """Execute a streaming plan over the files currently present
+    (``availableNow``) into a memory sink and return the result table —
+    the bounded-replay harness that lets a streaming pipeline answer a
+    batch-comparable (oracle-checkable) query.
+
+    ``complete`` mode emits every group regardless of watermark (append
+    mode holds back windows the watermark hasn't sealed, so the last
+    window of a bounded replay never flushes). Complete mode keeps all
+    groups in state — fine when the result is aggregate-sized; the
+    append+watermark pipelines above are the unbounded production path.
+    """
+    name = f"bounded_memory_sink_{next(_MEMORY_SINK_SEQ)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(name)
+
+
+def hourly_stats_stream(events: DataFrame) -> DataFrame:
+    """Streaming form of plans.queries.hourly_event_stats (F6×G1): the
+    same date_trunc('hour') bucketing and aggregates, minus the distinct
+    user count — distinct aggregation is not streamable (Spark would need
+    unbounded per-key sets); the batch path keeps n_users, the stream
+    pairs with streaming_dedup or approx_count_distinct when uniques are
+    needed online."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("_sv"),
+            F.avg("value").alias("_av"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("_sv", 6).alias("total_value"),
+            F.round("_av", 6).alias("avg_value"),
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once-per-key within the watermark horizon (G2): state stores
     only keys inside the horizon, so memory is bounded at any scale."""
