@@ -387,12 +387,14 @@ def recall_at_k(predicted: DataFrame, truth: DataFrame) -> DataFrame:
     Parity: ``common_function.py:1154`` (compute_recall — |pred ∩ truth| /
     |truth| averaged over queries).
     """
+    # both sides are Q×k rank lists (dim-sized) — broadcast so the recall
+    # diagnostic never sort-merge-shuffles
     hits = predicted.select("query_id", "block_id").join(
-        truth.select("query_id", "block_id"), ["query_id", "block_id"]
+        F.broadcast(truth.select("query_id", "block_id")), ["query_id", "block_id"]
     )
     per_q = (
         truth.groupBy("query_id").agg(F.count("*").alias("n_truth"))
-        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .join(F.broadcast(hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))), "query_id", "left")
         .select(
             "query_id",
             (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("recall"),
