@@ -213,3 +213,17 @@ def test_pq_refined_recall(spark, sf_dir):
     # sf0.001 is the hard regime for PQ (50-vector codebook sample); the
     # sf0.01 entry (m=16, expansion=4) sits at ~0.86
     assert r >= 0.6, f"PQ+refine recall too low: {r}"
+
+
+def test_ivf_list_stats_balance(t):
+    """list_stats must account for every block exactly once and report the
+    max/mean imbalance ratio consistently on every row."""
+    from vectorsearch_rbac_spark.operators import ivf
+
+    blocks = t["documentblocks"]
+    C = ivf.kmeans_fit(blocks, nlists=8, max_iter=8)
+    stats = ivf.list_stats(ivf.assign_centroids(blocks, C)).collect()
+    assert sum(r["n_blocks"] for r in stats) == blocks.count()
+    assert abs(sum(r["frac"] for r in stats) - 1.0) < 1e-4
+    imb = {r["imbalance"] for r in stats}
+    assert len(imb) == 1 and min(imb) >= 1.0

@@ -136,3 +136,32 @@ def ivf_search(
         F.round(dist("vector", "query_vector"), 6).alias("distance"),
     )  # vectors pruned before the rank shuffle
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
+
+
+def list_stats(indexed_blocks: DataFrame) -> DataFrame:
+    """Per-list balance diagnostics: (centroid_id, n_blocks, frac) plus the
+    batch-wide imbalance ratio (max list / mean list) on every row.
+
+    The IVF analog of the reference's partition-size accounting
+    (``basic_benchmark/space_calculate.py`` prints per-table sizes;
+    ``heavy_partition_refine.py`` triggers on oversized partitions): a list
+    holding ≫ corpus/nlists means probes scan more than they should and
+    one task straggles — at 100 TB the imbalance ratio is the alert that
+    says "re-fit centroids or split the hot list".
+    """
+    sizes = indexed_blocks.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_blocks"))
+    tot = sizes.agg(
+        F.sum("n_blocks").alias("_tot"),
+        F.max("n_blocks").alias("_max"),
+        F.avg("n_blocks").alias("_mean"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "centroid_id",
+            "n_blocks",
+            F.round(F.col("n_blocks") / F.col("_tot"), 6).alias("frac"),
+            F.round(F.col("_max") / F.col("_mean"), 6).alias("imbalance"),
+        )
+        .orderBy("centroid_id")
+    )

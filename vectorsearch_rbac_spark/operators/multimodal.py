@@ -71,29 +71,49 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, n_bytes long"
 
 
-def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
-    """Decode + pool features per media row, Arrow-batched.
+def _decode_grid(payload: bytes, width: int, height: int, gw: int, gh: int) -> np.ndarray:
+    """Decode + sample onto a fixed (gh, gw, 3) grid — the codec boundary.
 
-    The per-batch loop is vectorizable numpy; partition count controls
-    parallelism — at 100 TB this is a map-only stage with no shuffle.
+    Real codecs (PIL/ffmpeg) are per-image C calls that release the GIL;
+    what matters for the Spark hot path is that they return FIXED-size
+    tensors so the rest of the batch is one stacked numpy op, not a
+    per-row Python loop."""
+    img = _decode_image(payload, width, height)
+    ys = np.linspace(0, img.shape[0] - 1, gh).astype(int)
+    xs = np.linspace(0, img.shape[1] - 1, gw).astype(int)
+    return img[ys][:, xs]
+
+
+def extract_features(media: DataFrame, feat_dim: int = 16, grid: int = 32) -> DataFrame:
+    """Decode → fixed grid → ONE vectorized pooling op per Arrow batch.
+
+    Only the decode itself is per-row (that's the codec's granularity);
+    the feature math runs on the stacked (B, grid, grid, 3) tensor as a
+    single reshape+mean — the batch-vectorized shape a real kernel must
+    keep for mapInPandas to stay off the Python-per-row slow path. Map-only
+    stage, no shuffle; partition count controls parallelism at 100 TB.
     """
+    if (grid * grid * 3) % feat_dim != 0:
+        raise ValueError(f"grid²·3 ({grid * grid * 3}) not divisible by feat_dim={feat_dim}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, nb = [], []
-            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                img = _decode_image(bytes(payload), int(w), int(h))
-                # mean-pool into feat_dim buckets over the flattened image
-                flat = img.reshape(-1).astype(np.float64)
-                chunks = np.array_split(flat, feat_dim)
-                feats.append(np.array([c.mean() for c in chunks], dtype=np.float32))
-                nb.append(len(payload))
+            if len(pdf) == 0:
+                continue
+            grids = np.stack(
+                [
+                    _decode_grid(bytes(p), int(w), int(h), grid, grid)
+                    for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+                ]
+            )  # (B, grid, grid, 3) uint8
+            flat = grids.reshape(len(pdf), feat_dim, -1).astype(np.float64)
+            feats = flat.mean(axis=2).astype(np.float32)  # (B, feat_dim), one op
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": feats,
-                    "n_bytes": nb,
+                    "feature": list(feats),
+                    "n_bytes": pdf["payload"].map(len),
                 }
             )
 
@@ -131,14 +151,23 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
-            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
-                for i, ts in enumerate(range(0, int(dur), every_ms)):
-                    rows["media_id"].append(mid)
-                    rows["frame_idx"].append(i)
-                    rows["ts_ms"].append(ts)
-                    rows["payload"].append(hashlib.md5(bytes(payload) + ts.to_bytes(4, "big")).digest())
-            yield pd.DataFrame(rows)
+            if len(pdf) == 0:
+                continue
+            # vectorized explode: frame counts → np.repeat'd ids + one
+            # concatenated ts lattice; only the per-frame decode stub (the
+            # codec boundary) stays a comprehension
+            counts = np.maximum((pdf["duration_ms"].to_numpy() + every_ms - 1) // every_ms, 0)
+            mids = np.repeat(pdf["media_id"].to_numpy(), counts)
+            idx = np.concatenate([np.arange(c) for c in counts]) if counts.sum() else np.array([], dtype=int)
+            ts = idx * every_ms
+            payloads = np.repeat(pdf["payload"].to_numpy(), counts)
+            frames = [
+                hashlib.md5(bytes(p) + int(t).to_bytes(4, "big")).digest()
+                for p, t in zip(payloads, ts)
+            ]
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idx, "ts_ms": ts, "payload": frames}
+            )
 
     return media.where(F.col("kind") == "video").mapInPandas(
         fn, schema="media_id long, frame_idx int, ts_ms int, payload binary"
