@@ -128,6 +128,31 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
     return out
 
 
+def _tuning_block(spark) -> dict:
+    """Fitted search-parameter models (get_parameter.py parity): the
+    piecewise recall model {k, beta}, the linear cost model {a, b} (rows
+    scanned per query per nprobe), and the chosen knob for a 0.9 recall
+    target — with the model-vs-measured MAE so the fit quality is visible
+    next to the decision."""
+    from vectorsearch_rbac_spark.operators import ivf, knn, tuning
+
+    t = entry._rbac(spark, SF_DIR)
+    blocks = t["documentblocks"]
+    nlists = max(4, min(16, blocks.count() // 125))
+    C = ivf.kmeans_fit(blocks, nlists=nlists, max_iter=8)
+    indexed = ivf.assign_centroids(blocks, C)
+    truth = knn.knn_topk_fast(blocks, t["queries"], k=10)
+    t0 = time.time()
+    out = tuning.tune_ivf(indexed, t["queries"], C, truth, k=10, target_recall=0.9)
+    return {
+        "parameters": out["parameters"],
+        "decision": out["decision"],
+        "model_mae": out["validation"]["mae"],
+        "nlists": nlists,
+        "sec": round(time.time() - t0, 3),
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
@@ -157,6 +182,8 @@ def main() -> None:
     recalls = _strategy_recalls(spark)
     for s, v in recalls.items():
         print(f"# recall {s}: {v['recall_at_10']} in {v['sec']}s", file=sys.stderr)
+    tuning_info = _tuning_block(spark)
+    print(f"# tuning: {tuning_info}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -167,6 +194,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "recall": recalls,
+                "tuning": tuning_info,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

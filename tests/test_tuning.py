@@ -1,0 +1,109 @@
+"""Parameter-tuning tests: one-pass recall/cost curve, piecewise model fit,
+nprobe selection (reference get_parameter.py / analysis_hnsw_recall.py /
+modelrecall_vs_realrecall.py parity)."""
+
+import numpy as np
+import pytest
+
+from vectorsearch_rbac_spark.sources import load_table
+from vectorsearch_rbac_spark.rbac import derive
+from vectorsearch_rbac_spark.operators import ivf, knn, tuning
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    customer = load_table(spark, "customer", sf_dir)
+    documents = load_table(spark, "documents", sf_dir)
+    embeddings = load_table(spark, "embeddings", sf_dir)
+    tabs = derive.derive_rbac(customer, documents, embeddings)
+    tabs["queries"] = derive.derive_queries(embeddings, 50)
+    for v in tabs.values():
+        v.cache()
+    return tabs
+
+
+@pytest.fixture(scope="module")
+def fitted(t):
+    blocks = t["documentblocks"]
+    nlists = 8
+    C = ivf.kmeans_fit(blocks, nlists=nlists, max_iter=8)
+    indexed = ivf.assign_centroids(blocks, C).cache()
+    truth = knn.knn_topk_fast(blocks, t["queries"], k=10).cache()
+    curve = tuning.recall_cost_curve(
+        indexed, t["queries"], C, truth, k=10, nprobes=list(range(1, nlists + 1))
+    ).collect()
+    return {"blocks": blocks, "C": C, "indexed": indexed, "truth": truth,
+            "queries": t["queries"], "curve": curve, "nlists": nlists}
+
+
+def test_curve_shape_and_monotonicity(fitted):
+    curve = fitted["curve"]
+    assert [r["nprobe"] for r in curve] == list(range(1, fitted["nlists"] + 1))
+    recalls = [r["recall_at_k"] for r in curve]
+    scanned = [r["avg_scanned"] for r in curve]
+    # probing more lists can only add candidates → recall and scan are
+    # nondecreasing in nprobe
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
+    assert all(b > a for a, b in zip(scanned, scanned[1:]))
+    assert all(0 <= r["scan_frac"] <= 1.0 + 1e-9 for r in curve)
+
+
+def test_full_probe_is_exact(fitted):
+    # nprobe == nlists scans every list → identical to brute force
+    full = [r for r in fitted["curve"] if r["nprobe"] == fitted["nlists"]][0]
+    assert full["recall_at_k"] == pytest.approx(1.0)
+    n = fitted["blocks"].count()
+    assert full["avg_scanned"] == pytest.approx(n, rel=1e-6)
+    assert full["scan_frac"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_curve_matches_per_nprobe_search(fitted):
+    """The exploded one-pass curve must equal what a per-nprobe ivf_search
+    re-run measures (the reference's loop-per-ef_search method)."""
+    for nprobe in (2, fitted["nlists"] // 2):
+        pred = ivf.ivf_search(fitted["indexed"], fitted["queries"], fitted["C"], k=10, nprobe=nprobe)
+        r = float(
+            knn.recall_at_k(pred, fitted["truth"]).agg({"recall": "avg"}).first()[0]
+        )
+        row = [c for c in fitted["curve"] if c["nprobe"] == nprobe][0]
+        assert row["recall_at_k"] == pytest.approx(r, abs=1e-6)
+
+
+def test_model_fit_and_choice(fitted):
+    curve = fitted["curve"]
+    model = tuning.fit_recall_model(
+        [r["nprobe"] for r in curve], [r["recall_at_k"] for r in curve], topk=10
+    )
+    cost = tuning.fit_cost_model([r["nprobe"] for r in curve], [r["avg_scanned"] for r in curve])
+    # model tracks the measured curve (modelrecall_vs_realrecall gate)
+    val = tuning.validate_model(curve, model)
+    assert val["mae"] < 0.12, val
+    assert cost["a"] > 0  # more probes → more rows
+    dec = tuning.choose_nprobe(model, cost, target_recall=0.8, nprobe_max=fitted["nlists"])
+    assert 1 <= dec["nprobe"] <= fitted["nlists"]
+    assert dec["predicted_recall"] >= 0.8 or dec["nprobe"] == fitted["nlists"]
+    # the chosen knob must actually deliver ~the target on the measured curve
+    measured = [r["recall_at_k"] for r in curve if r["nprobe"] == dec["nprobe"]][0]
+    assert measured >= 0.8 - 0.15
+
+
+def test_choose_nprobe_is_minimal():
+    model = {"k": 0.4, "beta": 1.0, "sel": 2.0, "topk": 10}
+    cost = {"a": 10.0, "b": 5.0}
+    dec = tuning.choose_nprobe(model, cost, target_recall=0.9, nprobe_max=32)
+    below = dec["nprobe"] - 1
+    if below >= 1:
+        assert float(tuning.predict_recall(below, model)) < 0.9
+    # unreachable target falls back to max
+    hard = tuning.choose_nprobe(model, cost, target_recall=1.1, nprobe_max=32)
+    assert hard["nprobe"] == 32
+
+
+def test_tune_ivf_end_to_end(fitted):
+    out = tuning.tune_ivf(
+        fitted["indexed"], fitted["queries"], fitted["C"], fitted["truth"],
+        k=10, target_recall=0.85, nprobes=list(range(1, fitted["nlists"] + 1)),
+    )
+    assert set(out["parameters"]) == {"k", "beta", "a", "b"}  # get_parameter.py:226 shape
+    assert len(out["curve"]) == fitted["nlists"]
+    assert out["validation"]["mae"] < 0.15

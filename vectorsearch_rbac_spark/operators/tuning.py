@@ -1,0 +1,266 @@
+"""Search-parameter tuning: recall/cost curves, model fit, knob selection.
+
+Reference parity (re-expressed, not ported):
+
+- ``controller/dynamic_partition/hnsw/analysis/analysis_hnsw_recall.py:279``
+  (``piecewise_recall_model`` — linear ramp then shifted sigmoid, params
+  ``(k, beta)``, fit with curve_fit at :309) and :331
+  (``plot_average_recall_with_piecewise_fit`` — measure recall at a ladder
+  of ef_search values, then fit).
+- ``controller/dynamic_partition/hnsw/analysis/analysis_hnsw_qps.py:260``
+  (``fit_query_time_function_with_log`` — cost is linear in the knob:
+  ``time/log(n) = a·ef_search + b``).
+- ``controller/dynamic_partition/get_parameter.py:188``
+  (``save_parameter_to_json`` — persists ``{k, beta, a, b}`` for the
+  partition controller to pick per-partition ef_search).
+- ``controller/dynamic_partition/hnsw/validate/modelrecall_vs_realrecall.py``
+  (predicted-vs-measured validation).
+
+Spark-first design: the reference measures its recall curve by re-running
+the search once per ef_search value (a psycopg2 loop, one round trip per
+knob setting). Here the IVF knob is ``nprobe``, and the ENTIRE
+multi-nprobe curve — recall@k AND rows-scanned per nprobe — comes out of
+ONE candidate scan: each candidate row knows the rank of its list for its
+query, so ``explode(filter(nprobes, n -> n > probe_rank))`` replicates it
+JVM-side to exactly the nprobe settings that would scan it, and a single
+window pass ranks every (nprobe, query) group at once. The model fit then
+runs driver-side on the tiny (|nprobes|-row) curve — numpy grid
+refinement, no scipy dependency.
+
+The cost model's response is rows scanned per query rather than measured
+wall-time: on a cluster, scan cost is what the knob actually buys, it is
+deterministic (same number on local[32] and on 1000 executors), and it is
+the quantity the reference's ``a·ef + b`` is a proxy for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .knn import topk_per_query
+
+
+# ---------------------------------------------------------------------------
+# Curve measurement (distributed, one pass)
+# ---------------------------------------------------------------------------
+
+def _probe_ranks(queries: DataFrame, centroids: np.ndarray, max_nprobe: int) -> list[tuple[int, int, int]]:
+    """(query_id, centroid_id, probe_rank) for each query's max_nprobe
+    nearest lists — tiny (Q × nprobe), built driver-side like
+    ``ivf.nearest_centroids`` and broadcast into the candidate join."""
+    rows = queries.select("query_id", "query_vector").collect()
+    out = []
+    for r in rows:
+        q = np.asarray(r["query_vector"], dtype=np.float64)
+        d = ((centroids - q[None, :]) ** 2).sum(1)
+        for rank, cid in enumerate(np.argsort(d)[:max_nprobe]):
+            out.append((int(r["query_id"]), int(cid), rank))
+    return out
+
+
+def recall_cost_curve(
+    indexed_blocks: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    truth: DataFrame,
+    k: int = 10,
+    nprobes: list[int] | None = None,
+    metric: str = "l2",
+) -> DataFrame:
+    """Measure (nprobe, recall@k, avg rows scanned, scan fraction) for every
+    nprobe in one candidate scan + one window pass.
+
+    ``truth`` is the exact top-k rank list (query_id, block_id) — typically
+    ``knn.knn_topk_fast``; recall@k = |pred ∩ truth| / |truth| per query,
+    averaged (``common_function.py:1154`` definition).
+    """
+    spark = indexed_blocks.sparkSession
+    nlists = len(centroids)
+    nprobes = sorted(set(nprobes or range(1, nlists + 1)))
+    max_np = min(max(nprobes), nlists)
+
+    probes = spark.createDataFrame(
+        _probe_ranks(queries, centroids, max_np),
+        "query_id long, centroid_id int, probe_rank int",
+    )
+    cand = indexed_blocks.join(F.broadcast(probes), "centroid_id")
+
+    # Replicate each candidate to exactly the nprobe settings that scan it:
+    # probe_rank r is inside every nprobe > r. JVM-side explode of a literal
+    # array — no join, no UDF; output size = sum over nprobes of that
+    # setting's candidate count (what a per-knob re-run would scan anyway).
+    np_arr = F.array(*[F.lit(int(n)) for n in nprobes])
+    cand = cand.withColumn(
+        "nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank")))
+    )
+
+    dist = {"l2": V.l2_distance, "cosine": V.cosine_distance, "ip": V.neg_inner_product}[metric]
+    scored = cand.join(F.broadcast(queries.select("query_id", "query_vector")), "query_id").select(
+        "nprobe", "query_id", "block_id",
+        F.round(dist("vector", "query_vector"), 6).alias("distance"),
+    )
+    scored = scored.localCheckpoint(eager=False)  # consumed twice: scan counts + top-k
+
+    scanned = scored.groupBy("nprobe").agg(
+        (F.count(F.lit(1)) / queries.count()).alias("avg_scanned")
+    )
+
+    w = Window.partitionBy("nprobe", "query_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
+    pred = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+    hits = pred.join(
+        F.broadcast(truth.select("query_id", "block_id")), ["query_id", "block_id"]
+    ).groupBy("nprobe", "query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    n_truth = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    # every (nprobe, query) pair scores, including zero-hit ones
+    grid = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int").crossJoin(n_truth)
+    per_q = grid.join(F.broadcast(hits), ["nprobe", "query_id"], "left").select(
+        "nprobe", (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("recall")
+    )
+    recall = per_q.groupBy("nprobe").agg(F.round(F.avg("recall"), 6).alias("recall_at_k"))
+
+    n_corpus = indexed_blocks.count()
+    return (
+        recall.join(F.broadcast(scanned), "nprobe")
+        .select(
+            "nprobe",
+            "recall_at_k",
+            F.round("avg_scanned", 2).alias("avg_scanned"),
+            F.round(F.col("avg_scanned") / n_corpus, 6).alias("scan_frac"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model fit (driver-side; curve is |nprobes| rows)
+# ---------------------------------------------------------------------------
+
+def piecewise_recall_model(x, kp: float, beta: float, topk: int, sel: float):
+    """Linear ramp → shifted sigmoid, the reference's functional form
+    (``analysis_hnsw_recall.py:279``): transition at ``x_c = kp·topk/sel``,
+    linear slope ``sel/topk``, sigmoid rate ``beta·4·sel/topk``.
+
+    For IVF we feed x = nprobe and sel = topk × (initial recall gained per
+    probed list), so the linear regime matches the measured ramp; (kp, beta)
+    are the fitted free parameters exactly as in the reference.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    x_c = kp * topk / sel
+    b = beta * 4 * sel / topk
+    shift = x_c * sel / topk - 0.5
+    lin = x * sel / topk
+    sig = 1.0 / (1.0 + np.exp(-b * (x - x_c))) + shift
+    return np.where(x <= x_c, lin, np.minimum(sig, 1.0))
+
+
+def fit_recall_model(nprobes, recalls, topk: int = 10) -> dict:
+    """Least-squares fit of (kp, beta) by two-stage grid refinement (the
+    no-scipy stand-in for ``curve_fit`` at ``analysis_hnsw_recall.py:309``;
+    deterministic). Returns {k, beta, sel, topk, mae}."""
+    x = np.asarray(list(nprobes), dtype=np.float64)
+    y = np.asarray(list(recalls), dtype=np.float64)
+    # anchor the linear slope on the first measured point (reference anchors
+    # via sel = block selectivity; the IVF analog is recall per probed list)
+    sel = float(np.clip(y[0] / max(x[0], 1e-9), 1e-6, 1.0) * topk)
+
+    def sse(kps, betas):
+        P = piecewise_recall_model(x, kps[:, None, None], betas[None, :, None], topk, sel)
+        return ((P - y[None, None, :]) ** 2).sum(-1)
+
+    kps = np.linspace(0.05, 1.0, 60)
+    betas = np.linspace(0.05, 8.0, 60)
+    for _ in range(3):
+        E = sse(kps, betas)
+        i, j = np.unravel_index(int(E.argmin()), E.shape)
+        kp, beta = float(kps[i]), float(betas[j])
+        dk = (kps[-1] - kps[0]) / len(kps)
+        db = (betas[-1] - betas[0]) / len(betas)
+        kps = np.linspace(max(kp - 2 * dk, 1e-3), kp + 2 * dk, 40)
+        betas = np.linspace(max(beta - 2 * db, 1e-3), beta + 2 * db, 40)
+    pred = piecewise_recall_model(x, kp, beta, topk, sel)
+    return {
+        "k": round(kp, 4),
+        "beta": round(beta, 4),
+        "sel": round(sel, 6),
+        "topk": topk,
+        "mae": round(float(np.abs(pred - y).mean()), 4),
+    }
+
+
+def fit_cost_model(nprobes, avg_scanned) -> dict:
+    """Linear cost-in-the-knob fit, ``analysis_hnsw_qps.py:260`` parity:
+    the reference fits ``time/log(n) = a·ef + b``; the deterministic Spark
+    analog is rows-scanned-per-query = a·nprobe + b."""
+    a, b = np.polyfit(np.asarray(list(nprobes), float), np.asarray(list(avg_scanned), float), 1)
+    return {"a": round(float(a), 4), "b": round(float(b), 4)}
+
+
+def predict_recall(nprobe, model: dict):
+    return piecewise_recall_model(
+        np.asarray(nprobe, dtype=np.float64), model["k"], model["beta"], model["topk"], model["sel"]
+    )
+
+
+def choose_nprobe(model: dict, cost: dict, target_recall: float, nprobe_max: int) -> dict:
+    """Smallest nprobe whose predicted recall meets the target (the
+    controller decision ``get_parameter.py`` exists to feed), plus its
+    predicted cost; falls back to nprobe_max when the target is out of
+    reach."""
+    grid = np.arange(1, nprobe_max + 1)
+    pred = predict_recall(grid, model)
+    ok = np.nonzero(pred >= target_recall)[0]
+    n = int(grid[ok[0]]) if len(ok) else int(nprobe_max)
+    return {
+        "nprobe": n,
+        "predicted_recall": round(float(predict_recall(n, model)), 4),
+        "est_scanned": round(cost["a"] * n + cost["b"], 1),
+        "target_recall": target_recall,
+    }
+
+
+def validate_model(curve_rows, model: dict) -> dict:
+    """Predicted-vs-measured table + MAE
+    (``validate/modelrecall_vs_realrecall.py`` parity, as data not plots)."""
+    pts = [
+        {
+            "nprobe": int(r["nprobe"]),
+            "measured": float(r["recall_at_k"]),
+            "predicted": round(float(predict_recall(r["nprobe"], model)), 4),
+        }
+        for r in curve_rows
+    ]
+    mae = float(np.mean([abs(p["measured"] - p["predicted"]) for p in pts]))
+    return {"points": pts, "mae": round(mae, 4)}
+
+
+def tune_ivf(
+    indexed_blocks: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    truth: DataFrame,
+    k: int = 10,
+    target_recall: float = 0.9,
+    nprobes: list[int] | None = None,
+    metric: str = "l2",
+) -> dict:
+    """End-to-end parameter pass: measure curve → fit recall + cost models →
+    choose nprobe. Returns the ``save_parameter_to_json``-shaped dict
+    ({k, beta, a, b}, ``get_parameter.py:226``) plus the decision and the
+    validation table."""
+    curve = recall_cost_curve(indexed_blocks, queries, centroids, truth, k=k, nprobes=nprobes, metric=metric)
+    rows = curve.collect()
+    model = fit_recall_model([r["nprobe"] for r in rows], [r["recall_at_k"] for r in rows], topk=k)
+    cost = fit_cost_model([r["nprobe"] for r in rows], [r["avg_scanned"] for r in rows])
+    decision = choose_nprobe(model, cost, target_recall, nprobe_max=len(centroids))
+    return {
+        "parameters": {"k": model["k"], "beta": model["beta"], "a": cost["a"], "b": cost["b"]},
+        "model": model,
+        "cost": cost,
+        "decision": decision,
+        "validation": validate_model(rows, model),
+        "curve": [r.asDict() for r in rows],
+    }
