@@ -423,6 +423,7 @@ def q_text_stats(spark, sf_dir):
         T.stopword_ratio("text").alias("stopword_ratio"),
         T.punct_ratio("text").alias("punct_ratio"),
         T.repetition_ratio("text").alias("repetition_ratio"),
+        T.top_bigram_frac("text").alias("top_bigram_frac"),
         T.quality_score("text").alias("quality"),
         T.lang_id("text").alias("lang_pred"),
     )
@@ -783,6 +784,9 @@ def q_hourly_event_stats(spark, sf_dir):
     return _i(out, "n_events", "n_users")
 
 
+_STREAM_DROPS: dict[str, str] = {}
+
+
 def q_streaming_hourly_stats(spark, sf_dir):
     """G1 with a full-strength oracle: hourly event stats computed by a
     REAL Structured Streaming query — events re-dropped as a directory of
@@ -798,9 +802,14 @@ def q_streaming_hourly_stats(spark, sf_dir):
 
     from vectorsearch_rbac_spark import streaming as S
 
-    events = load_table(spark, "events", sf_dir)
-    drop = tempfile.mkdtemp(prefix="stream_hourly_") + "/in"
-    events.repartition(4).write.mode("overwrite").parquet(drop)
+    # the re-drop is setup, not the streaming query under test: reuse the
+    # directory when the same sf_dir is asked again in this process
+    drop = _STREAM_DROPS.get(sf_dir)
+    if drop is None:
+        events = load_table(spark, "events", sf_dir)
+        drop = tempfile.mkdtemp(prefix="stream_hourly_") + "/in"
+        events.repartition(4).write.mode("overwrite").parquet(drop)
+        _STREAM_DROPS[sf_dir] = drop
     stream = S.stream_events_from_dir(spark, drop, max_files_per_trigger=2)
     out = S.run_bounded_to_memory(S.hourly_stats_stream(stream))
     return _i(out, "n_events")
@@ -1306,6 +1315,11 @@ _TEXT_STATS_SQL = f"""
 WITH t AS (
   SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
 ),
+t2 AS (
+  SELECT doc_id, norm, toks,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bg
+  FROM t
+),
 s AS (
   SELECT doc_id,
     CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1313,11 +1327,14 @@ s AS (
     ROUND(len(list_filter(toks, x -> list_contains({_STOP}, x))) / GREATEST(len(toks), 1), 6) AS stopword_ratio,
     ROUND(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) / GREATEST(length(norm), 1), 6) AS punct_ratio,
     ROUND(1.0 - len(list_distinct(toks)) / GREATEST(len(toks), 1), 6) AS repetition_ratio,
+    ROUND(CASE WHEN len(toks) >= 2 THEN
+      list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) / len(bg)
+      ELSE 0.0 END, 6) AS top_bigram_frac,
     ROUND(length(regexp_replace(norm, '[^a-z0-9]', '', 'g')) / GREATEST(len(toks), 1), 6) AS mwl,
     ROUND(1.0 - length(regexp_replace(norm, '[\\x00-\\x7f]', '', 'g')) / GREATEST(length(norm), 1), 6) AS ascii_ratio
-  FROM t
+  FROM t2
 )
-SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio, repetition_ratio,
+SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio, repetition_ratio, top_bigram_frac,
   ROUND(LEAST(stopword_ratio * 4, 1.0) * 0.3
       + (1.0 - LEAST(punct_ratio * 5, 1.0)) * 0.3
       + (1.0 - repetition_ratio) * 0.2

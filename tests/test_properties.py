@@ -101,9 +101,28 @@ def test_text_metric_ranges(spark, s):
         sw=T.stopword_ratio(F.lit(s)),
         pr=T.punct_ratio(F.lit(s)),
         rep=T.repetition_ratio(F.lit(s)),
+        bgf=T.top_bigram_frac(F.lit(s)),
         n=T.token_count(F.lit(s)),
         nb=T.bpe_ish_token_count(F.lit(s)),
     )
     assert 0.0 <= r["q"] <= 1.0
     assert 0.0 <= r["sw"] <= 1.0 and 0.0 <= r["pr"] <= 1.0 and 0.0 <= r["rep"] <= 1.0
+    assert 0.0 <= r["bgf"] <= 1.0
     assert r["n"] >= 0 and r["nb"] >= 0
+
+
+def test_top_bigram_frac_known_values(spark):
+    """Gopher top-2-gram signal on hand-checked inputs: a pure loop scores
+    ~1, varied text scores low, <2 tokens scores 0."""
+    from vectorsearch_rbac_spark.functions import text as T
+
+    cases = {
+        "a b a b a b a b": 4 / 7,  # 'a b'×4, 'b a'×3 of 7 bigrams
+        "spam spam spam spam": 3 / 3,  # 'spam spam'×3
+        "one two three four five": 1 / 4,  # all bigrams distinct
+        "solo": 0.0,
+        "": 0.0,
+    }
+    for s, want in cases.items():
+        r = _one_row(spark, bgf=T.top_bigram_frac(F.lit(s)))
+        assert r["bgf"] == pytest.approx(want, abs=1e-6), s

@@ -70,6 +70,37 @@ def repetition_ratio(col) -> Column:
     return F.round(F.lit(1.0) - F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1)), 6)
 
 
+def top_bigram_frac(col) -> Column:
+    """Fraction of bigrams taken by the most frequent bigram — the
+    Gopher-rules "top n-gram fraction" repetition signal (complements
+    :func:`repetition_ratio`, which misses phrase-level loops that reuse a
+    small vocabulary). Pure array-lambda expression, no explode/shuffle:
+    per-row O(d·n) over short documents. Texts with <2 tokens score 0."""
+    t = tokens(col)
+    n = F.size(t)
+    bg = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + F.lit(1))),
+    )
+    # top-bigram count == longest equal-adjacent run in the SORTED bigram
+    # array: one O(n log n) pass referencing bg once. (The naive
+    # distinct×filter nesting re-inlines the bg expression per distinct
+    # element — O(d·n²) interpreted lambda evals per row, ~10× slower.)
+    run = lambda acc, x: F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+    top = F.aggregate(
+        F.array_sort(bg),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc.best, run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    # guard n>=2 BEFORE building bg: sequence(1, 0) would be descending
+    return F.round(F.when(n >= 2, top / (n - F.lit(1))).otherwise(F.lit(0.0)), 6)
+
+
 def quality_score(col) -> Column:
     """Composite curation score in [0,1]: rewards stopword presence and
     reasonable word lengths, penalizes punctuation soup and repetition.
