@@ -895,6 +895,24 @@ def q_ann_recall(spark, sf_dir):
     return out
 
 
+def q_ivf_tuning_curve(spark, sf_dir):
+    """D9 search-parameter tuning: the one-pass multi-nprobe
+    (recall@k, rows-scanned) curve that the {k, β}/{a, b} model fit and
+    ``choose_nprobe`` consume (reference ``get_parameter.py:188`` /
+    ``analysis_hnsw_recall.py:309`` parity; bench.py reports the fitted
+    models + chosen knob). Deterministic (seeded k-means, md5-derived
+    queries) but k-means centroids are float-iterative → no SQL oracle,
+    rows-only like the other approximate-op entries."""
+    t = _rbac(spark, sf_dir)
+    blocks = t["documentblocks"]
+    nlists = max(4, min(16, blocks.count() // 125))
+    C = ivf.kmeans_fit(blocks, nlists=nlists, max_iter=8)
+    indexed = ivf.assign_centroids(blocks, C)
+    truth = knn.knn_topk_fast(blocks, t["queries"], k=TOPK)
+    curve = tuning.recall_cost_curve(indexed, t["queries"], C, truth, k=TOPK)
+    return _i(curve, "nprobe")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch RBAC prefilter top-k on sf0.001."""
     return q_rbac_prefilter_topk(spark, "/root/testdata/sf0.001")
