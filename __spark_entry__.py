@@ -327,7 +327,7 @@ def q_neardup_pairs(spark, sf_dir):
             .select("id_a", "id_b", F.lit(1.0).alias("score"))),
         ("ngram_jaccard", dedup.ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T)
             .select("id_a", "id_b", F.col("jaccard").alias("score"))),
-        ("simhash", dedup.simhash_neardup_pairs(docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_T)
+        ("simhash", dedup.simhash_neardup_pairs_banded(docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_T)
             .select("id_a", "id_b", F.col("hamming").cast("double").alias("score"))),
         ("levenshtein", dedup.levenshtein_neardup_pairs(docs, max_dist=8)
             .select("id_a", "id_b", F.col("edit_dist").cast("double").alias("score"))),
@@ -348,7 +348,7 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_simhash_pairs(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
-    out = dedup.simhash_neardup_pairs(docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_T)
+    out = dedup.simhash_neardup_pairs_banded(docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_T)
     return _i(out, "id_a", "id_b", "hamming")
 
 

@@ -238,3 +238,35 @@ def test_cosine_neardup_exact_path_is_driver_free(spark, sf_dir):
          mock.patch.object(DataFrame, "take", boom):
         df = ann.cosine_neardup_pairs(emb, threshold=0.35)
     assert df.count() > 0  # executes distributed (patches released)
+
+
+def test_neardup_entry_has_no_cartesian(spark, sf_dir):
+    """The shipped neardup_pairs entry must never contain a cartesian /
+    nested-loop join: every pair generator goes through bounded equi-join
+    buckets (LSH bands, pigeonhole SimHash chunks, levenshtein blocks).
+    An O(N²) cross join hidden in a green entry is the classic
+    works-at-sf0.01, dies-at-100TB failure."""
+    import __spark_entry__ as E
+
+    df = E.q_neardup_pairs(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, "neardup entry contains a cartesian join"
+    assert "BroadcastNestedLoopJoin" not in p, "neardup entry contains a nested-loop join"
+
+
+def test_adaptive_routing_is_literal_free(t):
+    """adaptive_knn's per-query routing must be a broadcast semi-join, not a
+    driver collect materialized as IN/INSET literals (a Q-row literal list
+    bloats the plan and serializes the driver at large Q)."""
+    import re
+
+    from vectorsearch_rbac_spark.plans.strategy import adaptive_knn
+
+    df = adaptive_knn(
+        t["documentblocks"], t["queries"], t["query_roles"],
+        t["permission_assignment"], t["user_roles"], k=10,
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "INSET" not in p, "routing materialized as INSET literals"
+    assert not re.search(r"query_id#\d+L? IN \(", p), "routing materialized as IN literals"
+    assert "LeftSemi" in p, "routing should semi-join the broadcast routing table"

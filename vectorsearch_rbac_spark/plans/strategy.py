@@ -38,6 +38,28 @@ def choose_strategy(selectivity: float, has_partition_layout: bool = False,
     return "prefilter"
 
 
+def strategy_routing(
+    queries: DataFrame,
+    selectivity: DataFrame,
+    has_partition_layout: bool = False,
+    postfilter_threshold: float = 0.5,
+    partition_threshold: float = 0.05,
+) -> DataFrame:
+    """query_id → strategy as a DataFrame (the declarative mirror of
+    :func:`choose_strategy`) — dim-sized, broadcast into each branch so the
+    routing never round-trips through the driver (no Q-row collect, no
+    IN-literal plans; at large Q the old literal list would blow up the plan
+    and serialize the driver)."""
+    s = F.coalesce(F.col("selectivity"), F.lit(0.0))
+    strat = F.when(s >= postfilter_threshold, F.lit("postfilter"))
+    if has_partition_layout:
+        strat = strat.when(s <= partition_threshold, F.lit("comb_partition"))
+    return (
+        queries.join(selectivity, "user_id", "left")
+        .select("query_id", strat.otherwise(F.lit("prefilter")).alias("strategy"))
+    )
+
+
 def adaptive_knn(
     blocks: DataFrame,
     queries: DataFrame,
@@ -51,27 +73,27 @@ def adaptive_knn(
     """Route each query to the strategy its selectivity warrants, then union.
 
     Selectivity is computed set-at-a-time (one aggregate for all users,
-    reused across the workload — the reference recomputes per query).
+    reused across the workload — the reference recomputes per query), and the
+    routing stays a DataFrame: each branch semi-joins its broadcast slice of
+    the routing table, so the plan carries no per-query literals.
     """
     sel = block_selectivity(user_roles, permission_assignment, blocks)
-    q_sel = queries.join(sel, "user_id", "left").fillna({"selectivity": 0.0})
-    rows = q_sel.select("query_id", "selectivity").collect()  # Q rows, driver-tiny
-    buckets: dict[str, list[int]] = {}
-    for r in rows:
-        s = choose_strategy(r["selectivity"], has_partition_layout)
-        buckets.setdefault(s, []).append(r["query_id"])
+    routing = strategy_routing(queries, sel, has_partition_layout)
 
-    outs = []
     impl = {
         "prefilter": knn.knn_prefilter,
         "postfilter": knn.knn_postfilter,
-        "comb_partition": knn.knn_comb_role_partition,
     }
-    for strat, qids in buckets.items():
-        qs = queries.where(F.col("query_id").isin(qids))
-        qr = query_roles.where(F.col("query_id").isin(qids))
+    if has_partition_layout:
+        impl["comb_partition"] = knn.knn_comb_role_partition
+
+    outs = []
+    for strat, fn in impl.items():
+        qids = F.broadcast(routing.where(F.col("strategy") == strat).select("query_id"))
+        qs = queries.join(qids, "query_id", "left_semi")
+        qr = query_roles.join(qids, "query_id", "left_semi")
         outs.append(
-            impl[strat](blocks, qs, qr, permission_assignment, k=k, metric=metric)
+            fn(blocks, qs, qr, permission_assignment, k=k, metric=metric)
             .withColumn("strategy", F.lit(strat))
         )
     out = outs[0]
