@@ -30,6 +30,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # their member functions instead so per-operator timings stay visible.
 EXTRA = {
     "rbac_comb_role_topk": entry.q_rbac_comb_role_topk,
+    "rbac_topk_fast": entry.q_rbac_topk_fast,
+    "cosine_topk": entry.q_cosine_topk,
+    "hamming_topk": entry.q_hamming_topk,
+    "sparse_cosine_topk": entry.q_sparse_cosine_topk,
+    "halfvec_topk": entry.q_halfvec_topk,
+    "int8_topk": entry.q_int8_topk,
     "cosine_neardup": entry.q_cosine_neardup,
     "minhash_candidates": entry.q_minhash_candidates,
     "ngram_jaccard": entry.q_ngram_jaccard,
@@ -47,6 +53,7 @@ HEADLINE = [
     "rbac_postfilter_topk",
     "rbac_comb_role_topk",
     "rbac_dynamic_topk",
+    "rbac_dynamic_budget_topk",
     "rbac_topk_fast",
     "rbac_prefilter_zipf_topk",
     "sharing_tree_rbac_topk",
@@ -88,6 +95,9 @@ HEADLINE = [
     "asof_last_order",
     "range_join_trailing_hour",
     "time_rollup",
+    "store_lifecycle",
+    "generator_relations",
+    "tuning_curve",
     "ivf_recall",
     "pq_recall",
 ]
@@ -164,21 +174,23 @@ def main() -> None:
     # what the timings measure.
     spark.range(1).count()
     qs["rbac_prefilter_topk"](spark, "/root/testdata/sf0.001").count()
-    # Steady-state timing: each query runs twice, the report takes the best
-    # run. Run 1 pays one-time plan analysis + whole-stage-codegen JIT for
-    # that plan shape (~1s/query, a fixed cost irrelevant at cluster scale);
-    # run 2 measures the engine's actual execution throughput.
+    # Steady-state timing: each query runs 3×; "cold" records run 1 (plan
+    # analysis + whole-stage-codegen JIT for that plan shape — a fixed cost
+    # irrelevant at cluster scale), "warm" the best of runs 2-3 (the engine's
+    # actual execution throughput). Reporting both makes round-over-round
+    # deltas readable: the warm total is the steady-state anchor.
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name, EXTRA.get(name))
-        best, n = None, 0
-        for _ in range(2):
+        runs, n = [], 0
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
-            el = time.time() - t0
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+            runs.append(time.time() - t0)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs[1:]), 3)
+        print(f"# {name}: {n} rows in {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
     recalls = _strategy_recalls(spark)
     for s, v in recalls.items():
         print(f"# recall {s}: {v['recall_at_10']} in {v['sec']}s", file=sys.stderr)
@@ -192,7 +204,9 @@ def main() -> None:
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
+                "value_cold": round(sum(cold.values()), 3),
                 "queries": timings,
+                "queries_cold": cold,
                 "recall": recalls,
                 "tuning": tuning_info,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -264,3 +264,109 @@ def tune_ivf(
         "validation": validate_model(rows, model),
         "curve": [r.asDict() for r in rows],
     }
+
+
+# ---------------------------------------------------------------------------
+# SQL-replayable curve (driver correctness gate)
+# ---------------------------------------------------------------------------
+
+def anchor_ivf_curve(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    nlists: int = 8,
+    anchor_stride: int = 37,
+    k: int = 10,
+    nprobes: list[int] | None = None,
+) -> DataFrame:
+    """The D9 (nprobe → recall@k, rows-scanned) curve with every step
+    SQL-expressible, so the driver's DuckDB oracle replays the measurement
+    end-to-end (parity: ``get_parameter.py:188`` — the reference measures
+    its curve against a live index; the exact-oracle harness needs the
+    index construction itself to be deterministic arithmetic).
+
+    k-means centroids are float-iterative and engine-specific, so this
+    curve swaps them for ANCHOR vectors chosen arithmetically (the first
+    ``nlists`` embeddings with ``vec_id % anchor_stride == 0``) — the
+    routing/probe/recall machinery is the same as ``recall_cost_curve``
+    (assignment = nearest anchor, probe order = anchor rank per query,
+    candidates exploded once over the nprobe ladder). Distances are rounded
+    to 6dp before ranking with id tie-breaks, the repo-wide cross-engine
+    determinism contract (SURVEY.md §4).
+
+    Scale: anchors/probes are dim-sized broadcasts; the candidate explode
+    is the one fact-table pass (Σ_nprobe candidates — exactly what per-knob
+    re-runs would scan anyway, measured in ONE job)."""
+    spark = embeddings.sparkSession
+    nprobes = sorted(set(nprobes or range(1, nlists + 1)))
+
+    w_anchor = Window.orderBy("vec_id")
+    anchors = (
+        embeddings.where(F.col("vec_id") % anchor_stride == 0)
+        .orderBy("vec_id").limit(nlists)
+        .select((F.row_number().over(w_anchor) - 1).alias("centroid_id"),
+                F.col("embedding").alias("anchor"))
+    )
+
+    def ranked(df, id_col, vec_col, out):
+        d = F.round(V.l2_distance(vec_col, "anchor"), 6)
+        w = Window.partitionBy(id_col).orderBy(d.asc(), F.col("centroid_id").asc())
+        return (
+            df.crossJoin(F.broadcast(anchors))
+            .select(id_col, "centroid_id", F.row_number().over(w).alias(out))
+        )
+
+    assign = (
+        ranked(embeddings.select("vec_id", "embedding"), "vec_id", "embedding", "rn")
+        .where(F.col("rn") == 1).select("vec_id", "centroid_id")
+    )
+    probes = (
+        ranked(queries.select("query_id", "query_vector"), "query_id", "query_vector", "rn")
+        .select("query_id", "centroid_id", (F.col("rn") - 1).alias("probe_rank"))
+    )
+
+    np_arr = F.array(*[F.lit(int(n)) for n in nprobes])
+    cand = (
+        embeddings.select("vec_id", "embedding")
+        .join(F.broadcast(assign), "vec_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .withColumn("nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank"))))
+    )
+    scored = cand.join(F.broadcast(queries.select("query_id", "query_vector")), "query_id").select(
+        "nprobe", "query_id", "vec_id",
+        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
+    )
+    scored = scored.localCheckpoint(eager=False)  # scan counts + top-k reuse
+
+    n_queries = queries.count()
+    n_corpus = embeddings.count()
+    scanned = scored.groupBy("nprobe").agg((F.count(F.lit(1)) / n_queries).alias("avg_scanned"))
+
+    wq = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    truth = (
+        embeddings.crossJoin(F.broadcast(queries.select("query_id", "query_vector")))
+        .select("query_id", "vec_id", F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"))
+        .withColumn("rank", F.row_number().over(wq)).where(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+    )
+
+    wp = Window.partitionBy("nprobe", "query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    pred = scored.withColumn("rank", F.row_number().over(wp)).where(F.col("rank") <= k)
+    hits = pred.join(F.broadcast(truth), ["query_id", "vec_id"]).groupBy("nprobe", "query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_truth = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    grid = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int").crossJoin(n_truth)
+    recall = (
+        grid.join(F.broadcast(hits), ["nprobe", "query_id"], "left")
+        .select("nprobe", (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("recall"))
+        .groupBy("nprobe").agg(F.round(F.avg("recall"), 6).alias("recall_at_k"))
+    )
+    return (
+        recall.join(F.broadcast(scanned), "nprobe")
+        .select(
+            "nprobe", "recall_at_k",
+            F.round("avg_scanned", 2).alias("avg_scanned"),
+            F.round(F.col("avg_scanned") / n_corpus, 6).alias("scan_frac"),
+        )
+        .orderBy("nprobe")
+    )
