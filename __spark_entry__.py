@@ -990,7 +990,23 @@ def q_store_lifecycle(spark, sf_dir):
         F.col("n_events").alias("n_rows"),
         F.col("n_users").alias("value"),
     )
-    return _i(out.unionByName(hourly), "n_rows", "value")
+    # H4 space accounting (space_calculate.py:19 BYTES_PER_COMPONENT): exact
+    # logical bytes per storage tier = Σ dim × tier width over the corpus.
+    comp = t["embeddings"].agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(F.size("embedding")).alias("comp")
+    )
+    tiers = spark.createDataFrame(
+        [("vector", "comp * 4"), ("halfvec", "comp * 2"), ("int8", "comp"), ("bit", "comp div 8")],
+        "tier string, expr string",
+    ).collect()
+    space = None
+    for r in tiers:
+        row = comp.select(
+            F.lit("space").alias("section"), F.lit(r["tier"]).alias("key"),
+            "n_rows", F.expr(r["expr"]).alias("value"),
+        )
+        space = row if space is None else space.unionByName(row)
+    return _i(out.unionByName(hourly).unionByName(space), "n_rows", "value")
 
 
 def q_generator_relations(spark, sf_dir):
@@ -2392,6 +2408,12 @@ SELECT 'hourly' AS section,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') || '|' || event_type AS key,
        COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS value
 FROM events GROUP BY 2
+UNION ALL
+SELECT 'space' AS section, t.tier AS key, s.n_rows,
+       CASE t.tier WHEN 'vector' THEN s.comp * 4 WHEN 'halfvec' THEN s.comp * 2
+                   WHEN 'int8' THEN s.comp ELSE s.comp // 8 END AS value
+FROM (SELECT COUNT(*) AS n_rows, SUM(len(embedding)) AS comp FROM embeddings) s
+CROSS JOIN (SELECT unnest(['vector', 'halfvec', 'int8', 'bit']) AS tier) t
 """
 
 # B2/B4: replay every md5-seeded generator draw row-for-row.

@@ -108,3 +108,33 @@ def test_budget_search_plan_shape(t, opt):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p, "fact path must not sort-merge"
     assert "WindowGroupLimit" in p and "Partial" in p, "rank-limit pushdown missing"
+
+
+def test_scan_plan_prefers_dedicated_partitions(t, opt):
+    """Replica choice: every (query, atom) reads from the SMALLEST routed
+    partition holding the atom — hot combs use their dedicated split
+    partition, not the residual catch-all, so on-disk partition pruning
+    actually prunes."""
+    assign = opt["assignment"].collect()
+    holders: dict[str, set[int]] = {}
+    loads: dict[int, int] = {}
+    for r in assign:
+        holders.setdefault(r["atom_key"], set()).add(r["partition_id"])
+        loads[r["partition_id"]] = r["partition_blocks"]
+    routing = {}
+    for r in opt["routing"].collect():
+        routing.setdefault(r["comb_key"], set()).add(r["partition_id"])
+    qroles = {}
+    for r in t["query_roles"].collect():
+        qroles.setdefault(r["query_id"], set()).add(r["role_id"])
+
+    plan = layout.budget_scan_plan(t["query_roles"], opt["routing"], opt["assignment"]).collect()
+    assert plan, "scan plan must not be empty"
+    for r in plan:
+        comb_key = ",".join(str(x) for x in sorted(qroles[r["query_id"]]))
+        route = routing.get(comb_key) or set().union(
+            *(routing[str(x)] for x in sorted(qroles[r["query_id"]]))
+        )
+        reachable = holders[r["atom_key"]] & route
+        best = min(reachable, key=lambda p: (loads[p], p))
+        assert r["partition_id"] == best

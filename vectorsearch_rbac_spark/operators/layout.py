@@ -370,7 +370,7 @@ def split_comb_roles(
         qt_before = qt_after
 
     assignment = [
-        (atom_keys[i], pid)
+        (atom_keys[i], pid, st.load(st.partitions[pid]))
         for pid in sorted(st.partitions)
         for i in sorted(st.partitions[pid])
     ]
@@ -417,7 +417,7 @@ def optimize_layout(
     assignment, routing, report = split_comb_roles(
         atom_rows, weight_rows, alpha=alpha, topk=topk, params=params
     )
-    a_df = spark.createDataFrame(assignment, "atom_key string, partition_id int")
+    a_df = spark.createDataFrame(assignment, "atom_key string, partition_id int, partition_blocks long")
     r_df = spark.createDataFrame(routing, "comb_key string, partition_id int")
     return {"assignment": a_df, "routing": r_df, "report": report}
 
@@ -434,38 +434,24 @@ def build_budget_store(
     )
     return (
         blocks.join(F.broadcast(doc_atom), "document_id")
-        .join(F.broadcast(assignment), "atom_key")
+        .join(F.broadcast(assignment.select("atom_key", "partition_id")), "atom_key")
     )
 
 
-def knn_budget(
-    store: DataFrame,
-    queries: DataFrame,
-    query_roles: DataFrame,
-    routing: DataFrame,
-    assignment: DataFrame,
-    k: int = 10,
-    metric: str = "l2",
+def budget_scan_plan(
+    query_roles: DataFrame, routing: DataFrame, assignment: DataFrame
 ) -> DataFrame:
-    """Exact top-k over the optimized layout.
+    """(query_id, atom_key, partition_id): which replica each query reads.
 
-    Routing: the query's comb_role looks up its tracked partitions (the
-    optimizer guarantees they cover every accessible doc); queries whose
-    exact comb is unseen fall back to the union of their single-role
+    Routing: the query's comb_role looks up its tracked partitions; combs
+    unseen by the optimizer fall back to the union of their single-role
     routings (always present — reference :772 extends combs with all
-    singles).
-
-    Every decision happens at METADATA level before the fact table is
-    touched: the scan plan picks, per (query, readable atom), exactly ONE
-    partition holding a replica (min partition_id among the query's routed
-    partitions — the permission predicate is the atom-intersects-roles
-    check, and replica dedup happens here, not on scored rows). The plan is
-    dim-sized (Q × atoms) and broadcast, so the fact scan emits each
-    (query, block) pair exactly once and the rank window keeps its partial
-    WindowGroupLimit pushdown — no post-scan distinct, no duplicate rows
-    shuffled. At 100 TB the scan-plan join also prunes partitions: only
-    (partition, atom) slices some query reads are materialized."""
-    dist = _METRICS[metric]
+    singles). The permission predicate is the atom-intersects-roles check,
+    and replica dedup happens HERE, not on scored rows: per (query, atom)
+    the SMALLEST holding partition wins (a hot comb's dedicated partition
+    over the residual catch-all) — on disk that's the difference between
+    opening one small partition's files and touching the whole-corpus
+    partition. Everything is dim-sized and broadcast."""
     qcomb = query_roles.groupBy("query_id").agg(
         F.array_join(F.array_sort(F.collect_set(F.col("role_id").cast("int"))), ",").alias("comb_key")
     ).localCheckpoint(eager=False)  # dim-sized; consumed by 3 routing branches
@@ -489,12 +475,43 @@ def knn_budget(
         .select("query_id", "atom_key")
         .distinct()
     )
-    scan_plan = (
+    return (
         q_atoms.join(F.broadcast(qpart), "query_id")
         .join(F.broadcast(assignment), ["atom_key", "partition_id"])  # replicas the route can reach
         .groupBy("query_id", "atom_key")
-        .agg(F.min("partition_id").alias("partition_id"))  # exactly one per (q, atom)
+        .agg(
+            F.min(F.struct("partition_blocks", "partition_id"))
+            .getField("partition_id").alias("partition_id")
+        )
     )
+
+
+def knn_budget(
+    store: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    routing: DataFrame,
+    assignment: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Exact top-k over the optimized layout.
+
+    Routing: the query's comb_role looks up its tracked partitions (the
+    optimizer guarantees they cover every accessible doc); queries whose
+    exact comb is unseen fall back to the union of their single-role
+    routings (always present — reference :772 extends combs with all
+    singles).
+
+    Every decision happens at METADATA level before the fact table is
+    touched (:func:`budget_scan_plan`): per (query, readable atom) exactly
+    ONE replica partition is chosen, so the fact scan emits each
+    (query, block) pair exactly once and the rank window keeps its partial
+    WindowGroupLimit pushdown — no post-scan distinct, no duplicate rows
+    shuffled. At 100 TB the scan-plan join also prunes partitions: only
+    (partition, atom) slices some query reads are materialized."""
+    dist = _METRICS[metric]
+    scan_plan = budget_scan_plan(query_roles, routing, assignment)
 
     scored = (
         store.join(F.broadcast(scan_plan), ["partition_id", "atom_key"])
