@@ -126,3 +126,70 @@ def test_top_bigram_frac_known_values(spark):
     for s, want in cases.items():
         r = _one_row(spark, bgf=T.top_bigram_frac(F.lit(s)))
         assert r["bgf"] == pytest.approx(want, abs=1e-6), s
+
+
+# ---------------------------------------------------------------- D10 layout
+# The partition-composition greedy is pure driver-side logic over atom
+# statistics — fuzz it directly: for ANY access-set structure and workload,
+# the budget holds, routing covers every comb, and the result is
+# order-independent (determinism is what makes the entry oracle-checkable).
+
+_ROLES = st.integers(min_value=0, max_value=5)
+_ATOMS = st.dictionaries(
+    st.frozensets(_ROLES, min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=500),
+    min_size=1, max_size=12,
+)
+_WEIGHTS = st.dictionaries(
+    st.frozensets(_ROLES, min_size=1, max_size=4),
+    st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+    min_size=0, max_size=8,
+)
+
+
+def _key(roles):
+    return ",".join(str(r) for r in sorted(roles))
+
+
+@settings(max_examples=40, deadline=None)
+@given(atoms=_ATOMS, weights=_WEIGHTS, alpha=st.floats(min_value=1.0, max_value=3.0))
+def test_layout_optimizer_invariants(atoms, weights, alpha):
+    from vectorsearch_rbac_spark.operators import layout
+
+    atom_rows = [{"atom_key": _key(k), "n_blocks": v} for k, v in atoms.items()]
+    weight_rows = [{"comb_key": _key(k), "weight": w} for k, w in weights.items()]
+
+    assignment, routing, rep = layout.split_comb_roles(atom_rows, weight_rows, alpha=alpha)
+
+    total = sum(atoms.values())
+    assert rep["total_blocks"] == total
+    assert rep["stored_blocks"] <= alpha * total + 1e-9          # budget
+    assert rep["stored_blocks"] >= total                          # every atom kept
+    assert rep["predicted_query_time"] <= rep["predicted_query_time_naive"] + 1e-9
+
+    holders: dict[str, set[int]] = {}
+    for atom_key, pid, _load in assignment:
+        holders.setdefault(atom_key, set()).add(pid)
+    assert set(holders) == {_key(k) for k in atoms}               # nothing dropped
+
+    routes: dict[str, set[int]] = {}
+    for comb_key, pid in routing:
+        routes.setdefault(comb_key, set()).add(pid)
+    atom_roles = {_key(k): set(k) for k in atoms}
+    all_roles = set().union(*atoms.keys())
+    for r in all_roles:
+        assert str(r) in routes                                   # singles always routed
+    part_atoms: dict[int, set[str]] = {}
+    for atom_key, pid, _load in assignment:
+        part_atoms.setdefault(pid, set()).add(atom_key)
+    for comb_key, pids in routes.items():
+        roles = {int(x) for x in comb_key.split(",")}
+        need = {a for a, rs in atom_roles.items() if rs & roles}
+        have = set().union(*(part_atoms[p] for p in pids))
+        assert need <= have, f"comb {comb_key} uncovered"         # coverage
+
+    # determinism: input order must not matter
+    a2, r2, rep2 = layout.split_comb_roles(
+        list(reversed(atom_rows)), list(reversed(weight_rows)), alpha=alpha
+    )
+    assert a2 == assignment and r2 == routing and rep2["splits"] == rep["splits"]
