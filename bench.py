@@ -154,11 +154,15 @@ def _tuning_block(spark) -> dict:
     truth = knn.knn_topk_fast(blocks, t["queries"], k=10)
     t0 = time.time()
     out = tuning.tune_ivf(indexed, t["queries"], C, truth, k=10, target_recall=0.9)
+    from pyspark.sql import functions as F
+
+    balance = ivf.list_stats(indexed).agg(F.first("imbalance")).first()[0]
     return {
         "parameters": out["parameters"],
         "decision": out["decision"],
         "model_mae": out["validation"]["mae"],
         "nlists": nlists,
+        "list_imbalance": balance,
         "sec": round(time.time() - t0, 3),
     }
 
