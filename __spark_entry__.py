@@ -955,14 +955,17 @@ def q_tuning_curve(spark, sf_dir):
 
 
 def q_store_lifecycle(spark, sf_dir):
-    """D8 + F7 in one driver-checked entry: the versioned store's full
-    mutation lifecycle (commit v0 → insert v1 → delete v2 → RESTORE(1) = v3;
-    parity: insertion_rolllback.py / deletion_rolllback.py — rollback is
-    reopening an older snapshot) summarized as per-version row counts +
-    order-independent xor content checksums, unioned with the exact-distinct
-    hourly event stats (F7 countDistinct — plans/queries.py
-    hourly_event_stats). The oracle reconstructs each version's exact
-    content set: restore(1) must hash-equal the pre-delete store."""
+    """D8 + G4 + F7 + H4 in one driver-checked entry: the versioned store's
+    full mutation lifecycle (commit v0 → insert v1 → delete v2 →
+    RESTORE(1) = v3; parity: insertion_rolllback.py / deletion_rolllback.py
+    — rollback is reopening an older snapshot) as per-version row counts +
+    order-independent xor content checksums; a REAL availableNow streaming
+    insertion through the comb_role router hash-checked against the batch
+    routing; the exact-distinct hourly event stats (F7 countDistinct); and
+    exact logical bytes per storage tier (H4, space_calculate.py:19).
+    The oracle reconstructs every section's exact content: restore(1) must
+    hash-equal the pre-delete store, the streamed sink must hash-equal the
+    batch-routed arrivals."""
     import tempfile
 
     from vectorsearch_rbac_spark.functions.vector import md5_long
@@ -990,6 +993,31 @@ def q_store_lifecycle(spark, sf_dir):
         F.col("n_events").alias("n_rows"),
         F.col("n_users").alias("value"),
     )
+    # G4: REAL streaming insertion through the comb_role router — the
+    # arriving blocks replayed as an availableNow file stream into a
+    # partitionBy(comb_role) sink (streaming/pipelines.py
+    # streaming_block_insertion; parity dynamic_partition/hnsw/insertion.py),
+    # then the sink's exact content is hash-checked against the batch
+    # routing oracle. Same bounded-replay harness as streaming_hourly_stats.
+    from vectorsearch_rbac_spark.streaming import pipelines as S
+
+    arriving = blocks.where(F.col("block_id") % 5 == 0)
+    drop = _STREAM_DROPS.get(("blocks", sf_dir))
+    if drop is None:
+        drop = tempfile.mkdtemp(prefix="stream_blocks_") + "/in"
+        arriving.repartition(2).write.mode("overwrite").parquet(drop)
+        _STREAM_DROPS[("blocks", sf_dir)] = drop
+    sink = tempfile.mkdtemp(prefix="stream_store_")
+    stream_src = spark.readStream.schema(arriving.schema).option("maxFilesPerTrigger", 1).parquet(drop)
+    S.streaming_block_insertion(stream_src, pa, sink + "/out", sink + "/ckpt").awaitTermination()
+    hs = md5_long(F.concat(F.col("block_id").cast("string"), F.lit(":"), F.col("comb_role")))
+    stream_row = (
+        spark.read.parquet(sink + "/out").select(hs.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("value"))
+        .select(F.lit("stream_insert").alias("section"), F.lit("arriving").alias("key"), "n_rows", "value")
+    )
+    out = out.unionByName(stream_row)
+
     # H4 space accounting (space_calculate.py:19 BYTES_PER_COMPONENT): exact
     # logical bytes per storage tier = Σ dim × tier width over the corpus.
     comp = t["embeddings"].agg(
@@ -2403,6 +2431,9 @@ versions AS (
   UNION ALL SELECT 'v3', COUNT(*), bit_xor(h) FROM v1
 )
 SELECT 'store_version' AS section, key, n_rows, value FROM versions
+UNION ALL
+SELECT 'stream_insert' AS section, 'arriving' AS key, COUNT(*) AS n_rows, bit_xor(h) AS value
+FROM sb WHERE block_id % 5 = 0
 UNION ALL
 SELECT 'hourly' AS section,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') || '|' || event_type AS key,
