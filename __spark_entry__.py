@@ -27,6 +27,9 @@ COS_NEARDUP_T = 0.35
 JACCARD_T = 0.5
 SIMHASH_BITS = 32
 SIMHASH_T = 3
+SEMDEDUP_T = 0.3
+SEMDEDUP_CLUSTERS = 8
+SEMDEDUP_STRIDE = 37
 
 
 def _rbac(spark: SparkSession, sf_dir: str):
@@ -318,8 +321,9 @@ def q_minhash_candidates(spark, sf_dir):
 def q_neardup_pairs(spark, sf_dir):
     """Every near-dup pair generator in ONE driver-checked entry (registry
     curation): E2 MinHash+LSH, E4 n-gram Jaccard, E3 SimHash, E28 blocked
-    Levenshtein, E5 cosine near-dup — (method, id_a, id_b, score) union.
-    Each method keeps its own exact-oracle formulation inside the union."""
+    Levenshtein, E5 cosine near-dup, E29 SemDeDup cluster-scoped semantic
+    pairs — (method, id_a, id_b, score) union. Each method keeps its own
+    exact-oracle formulation inside the union."""
     docs = load_table(spark, "documents", sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
     parts = [
@@ -332,6 +336,10 @@ def q_neardup_pairs(spark, sf_dir):
         ("levenshtein", dedup.levenshtein_neardup_pairs(docs, max_dist=8)
             .select("id_a", "id_b", F.col("edit_dist").cast("double").alias("score"))),
         ("cosine", ann.cosine_neardup_pairs(emb, threshold=COS_NEARDUP_T)
+            .select("id_a", "id_b", F.col("cosine_sim").alias("score"))),
+        ("semdedup", ann.semdedup_pairs(
+                emb, n_clusters=SEMDEDUP_CLUSTERS, threshold=SEMDEDUP_T,
+                anchor_stride=SEMDEDUP_STRIDE)
             .select("id_a", "id_b", F.col("cosine_sim").alias("score"))),
     ]
     out = None
@@ -2310,6 +2318,28 @@ FROM ({_PREFILTER_SQL}) p
 CROSS JOIN (SELECT unnest(['role_partition', 'comb_role', 'rls', 'qdtree']) AS strategy) s
 """
 
+# E29 SemDeDup: deterministic anchor-grid clusters (same idiom as the
+# tuning curve), then cosine pairs ONLY within a cluster.
+_SEMDEDUP_SQL = f"""
+WITH anch AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS anchor
+  FROM embeddings WHERE vec_id % {SEMDEDUP_STRIDE} = 0 ORDER BY vec_id LIMIT {SEMDEDUP_CLUSTERS}
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
+    SELECT e.vec_id, e.embedding, a.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], a.anchor::DOUBLE[]), 6), a.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN anch a
+  ) WHERE rn = 1
+)
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+  FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+) WHERE cosine_sim >= {SEMDEDUP_T}
+"""
+
 _NEARDUP_PAIRS_SQL = f"""
 SELECT 'minhash' AS method, id_a, id_b, 1.0 AS score FROM ({_MINHASH_SQL})
 UNION ALL
@@ -2320,6 +2350,8 @@ UNION ALL
 SELECT 'levenshtein' AS method, id_a, id_b, CAST(edit_dist AS DOUBLE) AS score FROM ({_LEVENSHTEIN_SQL})
 UNION ALL
 SELECT 'cosine' AS method, id_a, id_b, cosine_sim AS score FROM ({_COSINE_NEARDUP_SQL})
+UNION ALL
+SELECT 'semdedup' AS method, id_a, id_b, cosine_sim AS score FROM ({_SEMDEDUP_SQL})
 """
 
 _RETRIEVAL_SQL = f"""

@@ -633,3 +633,47 @@ def test_range_join_trailing_window_bounds(spark):
     got = {r["pid"] for r in asof.range_join_trailing(
         left, right, "user_id", "ts", "pts", 3600, ["pid"]).collect()}
     assert got == {10, 11}
+
+
+def test_semdedup_pairs_cluster_scoped_subset(spark, sf_dir):
+    """E29 SemDeDup: pairs are exactly the within-cluster subset of the
+    exact all-pairs cosine graph at the same threshold, and pair members
+    share the emitted cluster."""
+    from vectorsearch_rbac_spark.operators import ann
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    thr = 0.3
+    sem = ann.semdedup_pairs(emb, n_clusters=4, threshold=thr, anchor_stride=7)
+    rows = sem.collect()
+    assert rows, "expected at least one semantic near-dup pair"
+
+    all_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in ann.cosine_neardup_pairs(emb, threshold=thr).collect()
+    }
+    # every semdedup pair is a true cosine pair with the identical score
+    for r in rows:
+        assert (r["id_a"], r["id_b"]) in all_pairs
+        assert r["cosine_sim"] == all_pairs[(r["id_a"], r["id_b"])]
+    # and strictly cluster-scoped: fewer comparisons → a strict subset here
+    assert len(rows) < len(all_pairs)
+
+    # deterministic: same anchors → same pairs on re-run
+    again = sorted((r["id_a"], r["id_b"]) for r in ann.semdedup_pairs(
+        emb, n_clusters=4, threshold=thr, anchor_stride=7).collect())
+    assert again == sorted((r["id_a"], r["id_b"]) for r in rows)
+
+
+def test_semdedup_learned_centroids_path(spark, sf_dir):
+    """The production path accepts kmeans_fit centroids and stays a valid
+    subset of the exact cosine graph."""
+    from vectorsearch_rbac_spark.operators import ann, ivf
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    C = ivf.kmeans_fit(emb.select(F.col("vec_id"), F.col("embedding").alias("vector")),
+                       nlists=4, max_iter=4)
+    sem = ann.semdedup_pairs(emb, threshold=0.3, centroids=C)
+    all_pairs = {(r["id_a"], r["id_b"])
+                 for r in ann.cosine_neardup_pairs(emb, threshold=0.3).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in sem.collect()}
+    assert got and got <= all_pairs

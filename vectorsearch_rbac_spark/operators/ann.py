@@ -281,3 +281,73 @@ def sparse_cosine_topk(
     )
     w = topk_per_query(scored, k, id_col="block_id")
     return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.3,
+    anchor_stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    pairs found by clustering embeddings and comparing ONLY within a
+    cluster — the comparison count drops from O(N²) to Σ|c|² while keeping
+    the pairs that matter (semantic duplicates land in the same cluster).
+
+    Deterministic two-step, same contract as ``tuning.anchor_ivf_curve``:
+
+    - ``centroids=None`` → ANCHOR-grid centroids (the first ``n_clusters``
+      embeddings with ``id % anchor_stride == 0``) so every step is
+      SQL-expressible and the driver's DuckDB oracle replays clustering,
+      assignment and pair scoring end-to-end;
+    - pass ``centroids`` (np.ndarray from ``ivf.kmeans_fit``) for the
+      production path — same plan, learned centroids.
+
+    Scale: centroids are a dim-sized broadcast; assignment is one codegen
+    pass over the fact table; the pair join shuffles on ``cluster_id`` only
+    and each task compares one cluster (pick ``n_clusters`` ∝ N/target so
+    clusters stay task-sized — SemDeDup itself ran 50k clusters). Survivor
+    similarity is re-scored with the exact codegen expression, 6-dp rounded
+    with id tie-breaks (SURVEY §4 contract).
+
+    Returns (id_a, id_b, cluster_id, cosine_sim) with id_a < id_b and
+    cosine_sim ≥ threshold.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        w_anchor = Window.orderBy(id_col)
+        anchors = (
+            embeddings.where(F.col(id_col) % anchor_stride == 0)
+            .orderBy(id_col).limit(n_clusters)
+            .select((F.row_number().over(w_anchor) - 1).alias("centroid_id"),
+                    F.col(vec_col).alias("anchor"))
+        )
+    else:
+        spark = embeddings.sparkSession
+        anchors = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid_id int, anchor array<float>",
+        )
+
+    d = F.round(V.l2_distance(vec_col, "anchor"), 6)
+    w = Window.partitionBy(id_col).orderBy(d.asc(), F.col("centroid_id").asc())
+    assigned = (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(F.broadcast(anchors))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cluster_id"))
+    )
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster_id")
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cluster_id")
+    return (
+        a.join(b, ["cluster_id"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(V.cosine_similarity("va", "vb"), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cluster_id", "cosine_sim")
+    )
