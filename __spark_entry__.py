@@ -423,6 +423,8 @@ def q_curated_corpus(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
+    """E9-E12 per-doc text metrics + E30 CCNet-style unigram-LM
+    log-perplexity (corpus-trained add-1 unigram model) in one entry."""
     docs = load_table(spark, "documents", sf_dir)
     out = docs.select(
         "doc_id",
@@ -434,7 +436,7 @@ def q_text_stats(spark, sf_dir):
         T.top_bigram_frac("text").alias("top_bigram_frac"),
         T.quality_score("text").alias("quality"),
         T.lang_id("text").alias("lang_pred"),
-    )
+    ).join(curation.unigram_logppl(docs), "doc_id")
     return _i(out, "doc_id")
 
 
@@ -1553,6 +1555,16 @@ s AS (
     ROUND(length(regexp_replace(norm, '[^a-z0-9]', '', 'g')) / GREATEST(len(toks), 1), 6) AS mwl,
     ROUND(1.0 - length(regexp_replace(norm, '[\\x00-\\x7f]', '', 'g')) / GREATEST(length(norm), 1), 6) AS ascii_ratio
   FROM t2
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+vocab AS (SELECT token, COUNT(*) AS tf FROM tok2 GROUP BY token),
+tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+ppl AS (
+  SELECT doc_id, ROUND(AVG(-LN((tf + 1.0) / (total + v))), 6) AS unigram_logppl
+  FROM tok2 JOIN vocab USING (token) CROSS JOIN tot GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio, repetition_ratio, top_bigram_frac,
   ROUND(LEAST(stopword_ratio * 4, 1.0) * 0.3
@@ -1561,8 +1573,9 @@ SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio, repetition_r
       + (CASE WHEN mwl >= 2.5 AND mwl <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
   CASE WHEN stopword_ratio >= 0.08 AND ascii_ratio >= 0.97 THEN 'en'
        WHEN ascii_ratio >= 0.97 THEN 'latin'
-       ELSE 'other' END AS lang_pred
-FROM s
+       ELSE 'other' END AS lang_pred,
+  COALESCE(unigram_logppl, 0.0) AS unigram_logppl
+FROM s LEFT JOIN ppl USING (doc_id)
 """
 
 _MD5L = "('0x' || substr(md5({x}), 1, 15))::BIGINT"

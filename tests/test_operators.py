@@ -677,3 +677,30 @@ def test_semdedup_learned_centroids_path(spark, sf_dir):
                  for r in ann.cosine_neardup_pairs(emb, threshold=0.3).collect()}
     got = {(r["id_a"], r["id_b"]) for r in sem.collect()}
     assert got and got <= all_pairs
+
+
+def test_unigram_logppl_matches_hand_model(spark):
+    """E30 unigram-LM log-perplexity: exact add-1 model on a 3-doc corpus,
+    verified against a hand-computed value; junk doc scores higher than
+    the common-token doc; empty doc emits 0."""
+    import math
+
+    from vectorsearch_rbac_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zyx qwv zzz"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["unigram_logppl"] for r in curation.unigram_logppl(docs).collect()}
+
+    corpus = ["the", "cat", "sat", "on", "the", "mat", "zyx", "qwv", "zzz"]
+    tf = {t: corpus.count(t) for t in set(corpus)}
+    total, v = len(corpus), len(tf)
+
+    def ppl(tokens):
+        return round(sum(-math.log((tf[t] + 1.0) / (total + v)) for t in tokens) / len(tokens), 6)
+
+    assert got[1] == ppl("the cat sat on the mat".split())
+    assert got[2] == ppl("zyx qwv zzz".split())
+    assert got[3] == 0.0
+    assert got[2] > got[1]

@@ -354,3 +354,51 @@ def int8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("block_id").alias(id_col), "dot", "rank")
     )
+
+
+def unigram_logppl(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality signal (Wenzek et al. 2019,
+    arXiv:1911.00359 — their Wikipedia-KenLM perplexity bucket filter):
+    per-document mean negative log-probability of its tokens under an
+    add-1-smoothed unigram LM trained on the corpus itself.
+
+    p(w) = (tf(w) + 1) / (total_tokens + |V|);
+    unigram_logppl(doc) = avg over doc tokens of -ln p(w), rounded 6 dp
+    (low = fluent/common language, high = junk or rare-token soup —
+    the filterable axis CCNet buckets on).
+
+    One explode over the fact table, one token-keyed aggregate (the vocab
+    table, Zipf-bounded ≪ corpus), corpus totals as a 1-row broadcast
+    cross join, then a doc-keyed aggregate. At 100 TB the vocab join stays
+    a broadcast after frequency truncation (top-K vocab + the smoothing
+    default covers the tail — standard LM practice); everything is
+    codegen'd, no UDFs. Empty documents emit 0.0.
+    """
+    toks = (
+        documents.select(id_col, F.explode(T.tokens(text_col)).alias("token"))
+        .where(F.col("token") != "")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ppl = (
+        toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(-F.log((F.col("tf") + F.lit(1.0)) / (F.col("total") + F.col("v")))), 6
+            ).alias("unigram_logppl")
+        )
+    )
+    return (
+        documents.select(id_col)
+        .join(ppl, id_col, "left")
+        .select(id_col, F.coalesce("unigram_logppl", F.lit(0.0)).alias("unigram_logppl"))
+    )
