@@ -30,6 +30,8 @@ SIMHASH_T = 3
 SEMDEDUP_T = 0.3
 SEMDEDUP_CLUSTERS = 8
 SEMDEDUP_STRIDE = 37
+DUPWIN_LEN = 40
+DUPWIN_MOD = 8
 
 
 def _rbac(spark: SparkSession, sf_dir: str):
@@ -295,9 +297,10 @@ def q_cosine_neardup(spark, sf_dir):
 
 
 def q_exact_dedup(spark, sf_dir):
-    """E1 exact dedup + E12 fingerprints in one pass: per-doc content hash
-    and shingle fingerprint, plus the dedup group resolution (keeper =
-    min doc_id per content hash, group size) — one shuffle on the hash."""
+    """E1 exact dedup + E12 fingerprints + E31 duplicated-substring stats
+    in one entry: per-doc content hash, shingle fingerprint, dedup group
+    resolution (keeper = min doc_id per content hash, group size), and the
+    Lee-et-al.-style cross-doc duplicated-window fraction."""
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
@@ -307,8 +310,10 @@ def q_exact_dedup(spark, sf_dir):
         T.shingle_fingerprint("text", 5).alias("shingle_fp"),
     )
     w = Window.partitionBy("content_hash")
-    out = h.withColumn("keeper_id", F.min("doc_id").over(w)).withColumn(
-        "group_size", F.count("*").over(w)
+    out = (
+        h.withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .join(dedup.dup_window_stats(docs, win=DUPWIN_LEN, sample_mod=DUPWIN_MOD), "doc_id")
     )
     return _i(out, "doc_id", "keeper_id", "group_size")
 
@@ -2151,11 +2156,30 @@ h AS (
   SELECT doc_id, md5(norm) AS content_hash,
          md5(array_to_string(list_filter(toks, (x, i) -> i % 5 = 1), ' ')) AS shingle_fp
   FROM t
+),
+wins AS (
+  SELECT doc_id, whash FROM (
+    SELECT doc_id, {_MD5L.format(x=f"substr(norm, i, {DUPWIN_LEN})")} AS whash
+    FROM t, UNNEST(range(1, length(norm) - {DUPWIN_LEN} + 2)) AS u(i)
+    WHERE length(norm) >= {DUPWIN_LEN}
+  ) WHERE whash % {DUPWIN_MOD} = 0
+),
+wdf AS (
+  SELECT whash, COUNT(DISTINCT doc_id) AS ndocs FROM wins GROUP BY whash
+),
+dwstats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM wins JOIN wdf USING (whash) GROUP BY doc_id
 )
 SELECT doc_id, content_hash, shingle_fp,
        MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper_id,
-       CAST(COUNT(*) OVER (PARTITION BY content_hash) AS BIGINT) AS group_size
-FROM h
+       CAST(COUNT(*) OVER (PARTITION BY content_hash) AS BIGINT) AS group_size,
+       COALESCE(n_windows, 0) AS n_windows,
+       COALESCE(n_dup_windows, 0) AS n_dup_windows,
+       ROUND(COALESCE(n_dup_windows, 0) / GREATEST(COALESCE(n_windows, 0), 1), 6) AS dup_frac
+FROM h LEFT JOIN dwstats USING (doc_id)
 """
 
 _VECTOR_OPS_SQL = """

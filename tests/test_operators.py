@@ -704,3 +704,26 @@ def test_unigram_logppl_matches_hand_model(spark):
     assert got[2] == ppl("zyx qwv zzz".split())
     assert got[3] == 0.0
     assert got[2] > got[1]
+
+
+def test_dup_window_stats_detects_planted_copy(spark):
+    """E31 duplicated-substring stats: a copied run is flagged in BOTH docs
+    even though it sits at different offsets (content-defined sampling is
+    alignment-free); unique docs and sub-window docs report 0."""
+    copied = "this exact passage was copied verbatim between two documents!"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text before. " + copied + " trailing words here one."),
+            (2, copied + " entirely different continuation of the second doc."),
+            (3, "a unique document with no shared forty character windows at all, "
+                "talking about something else entirely for a while longer."),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.dup_window_stats(docs, win=40, sample_mod=2).collect()}
+    assert got[1]["n_dup_windows"] > 0 and got[2]["n_dup_windows"] > 0
+    assert got[3]["n_dup_windows"] == 0 and got[3]["n_windows"] > 0
+    assert got[4]["n_windows"] == 0 and got[4]["dup_frac"] == 0.0
+    for d in (1, 2):
+        assert 0 < got[d]["dup_frac"] <= 1.0

@@ -534,3 +534,80 @@ def neardup_clusters(
 def canonical_docs(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Dedup output: one kept (canonical = min-id) doc per cluster."""
     return clusters.where(F.col(id_col) == F.col("cluster_id")).select(id_col, "cluster_id")
+
+
+def dup_window_stats(
+    documents: DataFrame,
+    win: int = 40,
+    sample_mod: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-substring signal (Lee et al. 2022,
+    arXiv:2107.06499 — their suffix-array EXACTSUBSTR dedup, re-expressed
+    at window granularity with CONTENT-DEFINED sampling): every ``win``-char
+    gram of the normalized text is hashed, grams with
+    ``hash % sample_mod == 0`` are kept (the MOSS/winnowing fingerprinting
+    idea — the sample depends on gram content, never on its offset, so two
+    copies of a run select the SAME grams regardless of alignment), and a
+    sampled gram is DUPLICATED if its content appears in ≥ 2 distinct docs.
+
+    A suffix array is a single-machine pointer structure; the cluster-
+    native equivalent of its "duplicated span" query is this fingerprint
+    equi-join — same signal, ~len/sample_mod rows per doc, all shuffles on
+    60-bit keys. Per doc:
+
+    - ``n_windows``     — sampled grams;
+    - ``n_dup_windows`` — sampled grams whose content occurs in another doc;
+    - ``dup_frac``      — their ratio (6 dp), the "how much of this doc is
+      copied from elsewhere" axis used to cut or trim training docs.
+
+    A shared run of length L ≥ win samples ≈ (L-win+1)/sample_mod grams in
+    expectation; runs ≳ win + few·sample_mod are detected with near
+    certainty (and deterministically — the draw is a pure content hash).
+    Plan: one explode, one hash-keyed aggregate for gram document-
+    frequency, one hash-keyed join back, one doc-keyed aggregate. The
+    DuckDB oracle replays everything exactly. Docs shorter than ``win``
+    emit zero grams and report 0/0/0.0.
+    """
+    norm = normalize_text(text_col)
+    wins = (
+        documents.select(id_col, norm.alias("_n"))
+        .where(F.length("_n") >= win)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_n") - (win - 1)),
+                    lambda p: F.substring(F.col("_n"), p, F.lit(win)),
+                )
+            ).alias("_w"),
+        )
+        .select(id_col, md5_long("_w").alias("whash"))
+        .where(F.pmod("whash", F.lit(sample_mod)) == 0)
+    )
+    df_per_window = wins.groupBy("whash").agg(
+        F.countDistinct(id_col).alias("ndocs")
+    )
+    per_doc = (
+        wins.join(df_per_window, "whash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+    )
+    return (
+        documents.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
