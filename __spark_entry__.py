@@ -877,6 +877,34 @@ def q_pq_recall(spark, sf_dir):
     return knn.recall_at_k(pred, truth)
 
 
+def q_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ residual (IVFADC) vs exact L2: per-query recall@k (D11,
+    rows-only — k-means coarse quantizer + residual codebooks). The scan
+    reads m ints/vector over nprobe/nlists of the corpus; floats are
+    fetched only for the k·expansion shortlist."""
+    from vectorsearch_rbac_spark.operators import pq
+
+    t = _rbac(spark, sf_dir)
+    emb, qs = t["embeddings"], t["queries"]
+    nlists = max(4, min(16, emb.count() // 125))
+    C = ivf.kmeans_fit(emb, nlists=nlists, vec_col="embedding", max_iter=8)
+    B = pq.ivfpq_train(emb, C, m=16, ksub=max(8, min(64, emb.count() // 8)))
+    codes = pq.ivfpq_encode(emb, C, B)
+    pred = pq.ivfpq_search_refined(
+        codes, emb, qs, C, B, k=TOPK, nprobe=max(2, (5 * nlists) // 8), expansion=8
+    ).withColumnRenamed("vec_id", "block_id")
+    # exact truth over the same metric/table as pq_recall
+    from vectorsearch_rbac_spark.functions import vector as V
+
+    scored = emb.join(F.broadcast(qs), how="cross").select(
+        "query_id",
+        F.col("vec_id").alias("block_id"),
+        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
+    )
+    truth = knn.topk_per_query(scored, TOPK).select("query_id", "block_id", "distance", "rank")
+    return knn.recall_at_k(pred, truth)
+
+
 def q_lsh_recall(spark, sf_dir):
     """LSH cosine ANN vs brute force: per-query recall@k (rows-only)."""
     t = _rbac(spark, sf_dir)
@@ -892,14 +920,16 @@ def q_lsh_recall(spark, sf_dir):
 
 
 def q_ann_recall(spark, sf_dir):
-    """All three ANN recall checks in ONE entry (registry curation): per-
+    """All four ANN recall checks in ONE entry (registry curation): per-
     query recall@10 vs exact ground truth for D1 IVF (nprobe=10/16), E8
-    hyperplane LSH (5 planes × 8 tables), D6 PQ+refine (ksub=64, exp=8) —
+    hyperplane LSH (5 planes × 8 tables), D6 PQ+refine (ksub=64, exp=8),
+    D11 IVF-PQ residual (IVFADC: coarse route + residual ADC + refine) —
     approximate ops, so rows-only by design; pytest pins the recall floors."""
     parts = [
         ("ivf", q_ivf_recall(spark, sf_dir)),
         ("lsh", q_lsh_recall(spark, sf_dir)),
         ("pq", q_pq_recall(spark, sf_dir)),
+        ("ivfpq", q_ivfpq_recall(spark, sf_dir)),
     ]
     out = None
     for name, df in parts:

@@ -46,6 +46,7 @@ EXTRA = {
     "ivf_recall": entry.q_ivf_recall,
     "hourly_event_stats": entry.q_hourly_event_stats,
     "pq_recall": entry.q_pq_recall,
+    "ivfpq_recall": entry.q_ivfpq_recall,
 }
 
 HEADLINE = [
@@ -100,6 +101,7 @@ HEADLINE = [
     "tuning_curve",
     "ivf_recall",
     "pq_recall",
+    "ivfpq_recall",
 ]
 
 
@@ -131,6 +133,7 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
         ("ivf", entry.q_ivf_recall),
         ("lsh", entry.q_lsh_recall),
         ("pq", entry.q_pq_recall),
+        ("ivfpq", entry.q_ivfpq_recall),
     ):
         t0 = time.time()
         r = _mean_recall(fn(spark, SF_DIR))

@@ -227,3 +227,45 @@ def test_ivf_list_stats_balance(t):
     assert abs(sum(r["frac"] for r in stats) - 1.0) < 1e-4
     imb = {r["imbalance"] for r in stats}
     assert len(imb) == 1 and min(imb) >= 1.0
+
+
+def test_ivfpq_residual_recall(spark, sf_dir):
+    """D11 IVFADC: codes valid; probing ALL lists with a full-corpus
+    shortlist makes the refined search EXACT (recall 1.0) — the residual
+    encode/route/ADC/refine pipeline loses nothing when the knobs are
+    maxed; a restricted-probe run still clears a floor."""
+    import pyspark.sql.functions as F
+    from vectorsearch_rbac_spark.sources import load_table
+    from vectorsearch_rbac_spark.rbac import derive
+    from vectorsearch_rbac_spark.operators import ivf, pq, knn
+    from vectorsearch_rbac_spark.functions import vector as V
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = derive.derive_queries(emb, 25)
+    n = emb.count()
+    C = ivf.kmeans_fit(emb, nlists=4, vec_col="embedding", max_iter=6)
+    B = pq.ivfpq_train(emb, C, m=8, ksub=8)
+    codes = pq.ivfpq_encode(emb, C, B)
+
+    row = codes.select(
+        F.size("codes").alias("m"), F.array_max("codes").alias("mx"),
+        F.array_min("codes").alias("mn"), F.col("centroid_id").alias("c"),
+    ).agg(F.max("m"), F.min("m"), F.max("mx"), F.min("mn"), F.max("c")).first()
+    assert row[0] == row[1] == 8 and row[2] <= 7 and row[3] >= 0 and row[4] <= 3
+
+    scored = emb.join(F.broadcast(qs), how="cross").select(
+        "query_id", F.col("vec_id").alias("block_id"),
+        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"))
+    truth = knn.topk_per_query(scored, 5).select("query_id", "block_id", "distance", "rank")
+
+    exact = pq.ivfpq_search_refined(
+        codes, emb, qs, C, B, k=5, nprobe=4, expansion=(n // 5) + 1
+    ).withColumnRenamed("vec_id", "block_id")
+    r = knn.recall_at_k(exact, truth).agg(F.avg("recall")).first()[0]
+    assert r == 1.0
+
+    pred = pq.ivfpq_search_refined(
+        codes, emb, qs, C, B, k=5, nprobe=2, expansion=8
+    ).withColumnRenamed("vec_id", "block_id")
+    r2 = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
+    assert r2 >= 0.4  # half the lists probed on a near-isotropic corpus

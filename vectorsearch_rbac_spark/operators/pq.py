@@ -52,6 +52,12 @@ def pq_train(
     frac = min(1.0, (target * 1.2) / max(n, 1))
     sample = embeddings.select(vec_col).sample(frac, seed=seed).limit(target).collect()
     X = np.array([r[0] for r in sample], dtype=np.float64)
+    return _codebooks_from_sample(X, m, ksub, max_iter, seed)
+
+
+def _codebooks_from_sample(X: np.ndarray, m: int, ksub: int, max_iter: int, seed: int) -> np.ndarray:
+    """Per-subspace k-means on an in-memory sample (shared by raw-vector
+    ``pq_train`` and residual ``ivfpq_train``)."""
     if len(X) < ksub:
         raise ValueError(f"sample ({len(X)}) smaller than ksub ({ksub})")
     dim = X.shape[1]
@@ -195,6 +201,190 @@ def pq_search_refined(
     shortlist = pq_search(codes, queries, codebooks, k=k * expansion, id_col=id_col).select(
         "query_id", id_col
     )
+    qv = queries.select("query_id", "query_vector")
+    rescored = (
+        shortlist.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("block_id"),
+            F.round(V.l2_distance(vec_col, "query_vector"), 6).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+    )
+
+
+# ------------------------------------------------------------------- IVF-PQ
+# The classic IVFADC composition (Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search" — faiss's IndexIVFPQ, the structure the
+# reference's vendored faiss builds for beyond-RAM corpora): a coarse IVF
+# quantizer routes the search to nprobe lists, and PQ codes store the
+# RESIDUAL x − c(x) rather than x itself. Residuals concentrate near 0, so
+# the same m×ksub code budget quantizes them with far less error than raw
+# vectors — better recall at identical scan bytes, plus the IVF pruning.
+
+
+def ivfpq_train(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    sample_per_code: int = 64,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks on coarse residuals: sample vectors (same bounded
+    contract as ``pq_train``), assign each to its nearest coarse centroid,
+    subtract, and k-means the residual subspaces."""
+    target = ksub * sample_per_code
+    n = embeddings.count()
+    frac = min(1.0, (target * 1.2) / max(n, 1))
+    sample = embeddings.select(vec_col).sample(frac, seed=seed).limit(target).collect()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    lab = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    return _codebooks_from_sample(X - C[lab], m, ksub, max_iter, seed)
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, codes): coarse-assign and residual-encode in ONE
+    Arrow pass (both are vectorized argmin reductions). On disk this is
+    the index: parquet partitioned by ``centroid_id`` holding m-int code
+    arrays — the float vectors live elsewhere and are touched only by the
+    refine stage."""
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((np.asarray(centroids, dtype=np.float64), codebooks))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C, B = bc.value
+        m, ksub, dsub = B.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            lab = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            R = X - C[lab]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = R[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1).argmin(1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "centroid_id": lab.astype(np.int32),
+                "codes": list(codes),
+            })
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, centroid_id int, codes array<int>"
+    )
+
+
+def _routed_query_luts(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int,
+    qvec_col: str = "query_vector",
+) -> DataFrame:
+    """(query_id, centroid_id, _luts): one ADC table per (query, probed
+    list), built on the RESIDUAL query q − c in one Arrow pass over the
+    dim-sized query table (Q·nprobe rows total — broadcastable)."""
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((np.asarray(centroids, dtype=np.float64), codebooks))
+
+    def lut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C, B = bc.value
+        m, ksub, dsub = B.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf[qvec_col].to_numpy()).astype(np.float64)
+            qids, cids, luts = [], [], []
+            for qi in range(len(Q)):
+                d = ((C - Q[qi][None, :]) ** 2).sum(-1)
+                for cid in np.argsort(d)[:nprobe]:
+                    r = Q[qi] - C[cid]
+                    t = np.empty((m, ksub))
+                    for j in range(m):
+                        t[j] = ((B[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
+                    qids.append(pdf["query_id"].iat[qi])
+                    cids.append(int(cid))
+                    luts.append(list(t))
+            yield pd.DataFrame({"query_id": qids, "centroid_id": cids, "_luts": luts})
+
+    return queries.select("query_id", qvec_col).mapInPandas(
+        lut, schema="query_id long, centroid_id int, _luts array<array<double>>"
+    )
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC top-k: the (query, probed list) LUTs broadcast-join the code
+    table on ``centroid_id`` — each code row is scored ONLY against queries
+    probing its list (partition pruning when the codes are laid out by
+    centroid_id), and the ADC sum stays a codegen'd zip_with/aggregate over
+    m ints. No float vector and no unprobed list is ever read."""
+    luts = _routed_query_luts(queries, centroids, codebooks, nprobe)
+    scored = codes.join(F.broadcast(luts), "centroid_id").select(
+        "query_id",
+        F.col(id_col).alias("block_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with("codes", "_luts", lambda c, l: F.element_at(l, c + 1)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+    )
+
+
+def ivfpq_search_refined(
+    codes: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    expansion: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC + exact refine: ADC shortlist of k·expansion per query from
+    the probed lists, then exact L2 re-rank against the floats — the
+    standard beyond-RAM serving shape (scan bytes: m ints/vector over
+    nprobe/nlists of the corpus; float reads: k·expansion rows/query)."""
+    from ..functions import vector as V
+
+    shortlist = ivfpq_search(
+        codes, queries, centroids, codebooks, k=k * expansion, nprobe=nprobe, id_col=id_col
+    ).select("query_id", id_col)
     qv = queries.select("query_id", "query_vector")
     rescored = (
         shortlist.join(embeddings.select(id_col, vec_col), id_col)
