@@ -32,6 +32,7 @@ SEMDEDUP_CLUSTERS = 8
 SEMDEDUP_STRIDE = 37
 DUPWIN_LEN = 40
 DUPWIN_MOD = 8
+DSIR_BUCKETS = 256
 
 
 def _rbac(spark: SparkSession, sf_dir: str):
@@ -477,11 +478,30 @@ MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 
 def q_mixture_sample(spark, sf_dir):
-    """Deterministic mixture-weight sampling per source (E23)."""
+    """E23 mixture sampling + E32 DSIR importance selection in one tagged
+    union: 'mixture' rows keep each doc with its source's probability
+    (weight = that probability); 'dsir' rows keep the top-quartile docs by
+    hashed-ngram log importance ratio toward the src0 target domain
+    (weight = the DSIR score; exact-percentile cutoff, no global sort)."""
     docs = load_table(spark, "documents", sf_dir)
-    out = curation.mixture_sample(docs, MIX_WEIGHTS, default_weight=0.1).select(
-        "doc_id", "source", "lang"
+    w = F.lit(0.1)
+    for src, frac in sorted(MIX_WEIGHTS.items()):
+        w = F.when(F.col("source") == src, F.lit(frac)).otherwise(w)
+    mix = curation.mixture_sample(docs, MIX_WEIGHTS, default_weight=0.1).select(
+        "doc_id", "source", "lang", F.round(w, 6).alias("weight")
+    ).withColumn("method", F.lit("mixture"))
+
+    dw = curation.dsir_weights(docs, target=F.col("source") == "src0",
+                               n_buckets=DSIR_BUCKETS).localCheckpoint(eager=False)
+    cut = dw.agg(F.round(F.percentile("dsir_weight", F.lit(0.75)), 6).alias("cutoff"))
+    dsir = (
+        dw.crossJoin(F.broadcast(cut))
+        .where(F.col("dsir_weight") >= F.col("cutoff"))
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select("doc_id", "source", "lang", F.col("dsir_weight").alias("weight"))
+        .withColumn("method", F.lit("dsir"))
     )
+    out = mix.unionByName(dsir).select("method", "doc_id", "source", "lang", "weight")
     return _i(out, "doc_id")
 
 
@@ -1806,11 +1826,45 @@ FROM m GROUP BY doc_id
 
 # E23: deterministic per-source Bernoulli by doc-id hash; literal CASE weights
 _MIXTURE_SQL = f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang
+WITH t AS (SELECT doc_id, source, lang, {_TOKS} AS toks FROM documents),
+g0 AS (
+  SELECT doc_id, source,
+         unnest(list_concat(toks,
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gram
+  FROM t
+),
+g AS (
+  SELECT doc_id, source, {_MD5L.format(x="gram")} % {DSIR_BUCKETS} AS bucket
+  FROM g0 WHERE gram <> ''
+),
+counts AS (
+  SELECT bucket, COUNT(*) AS cr,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
+  FROM g GROUP BY bucket
+),
+tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS tr, CAST(SUM(ct) AS DOUBLE) AS tt FROM counts),
+llr AS (
+  SELECT bucket,
+         LN((ct + 1.0) / (tt + {DSIR_BUCKETS})) - LN((cr + 1.0) / (tr + {DSIR_BUCKETS})) AS llr
+  FROM counts CROSS JOIN tot
+),
+dw AS (
+  SELECT d.doc_id, COALESCE(s.w, 0.0) AS w FROM documents d
+  LEFT JOIN (SELECT doc_id, ROUND(SUM(llr), 6) AS w
+             FROM g JOIN llr USING (bucket) GROUP BY doc_id) s USING (doc_id)
+),
+cut AS (SELECT ROUND(quantile_cont(w, 0.75), 6) AS c FROM dw)
+SELECT 'mixture' AS method, CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+       ROUND(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                         WHEN 'src2' THEN 0.25 ELSE 0.1 END, 6) AS weight
 FROM documents
 WHERE {_MD5L.format(x="CAST(doc_id AS VARCHAR)")} % 1000000 <
       (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                    WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 1000000
+UNION ALL
+SELECT 'dsir' AS method, CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang, dw.w AS weight
+FROM dw JOIN documents d USING (doc_id) CROSS JOIN cut
+WHERE dw.w >= cut.c
 """
 
 # E24: per-lang interpolated median quality as cutoff (quality formula

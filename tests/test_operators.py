@@ -727,3 +727,27 @@ def test_dup_window_stats_detects_planted_copy(spark):
     assert got[4]["n_windows"] == 0 and got[4]["dup_frac"] == 0.0
     for d in (1, 2):
         assert 0 < got[d]["dup_frac"] <= 1.0
+
+
+def test_dsir_weights_separate_domains(spark):
+    """E32 DSIR: docs sharing the target domain's n-gram distribution get
+    positive log importance ratios; alien-vocabulary docs negative; the
+    target docs themselves rank above the alien ones on average."""
+    from vectorsearch_rbac_spark.operators import curation
+
+    target_texts = ["the quick brown fox jumps", "the lazy brown dog sleeps"]
+    docs = spark.createDataFrame(
+        [
+            (1, target_texts[0], "tgt"),
+            (2, target_texts[1], "tgt"),
+            (3, "the quick brown fox rests", "raw"),   # target-like
+            (4, "zzz qqq www kkk jjj", "raw"),          # alien vocab
+            (5, "", "raw"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: r["dsir_weight"] for r in curation.dsir_weights(
+        docs, target=F.col("source") == "tgt", n_buckets=64).collect()}
+    assert got[3] > got[4], "target-like doc must outscore alien doc"
+    assert got[5] == 0.0
+    assert (got[1] + got[2]) / 2 > got[4]

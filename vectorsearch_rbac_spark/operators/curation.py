@@ -402,3 +402,75 @@ def unigram_logppl(
         .join(ppl, id_col, "left")
         .select(id_col, F.coalesce("unigram_logppl", F.lit(0.0)).alias("unigram_logppl"))
     )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — "Data
+    Selection for Language Models via Importance Resampling"): score every
+    raw document by how target-domain-like it is under hashed n-gram bag
+    models, so raw data can be resampled toward a target distribution.
+
+    ``target`` is a boolean Column marking the target-domain exemplar docs.
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets
+    (DSIR's hashed n-gram generative model); each bucket gets an add-1-
+    smoothed probability under the target and raw distributions, and
+
+        weight(doc) = Σ_grams ln p_target(bucket) − ln p_raw(bucket)
+
+    — the log importance ratio, rounded 6 dp. Positive → looks like the
+    target; the caller resamples/top-selects on it.
+
+    Scale: one gram explode over the fact table; TWO bucket-keyed
+    aggregates that are really one pass (target counts are a conditional
+    sum inside the raw aggregate); the n_buckets-sized ratio table
+    broadcast-joins back; one doc-keyed aggregate. All codegen, no UDFs,
+    exact DuckDB oracle. Docs with no grams weigh 0.
+    """
+    t = documents.select(id_col, T.tokens(text_col).alias("_toks"), target.alias("_tgt"))
+    # guard n>=2 BEFORE building the index range: sequence(1, 0) would be
+    # DESCENDING in Spark and index past the array (same guard as
+    # text.top_bigram_frac)
+    bi = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_toks", i), F.element_at("_toks", i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        t.select(id_col, "_tgt", F.explode(F.concat("_toks", bi)).alias("_g"))
+        .where(F.col("_g") != "")
+        .select(id_col, "_tgt", F.pmod(md5_long("_g"), F.lit(n_buckets)).alias("bucket"))
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").cast("double").alias("tr"), F.sum("ct").cast("double").alias("tt")
+    )
+    llr = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + F.lit(float(n_buckets))))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.lit(float(n_buckets))))
+        ).alias("_llr"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_llr"), 6).alias("dsir_weight"))
+    )
+    return (
+        documents.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(id_col, F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight"))
+    )
