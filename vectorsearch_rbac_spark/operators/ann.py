@@ -306,42 +306,36 @@ def semdedup_pairs(
     - pass ``centroids`` (np.ndarray from ``ivf.kmeans_fit``) for the
       production path — same plan, learned centroids.
 
-    Scale: centroids are a dim-sized broadcast; assignment is one codegen
-    pass over the fact table; the pair join shuffles on ``cluster_id`` only
-    and each task compares one cluster (pick ``n_clusters`` ∝ N/target so
-    clusters stay task-sized — SemDeDup itself ran 50k clusters). Survivor
-    similarity is re-scored with the exact codegen expression, 6-dp rounded
-    with id tie-breaks (SURVEY §4 contract).
+    Scale: the centroid matrix rides the plan as a LITERAL array (dim-sized
+    — same contract as ``ivf.assign_centroids``), so assignment is a pure
+    codegen'd argmin map pass: no join, no window, no shuffle until the
+    pair join, which shuffles on ``cluster_id`` only and each task compares
+    one cluster (pick ``n_clusters`` ∝ N/target so clusters stay task-sized
+    — SemDeDup itself ran 50k clusters). Survivor similarity is re-scored
+    with the exact codegen expression, 6-dp rounded with id tie-breaks
+    (SURVEY §4 contract); assignment ranks 6-dp-rounded distances with
+    centroid-id tie-breaks so the SQL oracle replays it bit-for-bit.
 
     Returns (id_a, id_b, cluster_id, cosine_sim) with id_a < id_b and
     cosine_sim ≥ threshold.
     """
-    from pyspark.sql import Window
-
     if centroids is None:
-        w_anchor = Window.orderBy(id_col)
-        anchors = (
+        # deterministic anchors: tiny bounded collect (n_clusters rows),
+        # the same small-side contract as ivf_search's centroid collect
+        anchor_rows = (
             embeddings.where(F.col(id_col) % anchor_stride == 0)
             .orderBy(id_col).limit(n_clusters)
-            .select((F.row_number().over(w_anchor) - 1).alias("centroid_id"),
-                    F.col(vec_col).alias("anchor"))
+            .select(vec_col).collect()
         )
+        cmat = [[float(x) for x in r[0]] for r in anchor_rows]
     else:
-        spark = embeddings.sparkSession
-        anchors = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "centroid_id int, anchor array<float>",
-        )
+        cmat = [[float(x) for x in c] for c in centroids]
 
-    d = F.round(V.l2_distance(vec_col, "anchor"), 6)
-    w = Window.partitionBy(id_col).orderBy(d.asc(), F.col("centroid_id").asc())
-    assigned = (
-        embeddings.select(id_col, vec_col)
-        .crossJoin(F.broadcast(anchors))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cluster_id"))
-    )
+    carr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in cmat])
+    dists = F.transform(carr, lambda c: F.round(V.l2_distance(F.col(vec_col), c), 6))
+    # first index achieving the min == lowest centroid_id tie-break
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    assigned = embeddings.select(id_col, vec_col, cluster.alias("cluster_id"))
     a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster_id")
     b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cluster_id")
     return (
