@@ -33,6 +33,7 @@ SEMDEDUP_STRIDE = 37
 DUPWIN_LEN = 40
 DUPWIN_MOD = 8
 DSIR_BUCKETS = 256
+BIT_RERANK_EXP = 4
 
 
 def _rbac(spark: SparkSession, sf_dir: str):
@@ -1151,10 +1152,16 @@ def q_global_topk(spark, sf_dir):
 def q_quantized_topk(spark, sf_dir):
     """A5/A8/A9/A10/E19 — every quantized/compressed representation search
     in one tagged entry (registry curation): bit-packed hamming, fp16
-    halfvec L2, sparsevec cosine, int8 integer-dot — each keeps its exact
-    oracle formulation inside the union."""
+    halfvec L2, sparsevec cosine, int8 integer-dot, and the pgvector-0.7
+    binary-quantize+rerank pipeline (1-bit scan → exact float refine) —
+    each keeps its exact oracle formulation inside the union."""
+    t = _rbac(spark, sf_dir)
     parts = [
         ("hamming", q_hamming_topk(spark, sf_dir).select(
+            "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
+        ("bit_rerank", _i(ann.hamming_rerank_topk(
+                t["embeddings"], t["queries"], k=TOPK, expansion=BIT_RERANK_EXP),
+                "query_id", "vec_id").select(
             "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
         ("halfvec", q_halfvec_topk(spark, sf_dir).select(
             "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
@@ -2642,10 +2649,32 @@ SELECT 'cosine', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT
 FROM ({_COSINE_TOPK_SQL})
 """
 
+# A9 completion: binary-quantize scan shortlist (hamming, k·expansion) →
+# exact L2 rerank — pgvector 0.7's expression-index + rerank recipe.
+_BIT_RERANK_SQL = f"""
+WITH short AS (
+  SELECT query_id, vec_id FROM ({_HAMMING_TOPK_SQL.replace("rank <= " + str(TOPK), "rank <= " + str(TOPK * BIT_RERANK_EXP))})
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS query_vector
+  FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT query_id, vec_id, distance, rank FROM (
+  SELECT s.query_id, s.vec_id,
+         ROUND(list_distance(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id
+           ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6), s.vec_id) AS rank
+  FROM short s JOIN embeddings e USING (vec_id) JOIN qs q USING (query_id)
+) WHERE rank <= {TOPK}
+"""
+
 _QUANTIZED_SQL = f"""
 SELECT 'hamming' AS method, query_id, vec_id,
        CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
 FROM ({_HAMMING_TOPK_SQL})
+UNION ALL
+SELECT 'bit_rerank', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT)
+FROM ({_BIT_RERANK_SQL})
 UNION ALL
 SELECT 'halfvec', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT)
 FROM ({_HALFVEC_TOPK_SQL})

@@ -269,3 +269,30 @@ def test_ivfpq_residual_recall(spark, sf_dir):
     ).withColumnRenamed("vec_id", "block_id")
     r2 = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
     assert r2 >= 0.4  # half the lists probed on a near-isotropic corpus
+
+
+def test_bit_rerank_recall(spark, sf_dir):
+    """A9 binary-quantize + rerank: with a full-corpus shortlist the refine
+    IS the exact L2 search (recall 1.0); a 4× shortlist still clears the
+    floor the 1-bit scan is expected to give on near-isotropic data."""
+    import pyspark.sql.functions as F
+    from vectorsearch_rbac_spark.sources import load_table
+    from vectorsearch_rbac_spark.rbac import derive
+    from vectorsearch_rbac_spark.operators import ann, knn
+    from vectorsearch_rbac_spark.functions import vector as V
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = derive.derive_queries(emb, 25)
+    n = emb.count()
+    scored = emb.join(F.broadcast(qs), how="cross").select(
+        "query_id", F.col("vec_id").alias("block_id"),
+        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"))
+    truth = knn.topk_per_query(scored, 5).select("query_id", "block_id", "distance", "rank")
+
+    exact = ann.hamming_rerank_topk(emb, qs, k=5, expansion=(n // 5) + 1).withColumnRenamed(
+        "vec_id", "block_id")
+    assert knn.recall_at_k(exact, truth).agg(F.avg("recall")).first()[0] == 1.0
+
+    pred = ann.hamming_rerank_topk(emb, qs, k=5, expansion=4).withColumnRenamed(
+        "vec_id", "block_id")
+    assert knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0] >= 0.3

@@ -345,3 +345,40 @@ def semdedup_pairs(
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cluster_id", "cosine_sim")
     )
+
+
+def hamming_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    expansion: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantize + rerank (pgvector 0.7's ``binary_quantize``
+    expression-index recipe): a bit-packed hamming scan produces a
+    k·expansion shortlist (the corpus is read at 1 bit/dim — 32× smaller
+    than float32), then the float vectors are fetched ONLY for the
+    shortlist and exactly re-ranked by L2.
+
+    The two-stage shape mirrors ``pq_search_refined``; both stages are
+    deterministic (integer hamming + 6-dp L2, id tie-breaks), so the whole
+    pipeline has an exact SQL oracle — unlike IVF/PQ whose codebooks are
+    float-iterative."""
+    from ..functions import vector as V
+    from .knn import topk_per_query
+
+    shortlist = hamming_topk(embeddings, queries, k=k * expansion, id_col=id_col).select(
+        "query_id", id_col
+    )
+    rescored = (
+        shortlist.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("block_id"),
+            F.round(V.l2_distance(vec_col, "query_vector"), 6).alias("distance"),
+        )
+    )
+    w = topk_per_query(rescored, k, id_col="block_id")
+    return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
