@@ -751,3 +751,27 @@ def test_dsir_weights_separate_domains(spark):
     assert got[3] > got[4], "target-like doc must outscore alien doc"
     assert got[5] == 0.0
     assert (got[1] + got[2]) / 2 > got[4]
+
+
+def test_orc_roundtrip_preserves_vectors(spark, sf_dir, tmp_path):
+    """H3: ORC round-trips the embeddings table bit-exactly, including the
+    array<float> vector column (no JSON-string hop like csv/jsonl), and a
+    partitioned ORC layout prunes like the parquet one."""
+    from vectorsearch_rbac_spark.sources import ingest
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    p = str(tmp_path / "emb_orc")
+    ingest.write_orc(emb, p)
+    back = ingest.read_orc(spark, p)
+    assert back.schema == emb.schema
+    a = sorted((r["vec_id"], tuple(r["embedding"])) for r in emb.collect())
+    b = sorted((r["vec_id"], tuple(r["embedding"])) for r in back.collect())
+    assert a == b
+
+    p2 = str(tmp_path / "emb_orc_part")
+    ingest.write_orc(emb.withColumn("bucket", (F.col("vec_id") % 4).cast("int")), p2,
+                     partition_by=["bucket"])
+    pruned = ingest.read_orc(spark, p2).where(F.col("bucket") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == emb.where(F.col("vec_id") % 4 == 1).count()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan

@@ -58,3 +58,21 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC ingest (columnar, self-describing schema — Spark-native reader,
+    vectorized + predicate-pushdown like parquet). No schema argument:
+    ORC files carry their types; a mismatch fails the scan rather than
+    silently widening."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink; ``partition_by`` gives the same directory-pruned layout the
+    parquet writers use (nested types — array<float> vectors — round-trip
+    natively, unlike csv/jsonl's JSON-string encoding)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
