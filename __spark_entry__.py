@@ -823,17 +823,9 @@ def q_hourly_event_stats(spark, sf_dir):
 _STREAM_DROPS: dict[str, str] = {}
 
 
-def q_streaming_hourly_stats(spark, sf_dir):
-    """G1 with a full-strength oracle: hourly event stats computed by a
-    REAL Structured Streaming query — events re-dropped as a directory of
-    parquet files, availableNow file-source stream, complete-mode
-    aggregation into a memory sink — and the result is identical to the
-    batch time-bucket plan, so the exact SQL oracle applies to a streaming
-    execution. (F6 semantics × G1 execution; n_users stays on the batch
-    variant — distinct aggregation is not streamable. Complete+availableNow
-    is the bounded-replay harness; the append+watermark pipelines in
-    streaming/pipelines.py are the unbounded production path, G-group
-    tests.)"""
+def q_streaming_hourly_only(spark, sf_dir):
+    """G1 hourly stats as a REAL availableNow stream (complete mode →
+    memory sink); identical to the batch time-bucket plan."""
     import tempfile
 
     from vectorsearch_rbac_spark import streaming as S
@@ -847,8 +839,70 @@ def q_streaming_hourly_stats(spark, sf_dir):
         events.repartition(4).write.mode("overwrite").parquet(drop)
         _STREAM_DROPS[sf_dir] = drop
     stream = S.stream_events_from_dir(spark, drop, max_files_per_trigger=2)
-    out = S.run_bounded_to_memory(S.hourly_stats_stream(stream))
-    return _i(out, "n_events")
+    return S.run_bounded_to_memory(S.hourly_stats_stream(stream))
+
+
+def q_streaming_hourly_stats(spark, sf_dir):
+    """THREE real Structured Streaming executions under one exact oracle
+    (registry curation; every member is an availableNow file-source stream
+    into a memory sink, hash-matched against batch SQL):
+
+    - 'hourly' (G1/F6): complete-mode hourly aggregate — the batch
+      time-bucket plan's streaming twin;
+    - 'dedup' (G2): the event drop is duplicated ON DISK (every file lands
+      twice) and ``dropDuplicates(event_id)`` must restore exact per-type
+      counts/sums — append mode, the deduped stream is then batch-folded;
+    - 'admission' (G5): odd-id docs arrive as a stream; quality gate +
+      stream-static LEFT-ANTI fingerprint join against the even-id static
+      corpus admits only novel, good-enough docs.
+
+    Unified (method, key, n, val) schema; complete+availableNow /
+    append+availableNow are the bounded-replay harnesses, the watermark
+    pipelines in streaming/pipelines.py remain the unbounded path."""
+    import tempfile
+
+    from vectorsearch_rbac_spark import streaming as S
+
+    hourly = q_streaming_hourly_only(spark, sf_dir).select(
+        F.lit("hourly").alias("method"),
+        F.concat_ws("|", "hour", "event_type").alias("key"),
+        F.col("n_events").cast("long").alias("n"),
+        F.col("total_value").alias("val"),
+    )
+
+    dd = _STREAM_DROPS.get(sf_dir + "#dup")
+    if dd is None:
+        events = load_table(spark, "events", sf_dir)
+        dd = tempfile.mkdtemp(prefix="stream_dup_") + "/in"
+        events.repartition(4).write.mode("append").parquet(dd)
+        events.repartition(4).write.mode("append").parquet(dd)  # every row twice
+        _STREAM_DROPS[sf_dir + "#dup"] = dd
+    deduped = S.run_bounded_to_memory(
+        S.stream_events_from_dir(spark, dd, max_files_per_trigger=4).dropDuplicates(["event_id"]),
+        output_mode="append",
+    )
+    dedup_agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.round(F.sum("value"), 6).alias("val")
+    ).select(F.lit("dedup").alias("method"), F.col("event_type").alias("key"), "n", "val")
+
+    docs = load_table(spark, "documents", sf_dir)
+    dn = _STREAM_DROPS.get(sf_dir + "#docs")
+    if dn is None:
+        dn = tempfile.mkdtemp(prefix="stream_docs_") + "/in"
+        docs.where(F.col("doc_id") % 2 == 1).repartition(2).write.mode("overwrite").parquet(dn)
+        _STREAM_DROPS[sf_dir + "#docs"] = dn
+    static = docs.where(F.col("doc_id") % 2 == 0)
+    admitted = S.run_bounded_to_memory(
+        S.streaming_corpus_filter(spark, dn, static, quality_min=0.3),
+        output_mode="append",
+    )
+    adm = admitted.select(
+        F.lit("admission").alias("method"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_tokens").cast("long").alias("n"),
+        F.col("quality").alias("val"),
+    )
+    return hourly.unionByName(dedup_agg).unionByName(adm)
 
 
 def q_ivf_recall(spark, sf_dir):
@@ -2431,11 +2485,27 @@ FROM events GROUP BY 1, 2
 """
 
 # streaming variant: same bucketing minus the (non-streamable) distinct
-_STREAMING_HOURLY_SQL = """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-       COUNT(*) AS n_events,
-       ROUND(SUM(value), 6) AS total_value, ROUND(AVG(value), 6) AS avg_value
-FROM events GROUP BY 1, 2
+# G1+G2+G5 union: 'hourly' = the batch time-bucket aggregate; 'dedup' =
+# per-type counts over UNIQUE events (the stream saw every row twice and
+# dropDuplicates must restore these exactly); 'admission' = odd-id docs
+# passing the quality gate whose fingerprint is absent from the even-id
+# static corpus (the stream-static left-anti join).
+_STREAMING_HOURLY_SQL = f"""
+SELECT 'hourly' AS method,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') || '|' || event_type AS key,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS val
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'dedup' AS method, event_type AS key,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS val
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'admission' AS method, CAST(ts.doc_id AS VARCHAR) AS key,
+       ts.n_tokens AS n, ts.quality AS val
+FROM ({_TEXT_STATS_SQL}) ts
+JOIN (SELECT doc_id, md5({_NORM}) AS fp FROM documents) f USING (doc_id)
+WHERE ts.doc_id % 2 = 1 AND ts.quality >= 0.3
+  AND f.fp NOT IN (SELECT md5({_NORM}) FROM documents WHERE doc_id % 2 = 0)
 """
 
 # curated-union oracles: each merged entry unions its members' exact

