@@ -854,7 +854,11 @@ def q_streaming_hourly_stats(spark, sf_dir):
       counts/sums — append mode, the deduped stream is then batch-folded;
     - 'admission' (G5): odd-id docs arrive as a stream; quality gate +
       stream-static LEFT-ANTI fingerprint join against the even-id static
-      corpus admits only novel, good-enough docs.
+      corpus admits only novel, good-enough docs;
+    - 'session' (G3): native session_window(30 min) gap-merge in the state
+      store; the oracle replays gap-based sessionization with
+      session_window's boundary rule (gap ≥ 30 min starts a new session,
+      window end = last event + gap).
 
     Unified (method, key, n, val) schema; complete+availableNow /
     append+availableNow are the bounded-replay harnesses, the watermark
@@ -902,7 +906,21 @@ def q_streaming_hourly_stats(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n"),
         F.col("quality").alias("val"),
     )
-    return hourly.unionByName(dedup_agg).unionByName(adm)
+
+    drop = _STREAM_DROPS[sf_dir]  # created by q_streaming_hourly_only above
+    sessions = S.run_bounded_to_memory(
+        S.streaming_sessionize(
+            S.stream_events_from_dir(spark, drop, max_files_per_trigger=2), gap_minutes=30
+        ),
+        output_mode="complete",
+    )
+    sess = sessions.select(
+        F.lit("session").alias("method"),
+        F.concat_ws("|", F.col("user_id").cast("string"), "started").alias("key"),
+        F.col("n_events").cast("long").alias("n"),
+        F.round("total_value", 6).alias("val"),
+    )
+    return hourly.unionByName(dedup_agg).unionByName(adm).unionByName(sess)
 
 
 def q_ivf_recall(spark, sf_dir):
@@ -2506,6 +2524,20 @@ FROM ({_TEXT_STATS_SQL}) ts
 JOIN (SELECT doc_id, md5({_NORM}) AS fp FROM documents) f USING (doc_id)
 WHERE ts.doc_id % 2 = 1 AND ts.quality >= 0.3
   AND f.fp NOT IN (SELECT md5({_NORM}) FROM documents WHERE doc_id % 2 = 0)
+UNION ALL
+SELECT 'session' AS method,
+       CAST(user_id AS VARCHAR) || '|' || strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS key,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS val
+FROM (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM (
+    SELECT *,
+      CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+           THEN 1 ELSE 0 END AS new_session
+    FROM events
+  )
+) GROUP BY user_id, session_seq
 """
 
 # curated-union oracles: each merged entry unions its members' exact
