@@ -193,3 +193,26 @@ def test_layout_optimizer_invariants(atoms, weights, alpha):
         list(reversed(atom_rows)), list(reversed(weight_rows)), alpha=alpha
     )
     assert a2 == assignment and r2 == routing and rep2["splits"] == rep["splits"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    passage=st.text(alphabet="abcdefgh ", min_size=60, max_size=120),
+    prefix_a=st.text(alphabet="xyzuvw ", min_size=0, max_size=37),
+    prefix_b=st.text(alphabet="pqrst ", min_size=0, max_size=53),
+)
+def test_dup_window_sampling_is_alignment_free(spark, passage, prefix_a, prefix_b):
+    """E31 invariant: content-defined sampling picks grams by CONTENT, so a
+    shared passage yields the same sampled-duplicate evidence no matter
+    where it sits in each doc — a copy is flagged in both docs (or, if the
+    passage happens to sample no gram, in neither)."""
+    from vectorsearch_rbac_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, prefix_a + " " + passage), (2, prefix_b + " " + passage)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.dup_window_stats(
+        docs, win=24, sample_mod=2).collect()}
+    # symmetric detection: either both docs carry duplicated grams or neither
+    assert (got[1]["n_dup_windows"] > 0) == (got[2]["n_dup_windows"] > 0)
