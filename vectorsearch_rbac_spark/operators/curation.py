@@ -426,11 +426,12 @@ def dsir_weights(
     — the log importance ratio, rounded 6 dp. Positive → looks like the
     target; the caller resamples/top-selects on it.
 
-    Scale: one gram explode over the fact table; TWO bucket-keyed
-    aggregates that are really one pass (target counts are a conditional
-    sum inside the raw aggregate); the n_buckets-sized ratio table
-    broadcast-joins back; one doc-keyed aggregate. All codegen, no UDFs,
-    exact DuckDB oracle. Docs with no grams weigh 0.
+    Scale: ONE gram explode over the fact table, immediately folded to
+    per-(doc, bucket) counts (map-side combinable — the only fact-sized
+    shuffle); corpus-level bucket counts derive from that small table, the
+    n_buckets-sized ratio table broadcast-joins back, and the doc weight
+    is Σ cnt·llr. All codegen, no UDFs, exact DuckDB oracle. Docs with no
+    grams weigh 0.
     """
     t = documents.select(id_col, T.tokens(text_col).alias("_toks"), target.alias("_tgt"))
     # guard n>=2 BEFORE building the index range: sequence(1, 0) would be
@@ -445,14 +446,17 @@ def dsir_weights(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = (
+    doc_bucket = (
         t.select(id_col, "_tgt", F.explode(F.concat("_toks", bi)).alias("_g"))
         .where(F.col("_g") != "")
         .select(id_col, "_tgt", F.pmod(md5_long("_g"), F.lit(n_buckets)).alias("bucket"))
+        .groupBy(id_col, "_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds the corpus counts AND the doc weights
     )
-    counts = grams.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+    counts = doc_bucket.groupBy("bucket").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(F.col("_tgt"), F.col("cnt")).otherwise(0)).alias("ct"),
     )
     totals = counts.agg(
         F.sum("cr").cast("double").alias("tr"), F.sum("ct").cast("double").alias("tt")
@@ -465,9 +469,9 @@ def dsir_weights(
         ).alias("_llr"),
     )
     per_doc = (
-        grams.join(F.broadcast(llr), "bucket")
+        doc_bucket.join(F.broadcast(llr), "bucket")
         .groupBy(id_col)
-        .agg(F.round(F.sum("_llr"), 6).alias("dsir_weight"))
+        .agg(F.round(F.sum(F.col("cnt") * F.col("_llr")), 6).alias("dsir_weight"))
     )
     return (
         documents.select(id_col)
