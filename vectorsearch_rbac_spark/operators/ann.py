@@ -306,15 +306,19 @@ def semdedup_pairs(
     - pass ``centroids`` (np.ndarray from ``ivf.kmeans_fit``) for the
       production path — same plan, learned centroids.
 
-    Scale: the centroid matrix rides the plan as a LITERAL array (dim-sized
-    — same contract as ``ivf.assign_centroids``), so assignment is a pure
-    codegen'd argmin map pass: no join, no window, no shuffle until the
-    pair join, which shuffles on ``cluster_id`` only and each task compares
-    one cluster (pick ``n_clusters`` ∝ N/target so clusters stay task-sized
-    — SemDeDup itself ran 50k clusters). Survivor similarity is re-scored
-    with the exact codegen expression, 6-dp rounded with id tie-breaks
-    (SURVEY §4 contract); assignment ranks 6-dp-rounded distances with
-    centroid-id tie-breaks so the SQL oracle replays it bit-for-bit.
+    Scale: assignment is a map-only pass with two interchangeable kernels —
+    few clusters (the oracle regime) ride the plan as a LITERAL centroid
+    array with a codegen'd argmin over 6-dp-rounded distances and
+    centroid-id tie-breaks, so the SQL oracle replays it bit-for-bit; many
+    clusters (SemDeDup itself ran 50k) switch to an Arrow-batched BLAS
+    argmin (``mapInPandas``, same kernel as ``ivfpq_encode``'s coarse
+    assign) because an interpreted array-lambda over C literal centroids
+    costs O(C·d) lambda evals per row while the matmul is one vectorized
+    N×C×d sweep. Either way: no join, no window, no shuffle until the pair
+    join, which shuffles on ``cluster_id`` only and each task compares one
+    cluster (pick ``n_clusters`` ∝ N/target so clusters stay task-sized).
+    Survivor similarity is re-scored with the exact codegen expression,
+    6-dp rounded with id tie-breaks (SURVEY §4 contract).
 
     Returns (id_a, id_b, cluster_id, cosine_sim) with id_a < id_b and
     cosine_sim ≥ threshold.
@@ -331,11 +335,38 @@ def semdedup_pairs(
     else:
         cmat = [[float(x) for x in c] for c in centroids]
 
-    carr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in cmat])
-    dists = F.transform(carr, lambda c: F.round(V.l2_distance(F.col(vec_col), c), 6))
-    # first index achieving the min == lowest centroid_id tie-break
-    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    assigned = embeddings.select(id_col, vec_col, cluster.alias("cluster_id"))
+    if len(cmat) <= 16:
+        # oracle regime: literal-array argmin, SQL-replayable (rounded
+        # distances, first-min = lowest centroid_id tie-break)
+        carr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in cmat])
+        dists = F.transform(carr, lambda c: F.round(V.l2_distance(F.col(vec_col), c), 6))
+        cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        assigned = embeddings.select(id_col, vec_col, cluster.alias("cluster_id"))
+    else:
+        # production regime: vectorized BLAS argmin per Arrow batch
+        import pandas as pd
+
+        spark = embeddings.sparkSession
+        bc = spark.sparkContext.broadcast(np.asarray(cmat, dtype=np.float64))
+
+        def assign(batches):
+            C = bc.value
+            cn = (C * C).sum(1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+                lab = (cn[None, :] - 2.0 * (X @ C.T)).argmin(1)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cluster_id": lab.astype(np.int32),
+                })
+
+        assigned = embeddings.select(id_col, vec_col).mapInPandas(
+            assign, schema=f"{id_col} long, {vec_col} array<float>, cluster_id int"
+        )
     a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster_id")
     b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cluster_id")
     return (
