@@ -119,19 +119,21 @@ def rrf_fuse(
 ) -> DataFrame:
     """Reciprocal-rank fusion of two (query_id, id, rank) lists:
     score = Σ_lists 1/(rrf_k + rank), absent list contributes 0. Integer
-    ranks → the score is a deterministic rational, exact across engines."""
-    a = rank_a.select("query_id", id_col, F.col("rank").alias("rank_a"))
-    b = rank_b.select("query_id", id_col, F.col("rank").alias("rank_b"))
+    ranks → the score is a deterministic rational, exact across engines
+    (≤ 2 contributions per key, and two-term IEEE addition commutes, so
+    the aggregate order can't change the rounded value).
+
+    Shape: the natural FULL OUTER join cannot broadcast in Spark (it
+    degrades to a sort-merge join even on rank-list-sized inputs); the
+    union + groupBy form computes the identical score with ONE hash
+    shuffle on (query_id, id) and no join at all."""
+    contrib = lambda df: df.select(
+        "query_id", id_col, (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("_c")
+    )
     fused = (
-        a.join(b, ["query_id", id_col], "full_outer")
-        .withColumn(
-            "rrf_score",
-            F.round(
-                F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_a")), F.lit(0.0))
-                + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0)),
-                6,
-            ),
-        )
+        contrib(rank_a).unionByName(contrib(rank_b))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("rrf_score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return (

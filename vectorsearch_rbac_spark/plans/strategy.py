@@ -55,7 +55,9 @@ def strategy_routing(
     if has_partition_layout:
         strat = strat.when(s <= partition_threshold, F.lit("comb_partition"))
     return (
-        queries.join(selectivity, "user_id", "left")
+        # selectivity is a per-user aggregate (dim-sized) — broadcast it so
+        # the routing join never sort-merges
+        queries.join(F.broadcast(selectivity), "user_id", "left")
         .select("query_id", strat.otherwise(F.lit("prefilter")).alias("strategy"))
     )
 
