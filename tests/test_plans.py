@@ -270,3 +270,25 @@ def test_adaptive_routing_is_literal_free(t):
     assert "INSET" not in p, "routing materialized as INSET literals"
     assert not re.search(r"query_id#\d+L? IN \(", p), "routing materialized as IN literals"
     assert "LeftSemi" in p, "routing should semi-join the broadcast routing table"
+
+
+def test_registry_global_plan_invariants(spark, sf_dir):
+    """EVERY registry entry's executed plan must be free of the two
+    unbounded-at-scale join shapes: CartesianProduct (an unbroadcast cross
+    join — O(N²) rows) and SortMergeJoin (a big-side×big-side shuffle sort;
+    every join on this surface is either broadcast or a bounded-bucket
+    equi-join by design). BroadcastNestedLoopJoin is allowed — it is the
+    deliberate bounded broadcast-queries × scan pattern."""
+    import __spark_entry__ as E
+
+    offenders = {}
+    for name, fn in E.queries().items():
+        p = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        bad = {}
+        if "CartesianProduct" in p:
+            bad["cartesian"] = p.count("CartesianProduct")
+        if "SortMergeJoin" in p:
+            bad["smj"] = p.count("SortMergeJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"scale-unsafe join shapes: {offenders}"

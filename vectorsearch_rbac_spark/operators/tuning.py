@@ -116,7 +116,9 @@ def recall_cost_curve(
     ).groupBy("nprobe", "query_id").agg(F.count(F.lit(1)).alias("n_hit"))
     n_truth = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
     # every (nprobe, query) pair scores, including zero-hit ones
-    grid = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int").crossJoin(n_truth)
+    grid = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int").crossJoin(
+        F.broadcast(n_truth)  # ladder × per-query truth counts: both dim-sized, broadcast the bigger
+    )
     per_q = grid.join(F.broadcast(hits), ["nprobe", "query_id"], "left").select(
         "nprobe", (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("recall")
     )
@@ -355,7 +357,9 @@ def anchor_ivf_curve(
         F.count(F.lit(1)).alias("n_hit")
     )
     n_truth = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
-    grid = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int").crossJoin(n_truth)
+    grid = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int").crossJoin(
+        F.broadcast(n_truth)  # ladder × per-query truth counts: both dim-sized, broadcast the bigger
+    )
     recall = (
         grid.join(F.broadcast(hits), ["nprobe", "query_id"], "left")
         .select("nprobe", (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("recall"))
