@@ -569,20 +569,23 @@ def dup_window_stats(
     frequency, one hash-keyed join back, one doc-keyed aggregate. The
     DuckDB oracle replays everything exactly. Docs shorter than ``win``
     emit zero grams and report 0/0/0.0.
+
+    Cost note: the full char-level scan hashes every position (that IS the
+    EXACTSUBSTR contract), so runtime is ~corpus_chars md5 calls — linear,
+    probe-verified (tools/dedup_scale_probe.py). ``md5_long`` is the
+    cross-engine-oracle choice; a production pipeline that doesn't need
+    the DuckDB replay can swap in ``F.xxhash64`` (one line) for ~5× less
+    hash cost.
     """
     norm = normalize_text(text_col)
+    # explode INT positions, then slice with a plain (codegen'd) substr —
+    # a transform() lambda building the window array per row would run
+    # interpreted and allocate len(doc) strings before the explode
     wins = (
         documents.select(id_col, norm.alias("_n"))
         .where(F.length("_n") >= win)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("_n") - (win - 1)),
-                    lambda p: F.substring(F.col("_n"), p, F.lit(win)),
-                )
-            ).alias("_w"),
-        )
+        .select(id_col, "_n", F.explode(F.sequence(F.lit(1), F.length("_n") - (win - 1))).alias("_p"))
+        .select(id_col, F.substr("_n", F.col("_p"), F.lit(win)).alias("_w"))
         .select(id_col, md5_long("_w").alias("whash"))
         .where(F.pmod("whash", F.lit(sample_mod)) == 0)
     )
