@@ -34,6 +34,11 @@ DUPWIN_LEN = 40
 DUPWIN_MOD = 8
 DSIR_BUCKETS = 256
 BIT_RERANK_EXP = 4
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+VOCAB_SIZE = 256
+VOCAB_MIN_LEN = 2
+VOCAB_MIN_COUNT = 2
 
 
 def _rbac(spark: SparkSession, sf_dir: str):
@@ -462,9 +467,24 @@ def q_pack_sequences(spark, sf_dir):
 
 
 def q_tfidf_top_terms(spark, sf_dir):
-    """Top-3 TF-IDF terms per document (E18)."""
+    """E18 per-doc TF-IDF top terms + E34 corpus vocabulary build in one
+    tagged entry (registry curation): 'tfidf' rows are the top-3 terms per
+    document (score = tfidf, rank = per-doc term rank); 'vocab' rows are
+    the corpus-level top-256 tokenizer vocabulary (doc_id = -1, score =
+    corpus count, rank = dense term id)."""
     docs = load_table(spark, "documents", sf_dir)
-    return _i(curation.tfidf_top_terms(docs, top_n=3), "doc_id")
+    tf = curation.tfidf_top_terms(docs, top_n=3).select(
+        F.lit("tfidf").alias("method"), "doc_id", "term",
+        F.col("tfidf").alias("score"), F.col("term_rank").cast("long").alias("rank"),
+    )
+    vb = curation.build_vocab(
+        docs, vocab_size=VOCAB_SIZE, min_len=VOCAB_MIN_LEN, min_count=VOCAB_MIN_COUNT
+    ).select(
+        F.lit("vocab").alias("method"), F.lit(-1).cast("long").alias("doc_id"),
+        "term", F.col("n").cast("double").alias("score"),
+        F.col("term_id").cast("long").alias("rank"),
+    )
+    return _i(tf.unionByName(vb), "doc_id")
 
 
 def q_int8_topk(spark, sf_dir):
@@ -757,6 +777,99 @@ def q_daily_type_pivot(spark, sf_dir):
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style hour→day→total continuous-aggregate rollup (F18)."""
     return PQ.time_rollup(load_table(spark, "events", sf_dir))
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_time_buckets(spark, sf_dir):
+    """F15 pivot + F18 rollup in one tagged entry (registry curation):
+    'pivot' rows are the day × event-type count matrix unpivoted to long
+    form (zero cells included — exactly the matrix's content); 'rollup'
+    rows are the hour→day→total ROLLUP hierarchy with NULL grouping levels
+    spelled 'ALL'. The per-variant functions stay for bench granularity."""
+    ev = load_table(spark, "events", sf_dir)
+    piv = (
+        PQ.daily_type_pivot(ev)
+        .unpivot(["day"], [f"n_{t}" for t in _PIVOT_TYPES], "key", "n")
+        .select(
+            F.lit("pivot").alias("method"), "day", "key",
+            F.col("n").cast("long").alias("n"),
+            F.lit(-1).cast("long").alias("value_milli"),
+        )
+    )
+    roll = PQ.time_rollup(ev).select(
+        F.lit("rollup").alias("method"),
+        F.coalesce("day", F.lit("ALL")).alias("day"),
+        F.coalesce("hour", F.lit("ALL")).alias("key"),
+        F.col("n_events").alias("n"),
+        "value_milli",
+    )
+    return piv.unionByName(roll)
+
+
+def q_semi_anti_joins(spark, sf_dir):
+    """F11 EXISTS/left-semi + F12 NOT-EXISTS/left-anti in one tagged entry
+    (registry curation): 'semi' rows are the q4-shaped order-priority
+    counts, 'anti' rows the q16-shaped no-returns brand stats."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    semi = PQ.order_priority_returns(orders, li).select(
+        F.lit("semi").alias("method"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("order_count").cast("long").alias("n"),
+        F.lit(-1.0).alias("avg_price"),
+    )
+    anti = PQ.brands_without_returns(part, li).select(
+        F.lit("anti").alias("method"),
+        F.col("p_brand").alias("key"),
+        F.col("n_parts").cast("long").alias("n"),
+        "avg_price",
+    )
+    return semi.unionByName(anti)
+
+
+def q_temporal_joins(spark, sf_dir):
+    """F16 as-of join + F17 range join in one tagged entry (registry
+    curation): 'asof' rows carry each event's most recent order key
+    (matched_id, -1 when none; n = 0), 'range' rows the trailing-hour
+    aggregate (matched_id = last event id, n = trailing count)."""
+    asof = q_asof_last_order(spark, sf_dir).select(
+        F.lit("asof").alias("method"), "event_id", "user_id",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).cast("long").alias("matched_id"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    rng = q_range_join_trailing_hour(spark, sf_dir).select(
+        F.lit("range").alias("method"), "event_id", "user_id",
+        F.col("last_event").cast("long").alias("matched_id"),
+        F.col("n_recent").cast("long").alias("n"),
+    )
+    return asof.unionByName(rng)
+
+
+def q_funnel_steps(spark, sf_dir):
+    """F19 ordered conversion funnel over events: view → click → purchase,
+    each step gated on the user's earliest qualifying time for the
+    previous step."""
+    return PQ.funnel_steps(load_table(spark, "events", sf_dir), steps=("view", "click", "purchase"))
+
+
+def q_scd2_orders(spark, sf_dir):
+    """F20 SCD2 dimension build: per-customer o_orderpriority change
+    history with [valid_from, valid_to) versions and is_current flags."""
+    return _i(PQ.scd2_order_priority(load_table(spark, "orders", sf_dir)), "o_custkey", "version")
+
+
+def q_doc_chunks(spark, sf_dir):
+    """E33 sliding-window document chunking (64-token windows, 16-token
+    overlap): the RAG/context-prep step, one row per chunk with an md5
+    window hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(
+        curation.chunk_documents(docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP),
+        "doc_id", "chunk_idx",
+    )
 
 
 def q_events_json_stats(spark, sf_dir):
@@ -1260,7 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Families with result-identical or schema-compatible variants are unioned
     into one tagged entry (rbac_layouts, neardup_pairs, retrieval,
     ann_recall, global_topk, quantized_topk, store_lifecycle,
-    generator_relations); the per-variant functions remain for bench
+    generator_relations, semi_anti_joins, time_buckets, temporal_joins,
+    tfidf_top_terms+vocab); the per-variant functions remain for bench
     granularity and tests."""
     return {
         # RBAC vector search (B/C/D families)
@@ -1313,14 +1427,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": q_event_value_quantiles,
         "revenue_rollup": q_revenue_rollup,
         "customer_running_totals": q_customer_running_totals,
-        "order_priority_returns": q_order_priority_returns,
-        "brands_without_returns": q_brands_without_returns,
+        "semi_anti_joins": q_semi_anti_joins,
         "skew_salted_join": q_skew_salted_join,
         "events_json_stats": q_events_json_stats,
-        "daily_type_pivot": q_daily_type_pivot,
-        "asof_last_order": q_asof_last_order,
-        "range_join_trailing_hour": q_range_join_trailing_hour,
-        "time_rollup": q_time_rollup,
+        "time_buckets": q_time_buckets,
+        "temporal_joins": q_temporal_joins,
+        "funnel_steps": q_funnel_steps,
+        "scd2_orders": q_scd2_orders,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -1879,6 +1993,80 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l
 GROUP BY p_brand
 """
 
+# F11+F12 merged entry: the two aggregates under one tagged schema
+_SEMI_ANTI_SQL = f"""
+SELECT 'semi' AS method, o_orderpriority AS key, order_count AS n, -1.0 AS avg_price
+FROM ({_Q4_SEMI_SQL})
+UNION ALL
+SELECT 'anti' AS method, p_brand AS key, n_parts AS n, avg_price
+FROM ({_Q16_ANTI_SQL})
+"""
+
+# F15+F18 merged entry: pivot matrix unpivoted to long form (zero cells
+# materialized via days × types scaffold) + the ROLLUP hierarchy
+_TIME_BUCKETS_SQL = f"""
+WITH days AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events),
+typ(key) AS (VALUES ('n_click'), ('n_error'), ('n_purchase'), ('n_signup'), ('n_view')),
+cnt AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, 'n_' || event_type AS key,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT 'pivot' AS method, d.day, typ.key, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
+       CAST(-1 AS BIGINT) AS value_milli
+FROM days d CROSS JOIN typ LEFT JOIN cnt ON cnt.day = d.day AND cnt.key = typ.key
+UNION ALL
+SELECT 'rollup' AS method, COALESCE(day, 'ALL') AS day, COALESCE(hour, 'ALL') AS key,
+       n_events AS n, value_milli
+FROM ({_TIME_ROLLUP_SQL})
+"""
+
+# F16+F17 merged entry
+_TEMPORAL_JOINS_SQL = f"""
+SELECT 'asof' AS method, event_id, user_id,
+       CAST(COALESCE(o_orderkey, -1) AS BIGINT) AS matched_id, CAST(0 AS BIGINT) AS n
+FROM ({_ASOF_SQL})
+UNION ALL
+SELECT 'range' AS method, event_id, user_id,
+       CAST(last_event AS BIGINT) AS matched_id, CAST(n_recent AS BIGINT) AS n
+FROM ({_RANGE_JOIN_SQL})
+"""
+
+# F19: ordered funnel — each step's qualifying set gates the next
+_FUNNEL_SQL = """
+WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step, (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_users
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+"""
+
+# F20: SCD2 compaction — lag-change detection, then version/validity windows
+_SCD2_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         LAG(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_val
+  FROM orders
+),
+ch AS (SELECT * FROM o WHERE prev_val IS NULL OR prev_val <> o_orderpriority),
+v AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to_ts
+  FROM ch
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey, version, o_orderpriority,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(valid_to_ts, '%Y-%m-%d') AS valid_to,
+       valid_to_ts IS NULL AS is_current
+FROM v
+"""
+
 # E21: aligned 2-token chunks; drop chunks in ≥20 distinct docs; reassemble
 _BOILERPLATE_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -2129,6 +2317,43 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
   FROM scored
 ) WHERE term_rank <= 3
+"""
+
+# E18+E34 merged entry: per-doc TF-IDF top terms + corpus vocab build
+_TFIDF_VOCAB_SQL = f"""
+WITH vt AS (SELECT unnest({_TOKS}) AS term FROM documents),
+vc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM vt
+  WHERE length(term) >= {VOCAB_MIN_LEN} GROUP BY term HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+),
+topv AS (
+  SELECT term, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS term_id
+  FROM vc QUALIFY term_id <= {VOCAB_SIZE}
+)
+SELECT 'tfidf' AS method, doc_id, term, tfidf AS score, term_rank AS "rank"
+FROM ({_TFIDF_SQL})
+UNION ALL
+SELECT 'vocab' AS method, CAST(-1 AS BIGINT) AS doc_id, term,
+       CAST(n AS DOUBLE) AS score, term_id AS "rank"
+FROM topv
+"""
+
+# E33: sliding-window chunking — same stride/window arithmetic as Spark
+_DOC_CHUNKS_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
+e AS (
+  SELECT doc_id, toks, n,
+         unnest(range(CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                           ELSE 1 + CAST(ceil((n - {CHUNK_TOKENS}) / {CHUNK_TOKENS - CHUNK_OVERLAP}.0) AS BIGINT) END)) AS chunk_idx
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS start_token,
+       CAST(LEAST({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP}) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks,
+            chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1,
+            chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + LEAST({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP})), ' ')) AS chunk_hash
+FROM e
 """
 
 # E19: int8 quantize both sides (same op order as Spark: (x*127.0)/m),
@@ -2814,7 +3039,7 @@ def oracle_sql() -> dict[str, str]:
         "curated_corpus": _CURATED_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "pack_sequences": _PACK_SQL,
-        "tfidf_top_terms": _TFIDF_SQL,
+        "tfidf_top_terms": _TFIDF_VOCAB_SQL,
         "remove_boilerplate": _BOILERPLATE_SQL,
         "random_projection": curation.random_projection_oracle_sql(out_dim=8, seed=42, dim=64),
         "mixture_sample": _MIXTURE_SQL,
@@ -2833,12 +3058,12 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": _QUANTILES_SQL,
         "revenue_rollup": _ROLLUP_SQL,
         "customer_running_totals": _RUNNING_TOTALS_SQL,
-        "order_priority_returns": _Q4_SEMI_SQL,
-        "brands_without_returns": _Q16_ANTI_SQL,
+        "semi_anti_joins": _SEMI_ANTI_SQL,
         "skew_salted_join": _SALTED_JOIN_SQL,
         "events_json_stats": _EVENTS_JSON_SQL,
-        "daily_type_pivot": _PIVOT_SQL,
-        "asof_last_order": _ASOF_SQL,
-        "range_join_trailing_hour": _RANGE_JOIN_SQL,
-        "time_rollup": _TIME_ROLLUP_SQL,
+        "time_buckets": _TIME_BUCKETS_SQL,
+        "temporal_joins": _TEMPORAL_JOINS_SQL,
+        "funnel_steps": _FUNNEL_SQL,
+        "scd2_orders": _SCD2_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
     }

@@ -50,6 +50,14 @@ EXTRA = {
     # the registry entry unions three streaming members for the oracle;
     # bench times the hourly member alone so the timing stays comparable
     "streaming_hourly": entry.q_streaming_hourly_only,
+    # members of the r4 merged entries (semi_anti_joins, time_buckets,
+    # temporal_joins) — benched individually so per-operator timings stay
+    "order_priority_returns": entry.q_order_priority_returns,
+    "brands_without_returns": entry.q_brands_without_returns,
+    "daily_type_pivot": entry.q_daily_type_pivot,
+    "time_rollup": entry.q_time_rollup,
+    "asof_last_order": entry.q_asof_last_order,
+    "range_join_trailing_hour": entry.q_range_join_trailing_hour,
 }
 
 HEADLINE = [
@@ -99,6 +107,9 @@ HEADLINE = [
     "asof_last_order",
     "range_join_trailing_hour",
     "time_rollup",
+    "funnel_steps",
+    "scd2_orders",
+    "doc_chunks",
     "store_lifecycle",
     "generator_relations",
     "tuning_curve",

@@ -775,3 +775,52 @@ def test_orc_roundtrip_preserves_vectors(spark, sf_dir, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() == emb.where(F.col("vec_id") % 4 == 1).count()
     assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from vectorsearch_rbac_spark.operators import curation
+
+    text_120 = " ".join(f"w{i}" for i in range(120))
+    text_10 = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text_120), (2, text_10)], "doc_id long, text string")
+    out = curation.chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 120 tokens, window 64, stride 48 → 1 + ceil((120-64)/48) = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_token"] for r in c1] == [0, 48, 96]
+    assert [r["n_chunk_tokens"] for r in c1] == [64, 64, 24]
+    # short doc → exactly one (partial) chunk
+    assert [(r["start_token"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(0, 10)]
+    # consecutive windows share `overlap` tokens: start delta == stride
+    assert c1[1]["start_token"] - c1[0]["start_token"] == 48
+
+
+def test_chunk_documents_covers_every_token(spark, sf_dir):
+    from vectorsearch_rbac_spark.operators import curation
+    from vectorsearch_rbac_spark.functions import text as T
+
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    chunks = curation.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    cover = chunks.groupBy("doc_id").agg(
+        F.max(F.col("start_token") + F.col("n_chunk_tokens")).alias("covered"),
+        F.count("*").alias("n_chunks"),
+    )
+    toks = docs.select("doc_id", T.token_count("text").cast("long").alias("n"))
+    joined = cover.join(toks, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["covered"] == r["n"], "last chunk must end exactly at the doc's last token"
+
+
+def test_build_vocab_rank_and_bounds(spark):
+    from vectorsearch_rbac_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa bb dd"), (3, "aa x")], "doc_id long, text string"
+    )
+    out = curation.build_vocab(df, vocab_size=2, min_len=2, min_count=2).collect()
+    got = [(r["term_id"], r["term"], r["n"]) for r in sorted(out, key=lambda r: r["term_id"])]
+    # aa:4, bb:2 survive min_count; cc/dd/x dropped (count 1 or len 1)
+    assert got == [(1, "aa", 4), (2, "bb", 2)]

@@ -292,3 +292,50 @@ def test_registry_global_plan_invariants(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"scale-unsafe join shapes: {offenders}"
+
+
+def test_funnel_steps_monotone_and_ordered(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = {r["step"]: r for r in entry.q_funnel_steps(spark, sf_dir).collect()}
+    assert set(rows) == {"view", "click", "purchase"}
+    assert rows["view"]["n_users"] >= rows["click"]["n_users"] >= rows["purchase"]["n_users"]
+    assert [rows[s]["step_idx"] for s in ("view", "click", "purchase")] == [0, 1, 2]
+
+
+def test_funnel_requires_order_not_just_presence(spark):
+    from vectorsearch_rbac_spark.plans import queries as PQ
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, typ, mins):
+        return (i, t + dt.timedelta(minutes=mins), u, typ, 0.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # user 1: view→click in order; user 2 clicks BEFORE their first view
+    df = spark.createDataFrame(
+        [ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 2, "click", 0), ev(4, 2, "view", 5)],
+        schema,
+    )
+    rows = {r["step"]: r["n_users"] for r in PQ.funnel_steps(df, steps=("view", "click")).collect()}
+    assert rows == {"view": 2, "click": 1}
+
+
+def test_scd2_versions_compact_and_current(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.q_scd2_orders(spark, sf_dir)
+    rows = out.collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for cust, vs in list(by_cust.items())[:50]:
+        vs.sort(key=lambda r: r["version"])
+        # versions are dense from 1, exactly one current, no consecutive dup values
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for v in vs if v["is_current"]) == 1
+        assert vs[-1]["is_current"]
+        for a, b in zip(vs, vs[1:]):
+            assert a["o_orderpriority"] != b["o_orderpriority"]
+            assert a["valid_to"] == b["valid_from"]

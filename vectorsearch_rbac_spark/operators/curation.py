@@ -478,3 +478,76 @@ def dsir_weights(
         .join(per_doc, id_col, "left")
         .select(id_col, F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight"))
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (E33) — the RAG/context-window prep
+    step: token windows of ``chunk_tokens`` with ``overlap`` tokens shared
+    between neighbours (stride = chunk_tokens - overlap); the final partial
+    window is kept. Emits one row per chunk: (doc_id, chunk_idx,
+    start_token, n_chunk_tokens, chunk_hash) where chunk_hash = md5 of the
+    space-joined window — compact and oracle-hashable without shipping the
+    text twice.
+
+    Scale: pure per-row codegen — split, sequence+explode, slice, md5; no
+    shuffle at all (narrow map over the scan), so it pipelines into
+    whatever consumer follows. Chunk count per doc is
+    1 + ceil(max(n - chunk, 0) / stride), bounded by doc length.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    d = documents.select(
+        id_col, T.tokens(text_col).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.when(F.col("n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((F.col("n") - chunk_tokens) / F.lit(float(stride)))
+    ).cast("int")
+    e = d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    start = (F.col("chunk_idx") * stride).cast("int")
+    ln = F.least(F.lit(chunk_tokens), F.col("n") - start)
+    return e.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_token"),
+        ln.cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(F.slice("toks", start + 1, ln), " ")).alias("chunk_hash"),
+    )
+
+
+def build_vocab(
+    documents: DataFrame,
+    vocab_size: int = 256,
+    min_len: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary build (E34): global token counts → the top
+    ``vocab_size`` terms by (count desc, term asc) with dense ids — the
+    tokenizer-training prestep (word-level; the BPE merge loop would start
+    from exactly this table).
+
+    Scale: one shuffle on the term key with full map-side combine; the
+    top-V is ``orderBy().limit(V)`` = TakeOrderedAndProject (each task
+    keeps V rows, one bounded merge — never a global sort), and the dense
+    id window runs over only V surviving rows.
+    """
+    toks = documents.select(F.explode(T.tokens(text_col)).alias("term")).where(
+        F.length("term") >= min_len
+    )
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(vocab_size)
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return top.withColumn("term_id", F.row_number().over(w).cast("long")).select(
+        "term_id", "term", "n"
+    )

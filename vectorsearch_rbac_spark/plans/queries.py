@@ -292,3 +292,73 @@ def time_rollup(events: DataFrame) -> DataFrame:
             F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("value_milli"),
         )
     )
+
+
+def funnel_steps(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered conversion funnel (F19): a user reaches step i when they have
+    an event of type ``steps[i]`` at-or-after their earliest qualifying time
+    for step i-1 (step 0 qualifies at the user's first such event). Returns
+    one row per step: (step_idx, step, n_users).
+
+    Scale: one shuffle per step, all on ``user_id`` — AQE reuses the
+    exchange across the cascade, and each stage's state is one (user_id,
+    min_ts) row per surviving user (monotonically shrinking). The number of
+    steps is a small constant; no window over the full event stream, no
+    per-user event collection. Mirrors the reference's multi-step query
+    composition style (basic_benchmark/common_function.py query loops).
+    """
+    out = None
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        ev = events.where(F.col("event_type") == step).select("user_id", "ts")
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                ev.join(prev, "user_id")
+                .where(F.col("ts") >= F.col("t"))
+                .select("user_id", "ts")
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        prev = cur
+        row = cur.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def scd2_order_priority(orders: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type-2 build (F20): track each customer's
+    ``o_orderpriority`` attribute over time. Consecutive orders with the
+    same priority are compacted; each surviving change opens a version with
+    [valid_from, valid_to) bounds (valid_to = next change's date, NULL while
+    current) and an ``is_current`` flag — the MERGE/SCD2 pattern a lakehouse
+    dimension pipeline runs on every load.
+
+    Scale: two windows over the same (o_custkey × date, orderkey) ordering —
+    one shuffle on o_custkey, both windows ride the same sort. Change rows
+    are a tiny fraction of input, so the second window's state is small.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .withColumn("prev_val", F.lag("o_orderpriority").over(w))
+        .where(F.col("prev_val").isNull() | (F.col("prev_val") != F.col("o_orderpriority")))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        changes.withColumn("version", F.row_number().over(w2).cast("long"))
+        .withColumn("valid_to_ts", F.lead("o_orderdate").over(w2))
+        .select(
+            "o_custkey",
+            "version",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format("valid_to_ts", "yyyy-MM-dd").alias("valid_to"),
+            F.col("valid_to_ts").isNull().alias("is_current"),
+        )
+    )
