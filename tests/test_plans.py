@@ -339,3 +339,12 @@ def test_scd2_versions_compact_and_current(spark, sf_dir):
         for a, b in zip(vs, vs[1:]):
             assert a["o_orderpriority"] != b["o_orderpriority"]
             assert a["valid_to"] == b["valid_from"]
+
+
+def test_doc_chunks_zero_shuffle(spark, sf_dir):
+    """E33 chunking must stay a narrow map over the scan: split →
+    sequence/explode → slice → md5, with NO Exchange anywhere."""
+    import __spark_entry__ as E
+
+    p = _plan(E.q_doc_chunks(spark, sf_dir))
+    assert "Exchange" not in p, "chunking must not shuffle"
