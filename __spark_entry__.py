@@ -36,6 +36,7 @@ DSIR_BUCKETS = 256
 BIT_RERANK_EXP = 4
 CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 16
+PAGERANK_ITERS = 5
 VOCAB_SIZE = 256
 VOCAB_MIN_LEN = 2
 VOCAB_MIN_COUNT = 2
@@ -373,10 +374,16 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_neardup_clusters(spark, sf_dir):
-    """MinHash candidates → connected components → (doc_id, cluster_id)."""
+    """E14+E35: MinHash candidates → connected components → (doc_id,
+    cluster_id), plus PageRank centrality over the same pair graph and the
+    max-centrality canonical flag per cluster (5 power iterations, 9 dp
+    per-iteration rounding — exact-oracle vs the unrolled SQL replay)."""
     docs = load_table(spark, "documents", sf_dir)
     pairs = dedup.minhash_candidates(docs, n=3, num_hashes=16, band_size=4)
-    return _i(dedup.neardup_clusters(docs, pairs), "doc_id", "cluster_id")
+    clusters = dedup.neardup_clusters(docs, pairs)
+    pr = dedup.pagerank_scores(pairs, iters=PAGERANK_ITERS)
+    out = dedup.canonical_by_pagerank(clusters, pr)
+    return _i(out, "doc_id", "cluster_id")
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1863,7 +1870,23 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.d
 
 # connected components over the minhash candidate graph via recursive CTE:
 # reach(node, lab) enumerates same-component pairs; min(lab) = cluster id
-_CLUSTERS_SQL = _MINHASH_BANDS_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+def _pagerank_ctes(iters: int) -> str:
+    """Unrolled power iterations replaying ``dedup.pagerank_scores``
+    exactly: same 0.15/0.85 literals, same 9 dp per-iteration rounding."""
+    parts = [
+        "degg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src)",
+        "p0 AS (SELECT src AS node, 1.0 AS pr FROM degg)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"p{i} AS (SELECT e.dst AS node, round(0.15 + 0.85 * SUM(p.pr / d.deg), 9) AS pr\n"
+            f"  FROM edges e JOIN p{i - 1} p ON p.node = e.src JOIN degg d ON d.src = e.src\n"
+            f"  GROUP BY e.dst)"
+        )
+    return ",\n".join(parts)
+
+
+_CLUSTERS_SQL = _MINHASH_BANDS_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
 , pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
@@ -1877,9 +1900,17 @@ reach(node, lab) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-)
-SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
-FROM reach GROUP BY node
+),
+clust AS (
+  SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+),
+{_pagerank_ctes(5)}
+SELECT c.doc_id, c.cluster_id,
+       round(COALESCE(p5.pr, 0.15), 6) AS pagerank,
+       (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+          ORDER BY round(COALESCE(p5.pr, 0.15), 6) DESC, c.doc_id) = 1) AS is_canonical
+FROM clust c LEFT JOIN p5 ON p5.node = c.doc_id
 """
 
 # curated corpus: quality gate (same formula as text_stats) → minhash bands

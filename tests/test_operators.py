@@ -824,3 +824,24 @@ def test_build_vocab_rank_and_bounds(spark):
     got = [(r["term_id"], r["term"], r["n"]) for r in sorted(out, key=lambda r: r["term_id"])]
     # aa:4, bb:2 survive min_count; cc/dd/x dropped (count 1 or len 1)
     assert got == [(1, "aa", 4), (2, "bb", 2)]
+
+
+def test_pagerank_canonical_prefers_hub_over_min_id(spark):
+    # star graph: hub 9 connected to 1..4 (hub has the LARGEST id);
+    # two isolated singletons 100, 200
+    pairs = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (4, 9)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9, 100, 200)], "doc_id long")
+    clusters = dedup.neardup_clusters(docs, pairs)
+    pr = dedup.pagerank_scores(pairs, iters=5)
+    out = {r["doc_id"]: r for r in dedup.canonical_by_pagerank(clusters, pr).collect()}
+    hub, leaf = out[9], out[1]
+    assert hub["pagerank"] > leaf["pagerank"], "hub must dominate leaves"
+    assert hub["is_canonical"] and not leaf["is_canonical"]
+    # min-id would have picked doc 1 — centrality overrides it
+    assert out[1]["cluster_id"] == 1 and out[9]["cluster_id"] == 1
+    # isolated docs take the no-inlink fixed point and are self-canonical
+    assert out[100]["pagerank"] == 0.15 and out[100]["is_canonical"]
+    # leaves are symmetric: identical scores
+    assert len({out[i]["pagerank"] for i in (1, 2, 3, 4)}) == 1

@@ -614,3 +614,69 @@ def dup_window_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def pagerank_scores(
+    pairs: DataFrame,
+    iters: int = 5,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """PageRank over the (undirected) near-dup pair graph (E35): the
+    centrality signal behind canonical-document selection — inside a
+    duplicate cluster, the doc most connected to other near-dups is the
+    best exemplar to keep (min-id is arbitrary; max-centrality is the
+    quality choice).
+
+    Fixed ``iters`` power iterations of pr = 0.15 + 0.85 · Σ pr(u)/deg(u)
+    over symmetric edges, init pr = 1. Each iteration's result is rounded
+    to 9 dp so the fixed point is bit-identical across engines (the oracle
+    replays the same unrolled iterations) — float-sum ordering noise
+    (~1e-15) can never accumulate past the rounding grid.
+
+    Scale: like connected components (``neardup_clusters``), this runs
+    ONLY on the candidate subgraph — per iteration one edge×rank equi-join
+    plus a keyed sum, lineage truncated per round. The rank and degree
+    tables are node-sized (candidate-graph nodes, orders of magnitude
+    below the corpus) and are broadcast explicitly — the same
+    small-side-of-the-subgraph policy as the CC union-find fallback; past
+    broadcastable node counts, drop the hints and the same plan runs as a
+    co-partitioned (src) join reused round to round. Isolated docs are the
+    caller's concern (LEFT-join and coalesce to the no-inlink fixed point
+    0.15).
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count("*").cast("double").alias("deg")).localCheckpoint()
+    pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            sym.join(F.broadcast(pr), pr["node"] == sym["src"])
+            .join(F.broadcast(deg), "src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+        )
+        pr = (
+            contrib.groupBy("node")
+            .agg(F.round(F.lit(0.15) + F.lit(0.85) * F.sum("c"), 9).alias("pr"))
+            .localCheckpoint(eager=False)
+        )
+    return pr
+
+
+def canonical_by_pagerank(
+    clusters: DataFrame,
+    pr: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Join cluster labels with PageRank and pick each cluster's canonical
+    doc = max centrality, ties by min id. Singletons (no pairs) get the
+    isolated-node fixed point 0.15 and are trivially canonical."""
+    scored = clusters.join(F.broadcast(pr), clusters[id_col] == pr["node"], "left").select(
+        id_col, "cluster_id", F.round(F.coalesce("pr", F.lit(0.15)), 6).alias("pagerank")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("pagerank").desc(), F.col(id_col).asc())
+    return scored.withColumn("is_canonical", F.row_number().over(w) == 1)
