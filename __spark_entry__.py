@@ -37,6 +37,8 @@ BIT_RERANK_EXP = 4
 CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 16
 PAGERANK_ITERS = 5
+MMR_K = 5
+MMR_CANDS = 20
 VOCAB_SIZE = 256
 VOCAB_MIN_LEN = 2
 VOCAB_MIN_COUNT = 2
@@ -595,8 +597,9 @@ def q_hybrid_rrf_topk(spark, sf_dir):
 def q_retrieval_topk(spark, sf_dir):
     """Text/hybrid retrieval in ONE driver-checked entry (registry
     curation): E26 BM25, C8 permission-aware BM25 (RBAC semi-join before
-    the rank), E27 hybrid RRF fusion — (method, query_id, doc_id, score,
-    rank) union; each branch keeps its exact oracle inside the union.
+    the rank), E27 hybrid RRF fusion, E36 MMR diversified re-rank —
+    (method, query_id, doc_id, score, rank) union; each branch keeps its
+    exact oracle inside the union (MMR's is the unrolled greedy replay).
 
     The BM25 score table (tf/df/dlen corpus aggregates) is computed ONCE
     and lazily checkpointed; all three branches rank over it — without the
@@ -624,6 +627,10 @@ def q_retrieval_topk(spark, sf_dir):
         .agg(F.min("rank").alias("rank"))
     )
     hybrid = retrieval.rrf_fuse(retrieval.bm25_rank(scored, k=50), vec_ranks, k=TOPK)
+    # E36 MMR diversified re-rank over the same query trio (vec side)
+    mmr = retrieval.mmr_topk(
+        emb, t["queries"].where(F.col("query_id").isin(qids)), k=MMR_K, n_candidates=MMR_CANDS
+    )
     parts = [
         ("bm25", retrieval.bm25_rank(scored, k=TOPK).select(
             "query_id", "doc_id", "score", "rank")),
@@ -631,6 +638,9 @@ def q_retrieval_topk(spark, sf_dir):
             "query_id", "doc_id", "score", "rank")),
         ("hybrid_rrf", hybrid.select(
             "query_id", "doc_id", F.col("rrf_score").alias("score"), "rank")),
+        ("mmr", mmr.select(
+            "query_id", (F.col("vec_id") % n_docs).alias("doc_id"),
+            (F.round("mmr_score", 6) + F.lit(0.0)).alias("score"), "rank")),
     ]
     out = None
     for name, df in parts:
@@ -2840,12 +2850,69 @@ UNION ALL
 SELECT 'semdedup' AS method, id_a, id_b, cosine_sim AS score FROM ({_SEMDEDUP_SQL})
 """
 
+def _mmr_ctes(k: int, n_cand: int, qids: tuple) -> str:
+    """Unrolled greedy MMR replaying ``retrieval.mmr_topk`` exactly: same
+    6 dp rel/sim rounding, same 0.5/0.5 mix, same id tie-breaks."""
+    cos = "ROUND(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6) + 0.0"
+    steps = [
+        f"""mq AS (
+  SELECT vec_id AS query_id, embedding AS query_vector FROM embeddings
+  WHERE vec_id IN ({", ".join(str(q) for q in qids)})
+)""",
+        f"""mcand AS (
+  SELECT query_id, vec_id, 1.0 - distance AS rel FROM (
+    SELECT q.query_id, e.vec_id, {cos} AS distance,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {cos} ASC, e.vec_id ASC) AS rnk
+    FROM embeddings e CROSS JOIN mq q
+  ) WHERE rnk <= {n_cand}
+)""",
+        """msim AS (
+  SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
+  FROM mcand a JOIN mcand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)""",
+        """msel1 AS (
+  SELECT query_id, vec_id, rel AS mmr_score, CAST(1 AS BIGINT) AS sel_rank FROM mcand
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) = 1
+)""",
+        "mall1 AS (SELECT * FROM msel1)",
+    ]
+    for i in range(2, k + 1):
+        steps.append(f"""mst{i} AS (
+  SELECT c.query_id, c.vec_id,
+         0.5 * c.rel - 0.5 * (SELECT MAX(m.sim) FROM msim m
+                              JOIN mall{i - 1} s ON s.query_id = m.query_id AND s.vec_id = m.ib
+                              WHERE m.query_id = c.query_id AND m.ia = c.vec_id) AS mmr
+  FROM mcand c
+  WHERE NOT EXISTS (SELECT 1 FROM mall{i - 1} s2
+                    WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)
+)""")
+        steps.append(f"""msel{i} AS (
+  SELECT query_id, vec_id, mmr AS mmr_score, CAST({i} AS BIGINT) AS sel_rank FROM mst{i}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id ASC) = 1
+)""")
+        steps.append(f"mall{i} AS (SELECT * FROM mall{i - 1} UNION ALL SELECT * FROM msel{i})")
+    return ",\n".join(steps)
+
+
+_MMR_SQL = f"""
+WITH {_mmr_ctes(MMR_K, MMR_CANDS, tuple(q for q, _ in BM25_QUERIES))}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id % (SELECT COUNT(*) FROM documents) AS BIGINT) AS doc_id,
+       ROUND(mmr_score, 6) + 0.0 AS score, sel_rank AS rank
+FROM mall{MMR_K}
+"""
+
 _RETRIEVAL_SQL = f"""
 SELECT 'bm25' AS method, query_id, doc_id, score, rank FROM ({_BM25_SQL})
 UNION ALL
 SELECT 'rbac_bm25' AS method, query_id, doc_id, score, rank FROM ({_RBAC_BM25_SQL})
 UNION ALL
 SELECT 'hybrid_rrf' AS method, query_id, doc_id, rrf_score AS score, rank FROM ({_HYBRID_SQL})
+UNION ALL
+SELECT 'mmr' AS method, query_id, doc_id, score, rank FROM ({_MMR_SQL})
 """
 
 

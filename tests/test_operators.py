@@ -845,3 +845,21 @@ def test_pagerank_canonical_prefers_hub_over_min_id(spark):
     assert out[100]["pagerank"] == 0.15 and out[100]["is_canonical"]
     # leaves are symmetric: identical scores
     assert len({out[i]["pagerank"] for i in (1, 2, 3, 4)}) == 1
+
+
+def test_mmr_skips_redundant_candidate(spark):
+    from vectorsearch_rbac_spark.operators import retrieval
+
+    # query at [1,0]; vec 1 ≈ vec 2 (near-duplicates, both most relevant),
+    # vec 3 orthogonal-ish but still a candidate. Plain top-2 = {1, 2};
+    # MMR top-2 must pick 1 then skip the clone 2 in favor of diverse 3.
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9999, 0.0141]), (3, [0.2, 0.98])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(7, [1.0, 0.0])], "query_id long, query_vector array<double>")
+    out = sorted(
+        retrieval.mmr_topk(emb, q, k=2, n_candidates=3).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert out[0]["mmr_score"] > out[1]["mmr_score"]

@@ -141,3 +141,89 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "rrf_score", "rank")
     )
+
+
+MMR_LAMBDA = 0.5
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (E36, Carbonell &
+    Goldstein 1998): greedily select ``k`` of the ``n_candidates`` most
+    relevant docs per query, each step maximizing
+    ``λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`` with λ = 0.5 — the standard
+    redundancy-suppressing re-rank in retrieval/RAG stacks.
+
+    Determinism: rel = 1 − (6 dp cosine distance), pairwise sims rounded
+    to 6 dp, every argmax tie-broken by id; the oracle replays the same
+    greedy steps unrolled, so scores are bit-identical.
+
+    Scale: the candidate set is (queries × n_candidates) — bounded and
+    broadcastable by construction (this is a RE-RANK, downstream of
+    retrieval). The only corpus-sized work is the candidate generation
+    itself (brute-force here; swap in IVF/LSH upstream at scale). All k−1
+    greedy iterations run over broadcast-sized tables; the per-query
+    candidate×selected sim table is ≤ n_candidates² rows per query.
+    """
+    from . import ann
+    from ..functions import vector as V
+
+    cands = (
+        ann.cosine_topk_bruteforce(embeddings, queries, k=n_candidates, id_col=id_col, vec_col=vec_col)
+        .select("query_id", id_col, (F.lit(1.0) - F.col("distance")).alias("rel"))
+    )
+    # reattach vectors: probe the corpus with the broadcast candidate list
+    cands = (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(cands), id_col)
+        .localCheckpoint(eager=False)
+    )
+    a = cands.select("query_id", F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+    b = cands.select("query_id", F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    sims = (
+        a.join(F.broadcast(b), "query_id")
+        .where(F.col("ia") != F.col("ib"))
+        .select("query_id", "ia", "ib", F.round(V.cosine_similarity("va", "vb"), 6).alias("sim"))
+        .localCheckpoint(eager=False)
+    )
+    flat = cands.select("query_id", id_col, "rel")
+    w1 = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col(id_col).asc())
+    selected = (
+        flat.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("query_id", id_col, F.col("rel").alias("mmr_score"), F.lit(1).cast("long").alias("rank"))
+        .localCheckpoint(eager=False)
+    )
+    lam = F.lit(MMR_LAMBDA)
+    for step in range(2, k + 1):
+        sel_ids = selected.select("query_id", F.col(id_col).alias("ib"))
+        maxsim = (
+            sims.join(F.broadcast(sel_ids), ["query_id", "ib"])
+            .groupBy("query_id", "ia")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        remaining = flat.join(
+            F.broadcast(selected.select("query_id", id_col)), ["query_id", id_col], "left_anti"
+        )
+        scored = remaining.join(
+            maxsim,
+            (remaining["query_id"] == maxsim["query_id"]) & (remaining[id_col] == maxsim["ia"]),
+        ).select(
+            remaining["query_id"], remaining[id_col],
+            (lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("maxsim")).alias("mmr"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("mmr").desc(), F.col(id_col).asc())
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("query_id", id_col, F.col("mmr").alias("mmr_score"),
+                    F.lit(step).cast("long").alias("rank"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected
