@@ -39,6 +39,7 @@ CHUNK_OVERLAP = 16
 PAGERANK_ITERS = 5
 MMR_K = 5
 MMR_CANDS = 20
+RESERVOIR_K = 100
 VOCAB_SIZE = 256
 VOCAB_MIN_LEN = 2
 VOCAB_MIN_COUNT = 2
@@ -508,11 +509,14 @@ MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 
 def q_mixture_sample(spark, sf_dir):
-    """E23 mixture sampling + E32 DSIR importance selection in one tagged
-    union: 'mixture' rows keep each doc with its source's probability
-    (weight = that probability); 'dsir' rows keep the top-quartile docs by
-    hashed-ngram log importance ratio toward the src0 target domain
-    (weight = the DSIR score; exact-percentile cutoff, no global sort)."""
+    """E23 mixture sampling + E32 DSIR importance selection + E37 A-ES
+    weighted reservoir sampling in one tagged union: 'mixture' rows keep
+    each doc with its source's probability (weight = that probability);
+    'dsir' rows keep the top-quartile docs by hashed-ngram log importance
+    ratio toward the src0 target domain (weight = the DSIR score;
+    exact-percentile cutoff, no global sort); 'reservoir' rows are the
+    fixed-size-100 Efraimidis-Spirakis draw (weight = the 6 dp −ln(u)/w
+    race key)."""
     docs = load_table(spark, "documents", sf_dir)
     w = F.lit(0.1)
     for src, frac in sorted(MIX_WEIGHTS.items()):
@@ -531,7 +535,12 @@ def q_mixture_sample(spark, sf_dir):
         .select("doc_id", "source", "lang", F.col("dsir_weight").alias("weight"))
         .withColumn("method", F.lit("dsir"))
     )
-    out = mix.unionByName(dsir).select("method", "doc_id", "source", "lang", "weight")
+    res = (
+        curation.weighted_reservoir_sample(docs, MIX_WEIGHTS, k=RESERVOIR_K, default_weight=0.1)
+        .select("doc_id", "source", "lang", F.round("es_key", 6).alias("weight"))
+        .withColumn("method", F.lit("reservoir"))
+    )
+    out = mix.unionByName(dsir).unionByName(res).select("method", "doc_id", "source", "lang", "weight")
     return _i(out, "doc_id")
 
 
@@ -2173,6 +2182,17 @@ UNION ALL
 SELECT 'dsir' AS method, CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang, dw.w AS weight
 FROM dw JOIN documents d USING (doc_id) CROSS JOIN cut
 WHERE dw.w >= cut.c
+UNION ALL
+SELECT 'reservoir' AS method, CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+       ROUND(es_key, 6) AS weight
+FROM (
+  SELECT doc_id, source, lang,
+         ROUND(-LN((({_MD5L.format(x="'es:' || CAST(doc_id AS VARCHAR)")} % 1000000) + 1) / 1000000.0)
+               / CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                             WHEN 'src2' THEN 0.25 ELSE 0.1 END, 9) AS es_key
+  FROM documents
+  ORDER BY es_key ASC, doc_id ASC LIMIT {RESERVOIR_K}
+)
 """
 
 # E24: per-lang interpolated median quality as cutoff (quality formula

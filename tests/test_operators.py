@@ -863,3 +863,26 @@ def test_mmr_skips_redundant_candidate(spark):
     )
     assert [r["vec_id"] for r in out] == [1, 3]
     assert out[0]["mmr_score"] > out[1]["mmr_score"]
+
+
+def test_weighted_reservoir_fixed_size_and_bias(spark):
+    from vectorsearch_rbac_spark.operators import curation
+
+    rows = [(i, "heavy" if i % 2 == 0 else "light") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.weighted_reservoir_sample(
+        df, {"heavy": 1.0, "light": 0.1}, k=200, default_weight=0.1
+    )
+    got = out.collect()
+    assert len(got) == 200, "A-ES sample is exactly k"
+    n_heavy = sum(1 for r in got if r["source"] == "heavy")
+    # weight ratio 10:1 over a 50/50 population → heavy should dominate
+    assert n_heavy > 160, f"heavy-weight source under-sampled: {n_heavy}/200"
+    # deterministic: same draw on a rerun
+    again = curation.weighted_reservoir_sample(
+        df, {"heavy": 1.0, "light": 0.1}, k=200, default_weight=0.1
+    ).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+    # plan shape: global k-smallest must be TakeOrderedAndProject, not a sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -551,3 +551,35 @@ def build_vocab(
     return top.withColumn("term_id", F.row_number().over(w).cast("long")).select(
         "term_id", "term", "n"
     )
+
+
+def weighted_reservoir_sample(
+    documents: DataFrame,
+    weights: dict[str, float],
+    k: int = 100,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 0.1,
+) -> DataFrame:
+    """Efraimidis–Spirakis A-ES weighted sampling WITHOUT replacement
+    (E37): fixed-size k, inclusion probability ∝ weight — the exact-size
+    companion to ``mixture_sample``'s Bernoulli thinning (which only hits
+    the mix in expectation). Per doc: u = md5-uniform in (0, 1],
+    key = −ln(u)/w (the exponential-race form of uⁱ^(1/wᵢ)); the k
+    SMALLEST keys win.
+
+    Determinism: the uniform is the same 60-bit md5 grid the oracle
+    replays; keys are rounded to 9 dp (ln differs across libm by ≤1 ulp —
+    rounding pins the grid), ties by id.
+
+    Scale: stateless per-row key computation in the scan, then global
+    k-smallest = ``orderBy().limit(k)`` → TakeOrderedAndProject (each
+    task keeps k rows, one bounded merge) — never a full sort, no shuffle
+    of the corpus.
+    """
+    u = ((md5_long(F.col(id_col).cast("string"), salt="es") % 1_000_000) + 1) / F.lit(1_000_000.0)
+    w = F.lit(default_weight)
+    for src, frac in sorted(weights.items()):
+        w = F.when(F.col(source_col) == src, F.lit(frac)).otherwise(w)
+    keyed = documents.withColumn("es_key", F.round(-F.log(u) / w, 9))
+    return keyed.orderBy(F.col("es_key").asc(), F.col(id_col).asc()).limit(k)
