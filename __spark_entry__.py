@@ -875,10 +875,20 @@ def q_temporal_joins(spark, sf_dir):
 
 
 def q_funnel_steps(spark, sf_dir):
-    """F19 ordered conversion funnel over events: view → click → purchase,
-    each step gated on the user's earliest qualifying time for the
-    previous step."""
-    return PQ.funnel_steps(load_table(spark, "events", sf_dir), steps=("view", "click", "purchase"))
+    """F19 ordered conversion funnel + F21 cohort retention in one tagged
+    entry (product analytics over events): 'funnel' rows count users
+    reaching each ordered step (view → click → purchase); 'retention'
+    rows are the first-month-cohort × month-offset active-user matrix."""
+    ev = load_table(spark, "events", sf_dir)
+    fun = PQ.funnel_steps(ev, steps=("view", "click", "purchase")).select(
+        F.lit("funnel").alias("method"), F.col("step_idx").alias("idx"),
+        F.col("step").alias("key"), "n_users",
+    )
+    coh = PQ.cohort_retention(ev).select(
+        F.lit("retention").alias("method"), F.col("day_offset").alias("idx"),
+        F.col("cohort_day").alias("key"), "n_users",
+    )
+    return fun.unionByName(coh)
 
 
 def q_scd2_orders(spark, sf_dir):
@@ -2082,18 +2092,27 @@ SELECT 'range' AS method, event_id, user_id,
 FROM ({_RANGE_JOIN_SQL})
 """
 
-# F19: ordered funnel — each step's qualifying set gates the next
+# F19+F21: ordered funnel (each step's qualifying set gates the next)
+# union cohort retention (first-month cohorts × month-offset actives)
 _FUNNEL_SQL = """
 WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
 s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t
        WHERE e.event_type = 'click' GROUP BY e.user_id),
 s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
-       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step, (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_users
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+coh AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_d FROM events)
+SELECT 'funnel' AS method, CAST(0 AS BIGINT) AS idx, 'view' AS key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_users
 UNION ALL
-SELECT CAST(1 AS BIGINT), 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+SELECT 'funnel', CAST(1 AS BIGINT), 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
 UNION ALL
-SELECT CAST(2 AS BIGINT), 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+SELECT 'funnel', CAST(2 AS BIGINT), 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+UNION ALL
+SELECT 'retention', CAST(datediff('day', cohort_d, active_d) AS BIGINT),
+       strftime(cohort_d, '%Y-%m-%d'), CAST(COUNT(*) AS BIGINT)
+FROM act JOIN coh USING (user_id)
+GROUP BY 2, 3
 """
 
 # F20: SCD2 compaction — lag-change detection, then version/validity windows

@@ -297,10 +297,17 @@ def test_registry_global_plan_invariants(spark, sf_dir):
 def test_funnel_steps_monotone_and_ordered(spark, sf_dir):
     import __spark_entry__ as entry
 
-    rows = {r["step"]: r for r in entry.q_funnel_steps(spark, sf_dir).collect()}
+    all_rows = entry.q_funnel_steps(spark, sf_dir).collect()
+    rows = {r["key"]: r for r in all_rows if r["method"] == "funnel"}
     assert set(rows) == {"view", "click", "purchase"}
     assert rows["view"]["n_users"] >= rows["click"]["n_users"] >= rows["purchase"]["n_users"]
-    assert [rows[s]["step_idx"] for s in ("view", "click", "purchase")] == [0, 1, 2]
+    assert [rows[s]["idx"] for s in ("view", "click", "purchase")] == [0, 1, 2]
+    # retention tag rides the same entry: offsets non-negative, cohort
+    # month-0 row exists for every cohort
+    ret = [r for r in all_rows if r["method"] == "retention"]
+    assert ret and all(r["idx"] >= 0 for r in ret)
+    cohorts = {r["key"] for r in ret}
+    assert {r["key"] for r in ret if r["idx"] == 0} == cohorts
 
 
 def test_funnel_requires_order_not_just_presence(spark):
@@ -348,3 +355,29 @@ def test_doc_chunks_zero_shuffle(spark, sf_dir):
 
     p = _plan(E.q_doc_chunks(spark, sf_dir))
     assert "Exchange" not in p, "chunking must not shuffle"
+
+
+def test_cohort_retention_offsets_and_counts(spark):
+    from vectorsearch_rbac_spark.plans import queries as PQ
+    import datetime as dt
+
+    def ev(i, u, day, hour=9):
+        return (i, dt.datetime(2024, 1, day, hour), u, "view", 0.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # user 1: active day 5 + day 7 (offsets 0, 2); user 2: day 5 only;
+    # user 3: first-seen day 6, active day 6 + day 7 (offsets 0, 1);
+    # a second same-day event (id 6) must not double-count user 1
+    df = spark.createDataFrame(
+        [ev(1, 1, 5), ev(2, 1, 7), ev(3, 2, 5),
+         ev(4, 3, 6), ev(5, 3, 7), ev(6, 1, 5, hour=23)],
+        schema,
+    )
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in PQ.cohort_retention(df).collect()}
+    assert got == {
+        ("2024-01-05", 0): 2,  # users 1, 2 on day 5
+        ("2024-01-05", 2): 1,  # user 1 back on day 7
+        ("2024-01-06", 0): 1,  # user 3 cohort
+        ("2024-01-06", 1): 1,  # user 3 back on day 7
+    }

@@ -362,3 +362,29 @@ def scd2_order_priority(orders: DataFrame) -> DataFrame:
             F.col("valid_to_ts").isNull().alias("is_current"),
         )
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix (F21): users are cohorted by the DAY of
+    their first event; for each (cohort_day, day_offset) count how many of
+    the cohort's users were active offset days later — the standard
+    product-analytics retention triangle (day grain; month grain is the
+    same plan with a different trunc).
+
+    Scale: one shuffle on user_id for the cohort assignment, one
+    distinct-activity aggregate on (user_id, day) that reuses the same key
+    prefix, then a days²-sized final aggregate. No windows over the raw
+    stream; the date arithmetic is pure codegen.
+    """
+    cohorts = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_d"))
+    activity = events.select("user_id", F.to_date("ts").alias("active_d")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("active_d", "cohort_d").cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
