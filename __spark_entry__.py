@@ -835,9 +835,11 @@ def q_time_buckets(spark, sf_dir):
 
 
 def q_semi_anti_joins(spark, sf_dir):
-    """F11 EXISTS/left-semi + F12 NOT-EXISTS/left-anti in one tagged entry
-    (registry curation): 'semi' rows are the q4-shaped order-priority
-    counts, 'anti' rows the q16-shaped no-returns brand stats."""
+    """F11 EXISTS/left-semi + F12 NOT-EXISTS/left-anti + F22 correlated
+    scalar-subquery aggregate (q17 shape, decorrelated) in one tagged
+    entry (registry curation): 'semi' rows are the q4-shaped
+    order-priority counts, 'anti' rows the q16-shaped no-returns brand
+    stats, 'corr_agg' rows the per-brand small-quantity yearly revenue."""
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
@@ -853,7 +855,13 @@ def q_semi_anti_joins(spark, sf_dir):
         F.col("n_parts").cast("long").alias("n"),
         "avg_price",
     )
-    return semi.unionByName(anti)
+    corr = PQ.small_quantity_revenue(part, li).select(
+        F.lit("corr_agg").alias("method"),
+        F.col("p_brand").alias("key"),
+        F.col("n_items").alias("n"),
+        F.col("avg_yearly").alias("avg_price"),
+    )
+    return semi.unionByName(anti).unionByName(corr)
 
 
 def q_temporal_joins(spark, sf_dir):
@@ -992,7 +1000,7 @@ def q_streaming_hourly_only(spark, sf_dir):
 
 
 def q_streaming_hourly_stats(spark, sf_dir):
-    """THREE real Structured Streaming executions under one exact oracle
+    """FIVE real Structured Streaming executions under one exact oracle
     (registry curation; every member is an availableNow file-source stream
     into a memory sink, hash-matched against batch SQL):
 
@@ -1007,7 +1015,12 @@ def q_streaming_hourly_stats(spark, sf_dir):
     - 'session' (G3): native session_window(30 min) gap-merge in the state
       store; the oracle replays gap-based sessionization with
       session_window's boundary rule (gap ≥ 30 min starts a new session,
-      window end = last event + gap).
+      window end = last event + gap);
+    - 'join' (G7): stream-stream interval self-join — purchases correlated
+      with the same user's views of the trailing hour through the join
+      state store (both branches watermarked); the streamed inner-join
+      output is batch-folded to per-purchase view counts and the oracle is
+      the batch range join.
 
     Unified (method, key, n, val) schema; complete+availableNow /
     append+availableNow are the bounded-replay harnesses, the watermark
@@ -1069,7 +1082,16 @@ def q_streaming_hourly_stats(spark, sf_dir):
         F.col("n_events").cast("long").alias("n"),
         F.round("total_value", 6).alias("val"),
     )
-    return hourly.unionByName(dedup_agg).unionByName(adm).unionByName(sess)
+
+    joined = S.run_bounded_to_memory(
+        S.stream_stream_view_purchase_join(spark, drop), output_mode="append"
+    )
+    ssj = joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.round(F.max("value"), 6).alias("val")
+    ).select(
+        F.lit("join").alias("method"), F.col("purchase_id").cast("string").alias("key"), "n", "val"
+    )
+    return hourly.unionByName(dedup_agg).unionByName(adm).unionByName(sess).unionByName(ssj)
 
 
 def q_ivf_recall(spark, sf_dir):
@@ -2053,13 +2075,30 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l
 GROUP BY p_brand
 """
 
-# F11+F12 merged entry: the two aggregates under one tagged schema
+# F11+F12+F22 merged entry: the three subquery-shaped aggregates under one
+# tagged schema; q17 is written decorrelated exactly like the Spark plan
+_Q17_CORR_SQL = """
+WITH aq AS (
+  SELECT l_partkey, SUM(l_quantity) / COUNT(*) AS avg_qty FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 700.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN aq ON aq.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < 0.2 * aq.avg_qty
+GROUP BY p.p_brand
+"""
+
 _SEMI_ANTI_SQL = f"""
 SELECT 'semi' AS method, o_orderpriority AS key, order_count AS n, -1.0 AS avg_price
 FROM ({_Q4_SEMI_SQL})
 UNION ALL
 SELECT 'anti' AS method, p_brand AS key, n_parts AS n, avg_price
 FROM ({_Q16_ANTI_SQL})
+UNION ALL
+SELECT 'corr_agg' AS method, p_brand AS key, n_items AS n, avg_yearly AS avg_price
+FROM ({_Q17_CORR_SQL})
 """
 
 # F15+F18 merged entry: pivot matrix unpivoted to long form (zero cells
@@ -2843,6 +2882,13 @@ FROM (
     FROM events
   )
 ) GROUP BY user_id, session_seq
+UNION ALL
+SELECT 'join' AS method, CAST(p.event_id AS VARCHAR) AS key,
+       COUNT(*) AS n, ROUND(MAX(p.value), 6) AS val
+FROM events p JOIN events v
+  ON v.user_id = p.user_id AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+GROUP BY p.event_id
 """
 
 # curated-union oracles: each merged entry unions its members' exact

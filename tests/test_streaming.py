@@ -175,3 +175,30 @@ def test_streaming_corpus_filter_admits_only_novel_quality_docs(spark, sf_dir, t
         .join(fps, "fp", "left_anti")
     )
     assert got_ids == {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, event_dir, tmp_path):
+    """G7: the streamed purchase×view interval join must equal the batch
+    range join over the same drop — inclusive upper bound, exclusive
+    1-hour lower bound, same-user only."""
+    out = _run(
+        S.stream_stream_view_purchase_join(spark, event_dir), str(tmp_path), "ssj"
+    )
+    got = spark.read.parquet(out)
+    ev = spark.read.parquet(event_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    batch = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "view_id")
+    assert got.count() > 0
+    g = {(r["purchase_id"], r["view_id"]) for r in got.select("purchase_id", "view_id").collect()}
+    b = {(r["purchase_id"], r["view_id"]) for r in batch.collect()}
+    assert g == b

@@ -388,3 +388,32 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def small_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H q17 shape (F22): per-brand yearly revenue from lineitems whose
+    quantity is below 20% of that part's average quantity — the classic
+    correlated scalar subquery, decorrelated into a per-part aggregate
+    joined back to the fact table (what Catalyst's RewriteCorrelatedScalarSubquery
+    does; written decorrelated so the plan is explicit).
+
+    Scale: two passes over lineitem — a (partkey → avg qty) aggregate
+    (map-side combinable, part-sized result) and the filtered fact scan
+    joined against it; the part dim is broadcast. Revenue uses exact cents
+    so the division is order-independent.
+    """
+    avg_qty = lineitem.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        lineitem.join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / F.lit(700.0), 2
+            ).alias("avg_yearly"),
+        )
+    )

@@ -10,6 +10,7 @@ from .pipelines import (
     stateful_user_stats,
     streaming_block_insertion,
     streaming_corpus_filter,
+    stream_stream_view_purchase_join,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "stateful_user_stats",
     "streaming_block_insertion",
     "streaming_corpus_filter",
+    "stream_stream_view_purchase_join",
 ]

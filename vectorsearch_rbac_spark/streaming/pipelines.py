@@ -263,3 +263,41 @@ def streaming_corpus_filter(
         T.token_count("text").cast("long").alias("n_tokens"),
     ).where(F.col("quality") >= quality_min)
     return scored.join(fps, "fp", "left_anti")
+
+
+def stream_stream_view_purchase_join(
+    spark: SparkSession,
+    path: str,
+    join_window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Stream-stream interval self-join (G7): purchases joined with the
+    same user's views from the trailing ``join_window`` — the canonical
+    Structured Streaming two-stream correlation (attribution). Both sides
+    are branches of one file-source stream, each watermarked; the
+    time-range predicate bounds the state store (views older than
+    window + watermark are evicted).
+
+    The bounded-replay harness feeds the whole drop in one trigger so the
+    inner join is exhaustive and the batch range-join oracle applies
+    bit-for-bit; on an unbounded source the same query runs continuously
+    with watermark-bounded state.
+    """
+    ev = stream_events_from_dir(spark, path, max_files_per_trigger=max_files_per_trigger)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+                F.col("event_id").alias("view_id"))
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"), "value")
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        F.expr(f"v_user = user_id AND v_ts <= p_ts AND v_ts > p_ts - INTERVAL {join_window}"),
+    ).select("purchase_id", "user_id", "value", "view_id")
