@@ -972,6 +972,52 @@ def q_sessionize_events(spark, sf_dir):
     return _i(out, "user_id", "session_id", "n_events")
 
 
+def q_small_quantity_revenue(spark, sf_dir):
+    """F22 bench member (rides semi_anti_joins in the registry)."""
+    return PQ.small_quantity_revenue(
+        load_table(spark, "part", sf_dir), load_table(spark, "lineitem", sf_dir)
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """F21 bench member (rides funnel_steps in the registry)."""
+    return PQ.cohort_retention(load_table(spark, "events", sf_dir))
+
+
+def q_mmr_topk(spark, sf_dir):
+    """E36 bench member (rides retrieval_topk in the registry)."""
+    from vectorsearch_rbac_spark.operators import retrieval
+
+    t = _rbac(spark, sf_dir)
+    qids = [q for q, _ in BM25_QUERIES]
+    return retrieval.mmr_topk(
+        t["embeddings"], t["queries"].where(F.col("query_id").isin(qids)),
+        k=MMR_K, n_candidates=MMR_CANDS,
+    )
+
+
+def q_stream_stream_join(spark, sf_dir):
+    """G7 bench member (rides streaming_hourly_stats in the registry):
+    the interval join as a real availableNow stream, batch-folded."""
+    import tempfile
+
+    from vectorsearch_rbac_spark import streaming as S
+
+    drop = _STREAM_DROPS.get(sf_dir)
+    if drop is None:
+        events = load_table(spark, "events", sf_dir)
+        drop = tempfile.mkdtemp(prefix="stream_hourly_") + "/in"
+        events.repartition(4).write.mode("overwrite").parquet(drop)
+        _STREAM_DROPS[sf_dir] = drop
+    joined = S.run_bounded_to_memory(
+        S.stream_stream_view_purchase_join(spark, drop), output_mode="append"
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.round(F.max("value"), 6).alias("value"),
+    )
+
+
 def q_hourly_event_stats(spark, sf_dir):
     out = PQ.hourly_event_stats(load_table(spark, "events", sf_dir))
     return _i(out, "n_events", "n_users")

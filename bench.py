@@ -58,6 +58,10 @@ EXTRA = {
     "time_rollup": entry.q_time_rollup,
     "asof_last_order": entry.q_asof_last_order,
     "range_join_trailing_hour": entry.q_range_join_trailing_hour,
+    "small_quantity_revenue": entry.q_small_quantity_revenue,
+    "cohort_retention": entry.q_cohort_retention,
+    "mmr_topk": entry.q_mmr_topk,
+    "stream_stream_join": entry.q_stream_stream_join,
 }
 
 HEADLINE = [
@@ -108,8 +112,15 @@ HEADLINE = [
     "range_join_trailing_hour",
     "time_rollup",
     "funnel_steps",
+    "cohort_retention",
     "scd2_orders",
     "doc_chunks",
+    "small_quantity_revenue",
+    "mmr_topk",
+    # stream_stream_join is exercised by the correctness entry's 'join'
+    # member; 3× bench repeats of a stateful streaming query add ~2 min of
+    # fixed state-store overhead for no ranking signal, so it isn't a
+    # headline timing
     "store_lifecycle",
     "generator_relations",
     "tuning_curve",
