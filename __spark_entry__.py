@@ -809,11 +809,12 @@ _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def q_time_buckets(spark, sf_dir):
-    """F15 pivot + F18 rollup in one tagged entry (registry curation):
-    'pivot' rows are the day × event-type count matrix unpivoted to long
-    form (zero cells included — exactly the matrix's content); 'rollup'
-    rows are the hour→day→total ROLLUP hierarchy with NULL grouping levels
-    spelled 'ALL'. The per-variant functions stay for bench granularity."""
+    """F15 pivot + F18 rollup + F23 cube in one tagged entry (registry
+    curation): 'pivot' rows are the day × event-type count matrix
+    unpivoted to long form (zero cells included — exactly the matrix's
+    content); 'rollup' rows are the hour→day→total ROLLUP hierarchy;
+    'cube' rows are CUBE(day, event_type) — NULL grouping levels spelled
+    'ALL'. The per-variant functions stay for bench granularity."""
     ev = load_table(spark, "events", sf_dir)
     piv = (
         PQ.daily_type_pivot(ev)
@@ -831,7 +832,28 @@ def q_time_buckets(spark, sf_dir):
         F.col("n_events").alias("n"),
         "value_milli",
     )
-    return piv.unionByName(roll)
+    # F23: CUBE(day, type) — all four grouping sets in one pass (ROLLUP
+    # covers the hierarchy; CUBE adds the per-type-across-days slice)
+    cub = (
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "value",
+        )
+        .cube("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("value_milli"),
+        )
+        .select(
+            F.lit("cube").alias("method"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("key"),
+            "n",
+            "value_milli",
+        )
+    )
+    return piv.unionByName(roll).unionByName(cub)
 
 
 def q_semi_anti_joins(spark, sf_dir):
@@ -2164,6 +2186,12 @@ UNION ALL
 SELECT 'rollup' AS method, COALESCE(day, 'ALL') AS day, COALESCE(hour, 'ALL') AS key,
        n_events AS n, value_milli
 FROM ({_TIME_ROLLUP_SQL})
+UNION ALL
+SELECT 'cube' AS method, COALESCE(day, 'ALL') AS day, COALESCE(event_type, 'ALL') AS key,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value FROM events)
+GROUP BY CUBE(day, event_type)
 """
 
 # F16+F17 merged entry
