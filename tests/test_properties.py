@@ -216,3 +216,32 @@ def test_dup_window_sampling_is_alignment_free(spark, passage, prefix_a, prefix_
         docs, win=24, sample_mod=2).collect()}
     # symmetric detection: either both docs carry duplicated grams or neither
     assert (got[1]["n_dup_windows"] > 0) == (got[2]["n_dup_windows"] > 0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=400),
+    chunk=st.integers(min_value=8, max_value=64),
+    overlap=st.integers(min_value=0, max_value=7),
+)
+def test_chunk_tiling_invariants(spark, n_tokens, chunk, overlap):
+    """For ANY doc length and (chunk, overlap < chunk): starts advance by
+    exactly the stride, every chunk except the last is full, the last ends
+    exactly at the doc's last token, and the chunk-count formula holds."""
+    from vectorsearch_rbac_spark.operators import curation
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        curation.chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    stride = chunk - overlap
+    # empty text still tokenizes to [''] → size 1; mirror that here
+    n_eff = max(n_tokens, 1)
+    expect = 1 if n_eff <= chunk else 1 + math.ceil((n_eff - chunk) / stride)
+    assert len(rows) == expect
+    assert [r["start_token"] for r in rows] == [i * stride for i in range(expect)]
+    for r in rows[:-1]:
+        assert r["n_chunk_tokens"] == chunk
+    assert rows[-1]["start_token"] + rows[-1]["n_chunk_tokens"] == n_eff
