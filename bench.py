@@ -130,6 +130,29 @@ HEADLINE = [
 ]
 
 
+# The rounds-2/3 bench keys (BENCH_r02/r03, minus streaming_hourly_stats
+# whose entry was reworked into a multi-member union): their subtotal is
+# emitted alongside the full total so round-over-round deltas compare the
+# same work — the full list keeps growing as operators land.
+R2_KEYS = [
+    "rbac_prefilter_topk", "rbac_postfilter_topk", "rbac_comb_role_topk",
+    "rbac_dynamic_topk", "rbac_topk_fast", "rbac_prefilter_zipf_topk",
+    "sharing_tree_rbac_topk", "cosine_topk", "hamming_topk",
+    "sparse_cosine_topk", "halfvec_topk", "cosine_neardup",
+    "minhash_candidates", "neardup_clusters", "ngram_jaccard",
+    "simhash_pairs", "text_stats", "pii_scrub", "tfidf_top_terms",
+    "int8_topk", "curated_corpus", "remove_boilerplate", "random_projection",
+    "stratified_sample", "pack_sequences", "mixture_sample",
+    "quality_quantile_filter", "contamination_check", "bm25_topk",
+    "rbac_bm25_topk", "hybrid_rrf_topk", "skew_salted_join",
+    "order_priority_returns", "brands_without_returns", "pricing_summary",
+    "revenue_rollup", "shipping_priority", "nation_volume",
+    "sessionize_events", "events_json_stats", "daily_type_pivot",
+    "asof_last_order", "range_join_trailing_hour", "time_rollup",
+    "ivf_recall", "pq_recall",
+]
+
+
 def _mean_recall(df) -> float:
     from pyspark.sql import functions as F
 
@@ -237,6 +260,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "value_cold": round(sum(cold.values()), 3),
+                "value_r2_subset": round(sum(timings[k] for k in R2_KEYS if k in timings), 3),
                 "queries": timings,
                 "queries_cold": cold,
                 "recall": recalls,
