@@ -886,3 +886,21 @@ def test_weighted_reservoir_fixed_size_and_bias(spark):
     # plan shape: global k-smallest must be TakeOrderedAndProject, not a sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_parquet_schema_evolution_roundtrip(spark, tmp_path):
+    """H5: a drop written before a column existed must read back (with
+    NULLs) next to newer files carrying the column, under mergeSchema."""
+    from vectorsearch_rbac_spark.sources import ingest
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "doc_id long, text string, quality double"
+    ).write.mode("append").parquet(p)
+    got = ingest.read_parquet_evolving(spark, p)
+    assert set(got.columns) == {"doc_id", "text", "quality"}
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert rows[1]["quality"] is None and rows[2]["quality"] == 0.9

@@ -76,3 +76,14 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Schema-evolution-tolerant parquet read (H5): ``mergeSchema`` unions
+    the footers of every file, so drops written before a column existed
+    read back with NULLs in that column instead of failing — the lakehouse
+    contract for additive evolution (Delta/Iceberg do this through
+    metadata; plain parquet pays one footer read per file, which is why
+    it's opt-in here and NOT the default read path).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path, **options)
