@@ -40,6 +40,7 @@ PAGERANK_ITERS = 5
 MMR_K = 5
 MMR_CANDS = 20
 RESERVOIR_K = 100
+BPE_MERGES = 4
 VOCAB_SIZE = 256
 VOCAB_MIN_LEN = 2
 VOCAB_MIN_COUNT = 2
@@ -477,11 +478,13 @@ def q_pack_sequences(spark, sf_dir):
 
 
 def q_tfidf_top_terms(spark, sf_dir):
-    """E18 per-doc TF-IDF top terms + E34 corpus vocabulary build in one
-    tagged entry (registry curation): 'tfidf' rows are the top-3 terms per
-    document (score = tfidf, rank = per-doc term rank); 'vocab' rows are
-    the corpus-level top-256 tokenizer vocabulary (doc_id = -1, score =
-    corpus count, rank = dense term id)."""
+    """E18 per-doc TF-IDF top terms + E34 corpus vocabulary build + E38
+    BPE merge training in one tagged entry (registry curation): 'tfidf'
+    rows are the top-3 terms per document (score = tfidf, rank = per-doc
+    term rank); 'vocab' rows are the corpus-level top-256 tokenizer
+    vocabulary (doc_id = -1, score = corpus count, rank = dense term id);
+    'bpe' rows are the 4 learned pair-merge rules (doc_id = -1-step,
+    term = merged symbol, score = pair count, rank = step)."""
     docs = load_table(spark, "documents", sf_dir)
     tf = curation.tfidf_top_terms(docs, top_n=3).select(
         F.lit("tfidf").alias("method"), "doc_id", "term",
@@ -494,7 +497,14 @@ def q_tfidf_top_terms(spark, sf_dir):
         "term", F.col("n").cast("double").alias("score"),
         F.col("term_id").cast("long").alias("rank"),
     )
-    return _i(tf.unionByName(vb), "doc_id")
+    bpe = curation.bpe_merge_rules(docs, n_merges=BPE_MERGES).select(
+        F.lit("bpe").alias("method"),
+        (F.lit(-1) - F.col("step")).cast("long").alias("doc_id"),
+        F.col("merged").alias("term"),
+        F.col("n").cast("double").alias("score"),
+        F.col("step").cast("long").alias("rank"),
+    )
+    return _i(tf.unionByName(vb).unionByName(bpe), "doc_id")
 
 
 def q_int8_topk(spark, sf_dir):
@@ -2512,9 +2522,64 @@ FROM (
 ) WHERE term_rank <= 3
 """
 
-# E18+E34 merged entry: per-doc TF-IDF top terms + corpus vocab build
+def _bpe_ctes(n_merges: int) -> str:
+    """Unrolled BPE iterations replaying ``curation.bpe_merge_rules``: the
+    same pair-count/top-1 rule and the same window-based greedy
+    non-overlapping merge (run-start islands, even offsets taken)."""
+    parts = [f"bt0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents)"]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""bx{i} AS (
+  SELECT doc_id, pos, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS pos FROM bt{i - 1})
+)""")
+        parts.append(f"""bb{i} AS (
+  SELECT tok AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS n, tok || '_' || nxt AS merged
+  FROM bx{i} WHERE nxt IS NOT NULL GROUP BY tok, nxt
+  ORDER BY n DESC, a ASC, b ASC LIMIT 1
+)""")
+        parts.append(f"""bm{i} AS (
+  SELECT x.doc_id, x.pos, x.tok, b.merged,
+         (x.tok = b.a AND x.nxt IS NOT DISTINCT FROM b.b) AS mt
+  FROM bx{i} x CROSS JOIN bb{i} b
+)""")
+        parts.append(f"""bs{i} AS (
+  SELECT *, (mt AND NOT COALESCE(lag(mt) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)) AS run_start
+  FROM bm{i}
+)""")
+        parts.append(f"""br{i} AS (
+  SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM bs{i}
+)""")
+        parts.append(f"""bq{i} AS (
+  SELECT *, MIN(CASE WHEN mt THEN pos END) OVER (PARTITION BY doc_id, run_id) AS rs FROM br{i}
+)""")
+        parts.append(f"""bw{i} AS (
+  SELECT *, (mt AND ((pos - rs) % 2) = 0) AS taken FROM bq{i}
+)""")
+        parts.append(f"""bz{i} AS (
+  SELECT *, COALESCE(lag(taken) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS skip FROM bw{i}
+)""")
+        parts.append(f"""bt{i} AS (
+  SELECT doc_id, list(CASE WHEN taken THEN merged ELSE tok END ORDER BY pos) AS toks
+  FROM bz{i} WHERE taken OR NOT skip GROUP BY doc_id
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_rule_rows(n_merges: int) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT 'bpe' AS method, CAST({-1 - i} AS BIGINT) AS doc_id, merged AS term, "
+        f'CAST(n AS DOUBLE) AS score, CAST({i} AS BIGINT) AS "rank" FROM bb{i}'
+        for i in range(1, n_merges + 1)
+    )
+
+
+# E18+E34+E38 merged entry: per-doc TF-IDF top terms + corpus vocab build
+# + the learned BPE merge rules
 _TFIDF_VOCAB_SQL = f"""
-WITH vt AS (SELECT unnest({_TOKS}) AS term FROM documents),
+WITH {_bpe_ctes(4)},
+vt AS (SELECT unnest({_TOKS}) AS term FROM documents),
 vc AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM vt
   WHERE length(term) >= {VOCAB_MIN_LEN} GROUP BY term HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
@@ -2529,6 +2594,8 @@ UNION ALL
 SELECT 'vocab' AS method, CAST(-1 AS BIGINT) AS doc_id, term,
        CAST(n AS DOUBLE) AS score, term_id AS "rank"
 FROM topv
+UNION ALL
+{_bpe_rule_rows(4)}
 """
 
 # E33: sliding-window chunking — same stride/window arithmetic as Spark

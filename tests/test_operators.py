@@ -904,3 +904,27 @@ def test_parquet_schema_evolution_roundtrip(spark, tmp_path):
     assert set(got.columns) == {"doc_id", "text", "quality"}
     rows = {r["doc_id"]: r for r in got.collect()}
     assert rows[1]["quality"] is None and rows[2]["quality"] == 0.9
+
+
+def test_bpe_merge_rules_greedy_and_ordered(spark):
+    from vectorsearch_rbac_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    rules = curation.bpe_merge_rules(df, n_merges=3).collect()
+    got = [(r["step"], r["sym_a"], r["sym_b"], r["n"]) for r in rules]
+    # step 1: (a,b) x3 dominates; step 2: after merging, (a_b,a_b) wins the
+    # count-1 tie by pair order; step 3: (a_b, x) beats (a_b_a_b, c) by sym_a
+    assert got == [(1, "a", "b", 3), (2, "a_b", "a_b", 1), (3, "a_b", "x", 1)]
+
+
+def test_bpe_merge_overlap_is_greedy_left_to_right(spark):
+    from vectorsearch_rbac_spark.operators import curation
+
+    # "a a a a" → (a,a) appears 3x overlapping; greedy takes pos 0-1 and
+    # 2-3 → next round the top pair is (a_a, a_a)
+    df = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    rules = curation.bpe_merge_rules(df, n_merges=2).collect()
+    got = [(r["step"], r["sym_a"], r["sym_b"], r["n"]) for r in rules]
+    assert got == [(1, "a", "a", 3), (2, "a_a", "a_a", 1)]

@@ -583,3 +583,85 @@ def weighted_reservoir_sample(
         w = F.when(F.col(source_col) == src, F.lit(frac)).otherwise(w)
     keyed = documents.withColumn("es_key", F.round(-F.log(u) / w, 9))
     return keyed.orderBy(F.col("es_key").asc(), F.col(id_col).asc()).limit(k)
+
+
+def bpe_merge_rules(
+    documents: DataFrame,
+    n_merges: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE-style pair-merge tokenizer training (E38), word-level symbols:
+    repeat ``n_merges`` times — count adjacent symbol pairs corpus-wide,
+    take the most frequent (ties by pair, ascending), merge every
+    greedy-non-overlapping occurrence, re-tokenize. Char-level BPE is the
+    identical plan over char arrays; word-level is also exactly gensim-style
+    phrase detection. Returns the learned rules (step, sym_a, sym_b,
+    merged, n).
+
+    Greedy left-to-right overlap resolution is expressed with windows, not
+    a sequential fold: inside each maximal run of consecutive matches, an
+    occurrence is taken iff its offset from the run start is even — the
+    same rows a left-to-right scanner would take, but computable per doc
+    partition in parallel (and replayable verbatim by the SQL oracle).
+
+    Scale: per iteration — one posexplode (corpus-token rows), pair
+    counts with map-side combine, a TakeOrdered top-1 for the rule (the
+    single-row collect is the rule broadcast — same class as centroid
+    collects), and doc-partitioned windows bounded by doc length. Lineage
+    is truncated per iteration.
+    """
+    toks = documents.select(id_col, T.tokens(text_col).alias("toks"))
+    rules = []
+    for step in range(1, n_merges + 1):
+        w = Window.partitionBy(id_col).orderBy("pos")
+        ex = (
+            toks.select(id_col, F.posexplode("toks").alias("pos", "tok"))
+            .withColumn("nxt", F.lead("tok").over(w))
+        )
+        best = (
+            ex.where(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("tok").asc(), F.col("nxt").asc())
+            .limit(1)
+            .first()
+        )
+        if best is None:
+            break
+        a, b, n = best["tok"], best["nxt"], best["n"]
+        merged = f"{a}_{b}"
+        rules.append((step, a, b, merged, n))
+        mt = (F.col("tok") == a) & (F.col("nxt") == b)
+        run_start = mt & ~F.coalesce(F.lag(mt).over(w), F.lit(False))
+        marked = ex.withColumn("mt", mt).withColumn(
+            "run_id",
+            F.sum(run_start.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        rs = F.min(F.when(F.col("mt"), F.col("pos"))).over(
+            Window.partitionBy(id_col, "run_id")
+        )
+        taken = F.col("mt") & (((F.col("pos") - rs) % 2) == 0)
+        staged = marked.withColumn("taken", taken).withColumn(
+            "skip", F.coalesce(F.lag("taken").over(w), F.lit(False))
+        )
+        out_tok = (
+            F.when(F.col("taken"), F.lit(merged))
+            .when(F.col("skip"), F.lit(None))
+            .otherwise(F.col("tok"))
+        )
+        toks = (
+            staged.withColumn("out", out_tok)
+            .where(F.col("out").isNotNull())
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "out"))), lambda s: s["out"]
+                ).alias("toks")
+            )
+            .localCheckpoint(eager=False)
+        )
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        rules, "step long, sym_a string, sym_b string, merged string, n long"
+    )
