@@ -1004,6 +1004,25 @@ def q_sessionize_events(spark, sf_dir):
     return _i(out, "user_id", "session_id", "n_events")
 
 
+def q_tfidf_only(spark, sf_dir):
+    """E18 bench member: pure per-doc TF-IDF (keeps the rounds-2/3 bench
+    key comparable; the registry entry also unions vocab + BPE)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(curation.tfidf_top_terms(docs, top_n=3), "doc_id")
+
+
+def q_vocab_bpe(spark, sf_dir):
+    """E34+E38 bench member: vocabulary build + BPE merge training."""
+    docs = load_table(spark, "documents", sf_dir)
+    vb = curation.build_vocab(
+        docs, vocab_size=VOCAB_SIZE, min_len=VOCAB_MIN_LEN, min_count=VOCAB_MIN_COUNT
+    ).select(F.col("term_id").alias("k"), "term", F.col("n").cast("double").alias("v"))
+    bpe = curation.bpe_merge_rules(docs, n_merges=BPE_MERGES).select(
+        F.col("step").alias("k"), F.col("merged").alias("term"), F.col("n").cast("double").alias("v")
+    )
+    return vb.unionByName(bpe)
+
+
 def q_small_quantity_revenue(spark, sf_dir):
     """F22 bench member (rides semi_anti_joins in the registry)."""
     return PQ.small_quantity_revenue(
