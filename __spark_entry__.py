@@ -819,7 +819,7 @@ _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def q_time_buckets(spark, sf_dir):
-    """F15 pivot + F18 rollup + F23 cube in one tagged entry (registry
+    """F15 pivot + F18 rollup + F23 cube + F14 JSON extraction in one tagged entry (registry
     curation): 'pivot' rows are the day × event-type count matrix
     unpivoted to long form (zero cells included — exactly the matrix's
     content); 'rollup' rows are the hour→day→total ROLLUP hierarchy;
@@ -863,7 +863,18 @@ def q_time_buckets(spark, sf_dir):
             "value_milli",
         )
     )
-    return piv.unionByName(roll).unionByName(cub)
+    # F14 folded in (registry curation): typed JSON extraction per event
+    # type — 'json' rows carry (count, sum of $.k), 'json_ext' (min, max)
+    js = PQ.events_json_stats(ev)
+    jsn = js.select(
+        F.lit("json").alias("method"), F.lit("ALL").alias("day"), F.col("event_type").alias("key"),
+        F.col("n_events").alias("n"), F.col("sum_k").alias("value_milli"),
+    )
+    jx = js.select(
+        F.lit("json_ext").alias("method"), F.lit("ALL").alias("day"), F.col("event_type").alias("key"),
+        F.col("min_k").alias("n"), F.col("max_k").alias("value_milli"),
+    )
+    return piv.unionByName(roll).unionByName(cub).unionByName(jsn).unionByName(jx)
 
 
 def q_semi_anti_joins(spark, sf_dir):
@@ -951,6 +962,55 @@ def q_doc_chunks(spark, sf_dir):
 def q_events_json_stats(spark, sf_dir):
     """Semi-structured JSON extraction + typed aggregation (F14)."""
     return PQ.events_json_stats(load_table(spark, "events", sf_dir))
+
+
+def q_sketches(spark, sf_dir):
+    """F24 HyperLogLog distinct + F25 Count-Min heavy hitters + F26 AMS F2
+    in one tagged entry — the mergeable fixed-size summaries a 100 TB
+    pipeline uses where exact per-key state stops fitting. All hashing is
+    the §4 md5_long contract and all sketch state is scaled-integer, so
+    the DuckDB oracle replays registers/counters/signs bit-for-bit:
+    'hll' rows pair each event_type's estimate with the exact distinct
+    user count, 'hll_state' pins the register harmonic sum + empty-bucket
+    count; 'cms' rows are the ≥threshold users with (min-counter
+    estimate, exact count), 'cms_thr' pins the integer threshold; 'ams'
+    rows pair exact F2 of the user-frequency vector with the 16-trial
+    estimate, 'ams_state' pins Σs_t²."""
+    from vectorsearch_rbac_spark.operators import sketches as SK
+
+    ev = load_table(spark, "events", sf_dir)
+    hd = SK.hll_distinct(ev, ["event_type"], "user_id", p=8)
+    exact_d = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    hll = hd.join(exact_d, "event_type").select(
+        F.lit("hll").alias("method"), F.col("event_type").alias("key"),
+        F.col("n_exact").cast("long").alias("n"), F.col("hll_est").cast("double").alias("est"),
+    )
+    hstate = hd.select(
+        F.lit("hll_state").alias("method"), F.col("event_type").alias("key"),
+        F.col("s_scaled").alias("n"), F.col("v_zero").cast("double").alias("est"),
+    )
+    hh = SK.cms_heavy_hitters(ev, "user_id", depth=4, width=256, num=6, den=5)
+    cms = hh.select(
+        F.lit("cms").alias("method"), F.col("user_id").cast("string").alias("key"),
+        F.col("exact_cnt").cast("long").alias("n"), F.col("cms_est").cast("double").alias("est"),
+    )
+    totals = ev.agg(F.count("*").alias("n_rows"), F.countDistinct("user_id").alias("n_keys"))
+    thr_row = totals.select(
+        F.lit("cms_thr").alias("method"), F.lit("ALL").alias("key"),
+        (F.lit(1).cast("long") + F.floor((F.lit(6) * F.col("n_rows")) / (F.lit(5) * F.col("n_keys"))).cast("long")).alias("n"),
+        F.lit(-1.0).alias("est"),
+    )
+    a = SK.ams_f2(ev, ["event_type"], "user_id", trials=16)
+    e2 = SK.exact_f2(ev, ["event_type"], "user_id")
+    ams = a.join(e2, "event_type").select(
+        F.lit("ams").alias("method"), F.col("event_type").alias("key"),
+        F.col("f2_exact").cast("long").alias("n"), F.col("f2_est").cast("double").alias("est"),
+    )
+    astate = a.select(
+        F.lit("ams_state").alias("method"), F.col("event_type").alias("key"),
+        F.col("sum_sq").cast("long").alias("n"), F.lit(16.0).alias("est"),
+    )
+    return hll.unionByName(hstate).unionByName(cms).unionByName(thr_row).unionByName(ams).unionByName(astate)
 
 
 def q_pricing_summary(spark, sf_dir):
@@ -1584,7 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_totals": q_customer_running_totals,
         "semi_anti_joins": q_semi_anti_joins,
         "skew_salted_join": q_skew_salted_join,
-        "events_json_stats": q_events_json_stats,
+        "sketches": q_sketches,
         "time_buckets": q_time_buckets,
         "temporal_joins": q_temporal_joins,
         "funnel_steps": q_funnel_steps,
@@ -2221,6 +2281,85 @@ SELECT 'cube' AS method, COALESCE(day, 'ALL') AS day, COALESCE(event_type, 'ALL'
        CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
 FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value FROM events)
 GROUP BY CUBE(day, event_type)
+UNION ALL
+SELECT 'json' AS method, 'ALL' AS day, event_type AS key,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS value_milli
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+UNION ALL
+SELECT 'json_ext' AS method, 'ALL' AS day, event_type AS key,
+       CAST(MIN(k) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS value_milli
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+# F24+F25+F26: deterministic md5-hashed sketches — the oracle replays the
+# HLL registers, CMS counters, and AMS signs exactly (integer state; the
+# only floats are one division and one ln, rounded). ALPHA_NUM is the
+# identical python-double literal Spark's plan embeds: α_256·256²·2^53.
+_SKETCHES_SQL = """
+WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS k FROM events),
+hh AS (SELECT event_type, k, ('0x' || substr(md5(k),1,15))::BIGINT AS h FROM ev),
+regs AS (
+  SELECT event_type, h % 256 AS bucket,
+         MAX(CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END) AS rho
+  FROM hh GROUP BY 1, 2),
+hagg AS (
+  SELECT event_type, SUM(CAST(1 AS BIGINT) << (53 - rho)) AS s_present, COUNT(*) AS n_buckets
+  FROM regs GROUP BY 1),
+hstate AS (
+  SELECT event_type, CAST(256 - n_buckets AS BIGINT) AS v_zero,
+         CAST(s_present + (256 - n_buckets) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS s_scaled
+  FROM hagg),
+hest AS (
+  SELECT event_type, v_zero, s_scaled,
+         round(CASE WHEN (4.2399330249068963e+20 / s_scaled) <= 640.0 AND v_zero > 0
+                    THEN 256.0 * ln(256.0 / v_zero)
+                    ELSE 4.2399330249068963e+20 / s_scaled END, 6) AS est
+  FROM hstate),
+hexact AS (SELECT event_type, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact FROM ev GROUP BY 1),
+rowsd AS (SELECT * FROM range(0, 4) r(row)),
+sk AS (
+  SELECT row, ('0x' || substr(md5('cms:' || CAST(row AS VARCHAR) || ':' || k),1,15))::BIGINT % 256 AS cell,
+         COUNT(*) AS cnt
+  FROM ev CROSS JOIN rowsd GROUP BY 1, 2),
+cexact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM ev GROUP BY 1),
+cells AS (
+  SELECT k, row, ('0x' || substr(md5('cms:' || CAST(row AS VARCHAR) || ':' || k),1,15))::BIGINT % 256 AS cell
+  FROM cexact CROSS JOIN rowsd),
+cest AS (
+  SELECT c.k, MIN(s.cnt) AS cms_est
+  FROM cells c JOIN sk s ON c.row = s.row AND c.cell = s.cell GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_rows, COUNT(DISTINCT k) AS n_keys FROM ev),
+thr AS (SELECT CAST(1 AS BIGINT) + CAST(floor((6 * n_rows) / (5 * n_keys)) AS BIGINT) AS thr FROM tot),
+tr AS (SELECT * FROM range(0, 16) t(t)),
+st AS (
+  SELECT event_type, t,
+         SUM(CASE WHEN ('0x' || substr(md5('ams:' || CAST(t AS VARCHAR) || ':' || k),1,15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END) AS s_t
+  FROM ev CROSS JOIN tr GROUP BY 1, 2),
+ams AS (
+  SELECT event_type, CAST(SUM(s_t * s_t) AS BIGINT) AS sum_sq,
+         round(SUM(s_t * s_t) / 16.0, 4) AS f2_est
+  FROM st GROUP BY 1),
+f2x AS (
+  SELECT event_type, CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact
+  FROM (SELECT event_type, k, COUNT(*) AS cnt FROM ev GROUP BY 1, 2) GROUP BY 1)
+SELECT 'hll' AS method, e.event_type AS key, x.n_exact AS n, CAST(e.est AS DOUBLE) AS est
+FROM hest e JOIN hexact x ON e.event_type = x.event_type
+UNION ALL
+SELECT 'hll_state', event_type, s_scaled, CAST(v_zero AS DOUBLE) FROM hest
+UNION ALL
+SELECT 'cms', c.k, c.exact_cnt, CAST(e.cms_est AS DOUBLE)
+FROM cest e JOIN cexact c ON e.k = c.k CROSS JOIN thr
+WHERE e.cms_est >= thr.thr
+UNION ALL
+SELECT 'cms_thr', 'ALL', thr, -1.0 FROM thr
+UNION ALL
+SELECT 'ams', a.event_type, f.f2_exact, CAST(a.f2_est AS DOUBLE)
+FROM ams a JOIN f2x f ON a.event_type = f.event_type
+UNION ALL
+SELECT 'ams_state', event_type, sum_sq, 16.0 FROM ams
 """
 
 # F16+F17 merged entry
@@ -3403,7 +3542,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_running_totals": _RUNNING_TOTALS_SQL,
         "semi_anti_joins": _SEMI_ANTI_SQL,
         "skew_salted_join": _SALTED_JOIN_SQL,
-        "events_json_stats": _EVENTS_JSON_SQL,
+        "sketches": _SKETCHES_SQL,
         "time_buckets": _TIME_BUCKETS_SQL,
         "temporal_joins": _TEMPORAL_JOINS_SQL,
         "funnel_steps": _FUNNEL_SQL,

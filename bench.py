@@ -66,6 +66,8 @@ EXTRA = {
     # grew vocab + BPE tags, timed separately under vocab_bpe_build
     "tfidf_top_terms": entry.q_tfidf_only,
     "vocab_bpe_build": entry.q_vocab_bpe,
+    # F14 folded into the time_buckets union entry; benched standalone
+    "events_json_stats": entry.q_events_json_stats,
 }
 
 HEADLINE = [
@@ -111,6 +113,7 @@ HEADLINE = [
     "sessionize_events",
     "streaming_hourly",
     "events_json_stats",
+    "sketches",
     "daily_type_pivot",
     "asof_last_order",
     "range_join_trailing_hour",

@@ -928,3 +928,69 @@ def test_bpe_merge_overlap_is_greedy_left_to_right(spark):
     rules = curation.bpe_merge_rules(df, n_merges=2).collect()
     got = [(r["step"], r["sym_a"], r["sym_b"], r["n"]) for r in rules]
     assert got == [(1, "a", "a", 3), (2, "a_a", "a_a", 1)]
+
+
+def test_hll_distinct_accuracy_and_state(spark, sf_dir):
+    from vectorsearch_rbac_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = SK.hll_distinct(ev, ["event_type"], "user_id", p=8).collect()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(r["event_type"] for r in out) == set(exact)
+    for r in out:
+        # 15 distinct users into 256 buckets → linear-counting regime, tight
+        assert r["v_zero"] > 0
+        assert abs(r["hll_est"] - exact[r["event_type"]]) / exact[r["event_type"]] < 0.15
+        assert r["s_scaled"] > 0
+
+
+def test_hll_registers_merge_equals_whole(spark, sf_dir):
+    """The mergeability contract: registers built on disjoint halves,
+    merged by max-per-bucket, must equal registers built on the union."""
+    from vectorsearch_rbac_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = SK.hll_registers(ev, ["event_type"], "user_id", p=8)
+    a = SK.hll_registers(ev.where(F.col("event_id") % 2 == 0), ["event_type"], "user_id", p=8)
+    b = SK.hll_registers(ev.where(F.col("event_id") % 2 == 1), ["event_type"], "user_id", p=8)
+    merged = a.unionByName(b).groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
+    w = {(r["event_type"], r["bucket"]): r["rho"] for r in whole.collect()}
+    m = {(r["event_type"], r["bucket"]): r["rho"] for r in merged.collect()}
+    assert w == m
+
+
+def test_cms_overestimates_never_miss_heavy_keys(spark, sf_dir):
+    from vectorsearch_rbac_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = SK.cms_point_estimates(
+        SK.cms_sketch(ev, "user_id"), ev.select("user_id").distinct(), "user_id"
+    )
+    exact = ev.groupBy(F.col("user_id").cast("string").alias("user_id")).agg(
+        F.count("*").alias("cnt")
+    )
+    joined = est.join(exact, "user_id").collect()
+    assert len(joined) == ev.select("user_id").distinct().count()
+    for r in joined:
+        assert r["cms_est"] >= r["cnt"]  # the CMS one-sided guarantee
+    hh = SK.cms_heavy_hitters(ev, "user_id").collect()
+    thr = hh[0]["thr"] if hh else None
+    if hh:
+        heavy_exact = {r["user_id"] for r in joined if r["cnt"] >= thr}
+        assert heavy_exact <= {str(r["user_id"]) for r in hh}  # no false negatives
+
+
+def test_ams_f2_state_and_estimate(spark, sf_dir):
+    from vectorsearch_rbac_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = {r["event_type"]: r for r in SK.ams_f2(ev, ["event_type"], "user_id", trials=16).collect()}
+    x = {r["event_type"]: r["f2_exact"] for r in SK.exact_f2(ev, ["event_type"], "user_id").collect()}
+    assert set(a) == set(x)
+    for t, r in a.items():
+        assert r["f2_est"] == round(r["sum_sq"] / 16.0, 4)
+        # 16 averaged trials on a ~uniform 15-key stream: loose 3x envelope
+        assert 0.2 * x[t] < r["f2_est"] < 5.0 * x[t]

@@ -1,0 +1,215 @@
+"""Mergeable sketch operators (SURVEY.md §2 F24-F26): fixed-size
+distributed summaries for distinct counts, frequencies, and second
+moments — the 100 TB answer when exact per-key state no longer fits.
+
+Three classic sketches, each expressed as a pure DataFrame plan whose
+state is a SMALL, MERGEABLE aggregate (map-side combinable, constant
+size per group regardless of input rows):
+
+- HyperLogLog distinct counting (Flajolet, Fusy, Gandouet, Meunier 2007)
+- Count-Min frequency estimation / heavy hitters (Cormode &
+  Muthukrishnan 2005)
+- AMS F2 second-moment estimation (Alon, Matias, Szegedy 1996)
+
+Determinism contract (SURVEY.md §4): all hashing is ``md5_long`` (first
+15 hex digits of md5 → BIGINT), so every register, counter, and sign is
+reproducible cross-engine and the DuckDB oracle replays the sketches
+bit-for-bit — an *approximate* estimator under the *exact* hash gate.
+Harmonic sums are kept in scaled-integer space (Σ 2^(53-ρ) as BIGINT)
+so no float accumulation order can differ between engines; the only
+floats are single divisions and one ln(), rounded to 6 dp.
+
+Scale notes: a sketch groupBy carries at most (groups × m) rows through
+the shuffle with full map-side partial aggregation — for 100 TB of
+events the HLL shuffle is 256 rows per group, the CMS shuffle
+depth×width rows total. Compare the exact paths (countDistinct's double
+shuffle, a full per-key count) which scale with key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit md5_long hashes: bucket = h mod m, rho = leading zeros of the
+# remaining (60-p)-bit suffix + 1, so rho ∈ [1, 61-p].
+_HASH_BITS = 60
+# Harmonic-sum scale: Σ 2^(_SCALE - rho) stays exact in BIGINT
+# (rho ≤ 53 for p ≥ 8 → terms ≤ 2^52; 2^p terms + V·2^53 < 2^62).
+_SCALE = 53
+
+
+def _h60(col) -> F.Column:
+    """md5_long inline (kept local so the SQL oracle string and this plan
+    visibly share one formula)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _alpha(m: int) -> float:
+    """HLL bias constant for m ≥ 128 (Flajolet et al. 2007, fig. 3)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], key_col: str, p: int = 8) -> DataFrame:
+    """Per-group HLL register table: (group, bucket, rho) with
+    rho = max over keys hashing into the bucket.
+
+    This IS the sketch: at most 2^p rows per group, built with one
+    map-side-combinable max aggregate. Register tables from disjoint
+    data unite by groupBy(bucket).max(rho) — the mergeability that makes
+    HLL the cross-partition/cross-day distinct-count currency.
+    """
+    m = 1 << p
+    h = _h60(F.col(key_col).cast("string"))
+    rest = F.shiftright(h, p)  # (60-p)-bit suffix; shiftright is exact (no double div)
+    rho = (
+        F.when(rest == 0, F.lit(_HASH_BITS - p + 1))
+        .otherwise(F.lit(_HASH_BITS - p + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, F.pmod(h, F.lit(m)).cast("long").alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str, p: int = 8) -> DataFrame:
+    """Per-group HLL distinct-count estimate with the standard small-range
+    correction: linear counting m·ln(m/V) when the raw estimate ≤ 2.5m
+    and empty buckets remain, else the raw harmonic-mean estimate.
+
+    Emits the register-state integers alongside the estimate so a
+    correctness gate pins the full sketch state, not just the rounded
+    float: ``s_scaled`` = Σ 2^(53-ρ) over present buckets + V·2^53
+    (exact BIGINT — float accumulation never happens), ``v_zero`` =
+    number of empty buckets.
+    """
+    m = 1 << p
+    alpha = _alpha(m)
+    regs = hll_registers(df, group_cols, key_col, p)
+    agg = regs.groupBy(*group_cols).agg(
+        # shiftleft with a column shift count (the python helper only takes
+        # an int literal): Σ 2^(53-ρ) stays in exact BIGINT space
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SCALE} - rho)")).alias("s_present"),
+        F.count("*").alias("n_buckets"),
+    )
+    v = (F.lit(m) - F.col("n_buckets")).cast("long")
+    s_scaled = (F.col("s_present") + v * F.lit(1 << _SCALE).cast("long")).cast("long")
+    # raw = alpha·m²/S with S = s_scaled/2^53: one double division (IEEE-identical
+    # cross-engine); linear counting's ln() is the only libm call → 6 dp.
+    raw = F.lit(alpha * m * m * float(1 << _SCALE)) / s_scaled.cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.round(F.when((raw <= 2.5 * m) & (v > 0), linear).otherwise(raw), 6)
+    return agg.select(
+        *group_cols,
+        v.alias("v_zero"),
+        s_scaled.alias("s_scaled"),
+        est.alias("hll_est"),
+    )
+
+
+def cms_sketch(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min sketch: a (depth × width) counter grid as a DataFrame of
+    (row, cell, cnt) — depth·width rows TOTAL however large the input,
+    built by one map-side-combinable count. Row i hashes keys with salt
+    ``cms:i`` so the d hash functions are independent md5 draws.
+    Sketches merge by groupBy(row, cell).sum(cnt).
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    keyed = df.select(F.col(key_col).cast("string").alias("k")).select("k", rows)
+    cell = F.pmod(_h60(F.concat_ws(":", F.lit("cms"), F.col("row").cast("string"), F.col("k"))), F.lit(width))
+    return (
+        keyed.select("row", cell.cast("long").alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query the sketch for each candidate key: est = min over the
+    d counters the key hashes to (CMS guarantees est ≥ true count).
+
+    The sketch side is depth·width rows → broadcast; candidates stay
+    distributed, so querying 10^9 keys is a broadcast join + keyed min,
+    never a shuffle of the grid.
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    cand = keys.select(F.col(key_col).cast("string").alias("k")).select("k", rows)
+    cell = F.pmod(_h60(F.concat_ws(":", F.lit("cms"), F.col("row").cast("string"), F.col("k"))), F.lit(width))
+    cand = cand.select("k", "row", cell.cast("long").alias("cell"))
+    return (
+        cand.join(F.broadcast(sketch), ["row", "cell"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(F.col("k").alias(key_col), "cms_est")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256, num: int = 6, den: int = 5
+) -> DataFrame:
+    """Heavy hitters via CMS: keys whose estimated count ≥ threshold,
+    with the exact count joined in for the (est ≥ exact) guarantee.
+
+    The threshold is scale-relative and integer-exact cross-engine:
+    1 + (num·N) div (den·U) for N rows / U distinct keys — i.e. keys
+    ≥ ~(num/den)× the mean frequency. No false negatives: est ≥ exact,
+    so every key with exact ≥ threshold survives the est-filter.
+    """
+    sketch = cms_sketch(df, key_col, depth, width)
+    exact = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(F.count("*").alias("exact_cnt"))
+    est = cms_point_estimates(sketch, exact.select(F.col("k").alias(key_col)), key_col, depth, width)
+    totals = df.agg(
+        F.count("*").alias("n_rows"), F.countDistinct(F.col(key_col).cast("string")).alias("n_keys")
+    )
+    # integer-exact threshold both engines: 1 + floor(num·N / (den·U))
+    thr = F.lit(1).cast("long") + F.floor((F.lit(num) * F.col("n_rows")) / (F.lit(den) * F.col("n_keys"))).cast("long")
+    return (
+        est.join(exact, est[key_col] == exact["k"]).drop("k")
+        .crossJoin(F.broadcast(totals.select(thr.alias("thr"))))
+        .where(F.col("cms_est") >= F.col("thr"))
+        .select(key_col, "cms_est", "exact_cnt", "thr")
+    )
+
+
+def ams_f2(df: DataFrame, group_cols: list[str], key_col: str, trials: int = 16) -> DataFrame:
+    """AMS second-moment (F2 = Σ_key count²) estimator: per trial t, a
+    ±1 sign per key (parity of md5_long with salt ``ams:t``); the trial
+    statistic s_t = Σ_rows sign_t(key) and E[s_t²] = F2. Estimate =
+    mean of s_t² over trials, emitted with the exact integer Σ s_t²
+    so the gate pins the sketch state.
+
+    F2 is the self-join size / skew measure used to pick join
+    strategies; the sketch is one groupBy carrying trials rows per
+    group (map-side combined ±1 sums), vs the exact path's per-key
+    shuffle.
+    """
+    t_col = F.explode(F.array(*[F.lit(t) for t in range(trials)])).alias("t")
+    keyed = df.select(*group_cols, F.col(key_col).cast("string").alias("k")).select(*group_cols, "k", t_col)
+    sign = (
+        F.when(F.pmod(_h60(F.concat_ws(":", F.lit("ams"), F.col("t").cast("string"), F.col("k"))), F.lit(2)) == 0, 1)
+        .otherwise(-1)
+        .cast("long")
+    )
+    per_trial = (
+        keyed.select(*group_cols, "t", sign.alias("sign"))
+        .groupBy(*group_cols, "t")
+        .agg(F.sum("sign").alias("s_t"))
+    )
+    return per_trial.groupBy(*group_cols).agg(
+        F.sum(F.col("s_t") * F.col("s_t")).alias("sum_sq"),
+        F.round((F.sum(F.col("s_t") * F.col("s_t")) / F.lit(float(trials))), 4).alias("f2_est"),
+    )
+
+
+def exact_f2(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
+    """Exact F2 = Σ_key count² per group (the verification side)."""
+    return (
+        df.groupBy(*group_cols, F.col(key_col).cast("string").alias("k"))
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2_exact"))
+    )
