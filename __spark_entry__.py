@@ -1039,6 +1039,57 @@ def q_nation_volume(spark, sf_dir):
     )
 
 
+def q_tpch_deep(spark, sf_dir):
+    """F3 q5 + F27 q7 + F28 q15 + F29 q18 + F30 q19 + F31 q22 in one
+    tagged entry — the deeper TPC-H join/subquery shapes, all in exact
+    integer cents/millis so the hash gate is arithmetic-order-proof:
+    'q5' region-local nation volume, 'q7' two-nation volume shipping per
+    year, 'q15' max-revenue supplier (max-over-agg, no global sort),
+    'q18' large-quantity orders (HAVING over the fact key), 'q19'
+    three-branch disjunctive predicate revenue, 'q22' above-average idle
+    customers per nation (integer cross-multiplied average, anti-join)."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+
+    def shape(df, method, k1, k2, n, v):
+        return df.select(
+            F.lit(method).alias("method"),
+            k1.cast("string").alias("k1"), k2.cast("string").alias("k2"),
+            n.cast("long").alias("n"), v.cast("long").alias("value_int"),
+        )
+
+    q5 = shape(
+        PQ.nation_volume(customer, orders, li, supplier, nation, region, exact_cents=True),
+        "q5", F.col("n_name"), F.lit("ALL"), F.col("n_items"), F.col("revenue_cents"),
+    )
+    q7 = shape(
+        PQ.volume_shipping(supplier, li, orders, customer, nation),
+        "q7", F.concat_ws(">", "supp_nation", "cust_nation"), F.col("l_year"),
+        F.col("n_items"), F.col("revenue_cents"),
+    )
+    q15 = shape(
+        PQ.top_supplier(supplier, li),
+        "q15", F.col("s_name"), F.lit("1996Q1"), F.col("s_suppkey"), F.col("revenue_cents"),
+    )
+    q18 = shape(
+        PQ.large_orders(customer, orders, li),
+        "q18", F.col("c_name"), F.col("o_orderkey"), F.col("c_custkey"), F.col("qty_milli"),
+    )
+    q19 = shape(
+        PQ.disjunctive_revenue(load_table(spark, "part", sf_dir), li),
+        "q19", F.lit("ALL"), F.lit("ALL"), F.col("n_items"), F.col("revenue_cents"),
+    )
+    q22 = shape(
+        PQ.idle_customers(customer, orders),
+        "q22", F.col("c_nationkey"), F.lit("ALL"), F.col("n_custs"), F.col("bal_cents"),
+    )
+    return q5.unionByName(q7).unionByName(q15).unionByName(q18).unionByName(q19).unionByName(q22)
+
+
 def q_top_parts_per_brand(spark, sf_dir):
     out = PQ.top_parts_per_brand(load_table(spark, "part", sf_dir), load_table(spark, "lineitem", sf_dir), k=3)
     return _i(out, "p_partkey", "brand_rank")
@@ -1635,7 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / temporal (F family)
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
-        "nation_volume": q_nation_volume,
+        "tpch_deep": q_tpch_deep,
         "top_parts_per_brand": q_top_parts_per_brand,
         "sessionize_events": q_sessionize_events,
         "streaming_hourly_stats": q_streaming_hourly_stats,
@@ -3084,6 +3135,94 @@ WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
 GROUP BY n_name
 """
 
+# F3+F27..F31: the deeper TPC-H shapes in one tagged union, all integer
+# cents/millis (arithmetic-order-proof hashing)
+_TPCH_DEEP_SQL = """
+WITH q5 AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+  GROUP BY n_name
+),
+q7 AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2') AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+    AND year(l_shipdate) BETWEEN 1996 AND 1997
+  GROUP BY 1, 2, 3
+),
+q15rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+),
+q15 AS (
+  SELECT s.s_name, CAST(r.l_suppkey AS BIGINT) AS n, r.v
+  FROM q15rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+  WHERE r.v = (SELECT MAX(v) FROM q15rev)
+),
+q18 AS (
+  SELECT c.c_name, CAST(o.o_orderkey AS VARCHAR) AS k2, CAST(c.c_custkey AS BIGINT) AS n, b.v
+  FROM (SELECT l_orderkey,
+               CAST(SUM(CAST(round(l_quantity * 1000) AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1 HAVING SUM(CAST(round(l_quantity * 1000) AS BIGINT)) > 300000) b
+  JOIN orders o ON o.o_orderkey = b.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+q19 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+     OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+     OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+),
+bal AS (
+  SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+pos AS (
+  SELECT CAST(SUM(bal_cents) AS BIGINT) AS total_cents, CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM bal WHERE bal_cents > 0
+),
+q22 AS (
+  SELECT CAST(b.c_nationkey AS BIGINT) AS c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(b.bal_cents) AS BIGINT) AS v
+  FROM bal b CROSS JOIN pos
+  WHERE b.bal_cents * pos.n_pos > pos.total_cents
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = b.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+  GROUP BY 1
+)
+SELECT 'q5' AS method, n_name AS k1, 'ALL' AS k2, n, v AS value_int FROM q5
+UNION ALL
+SELECT 'q7', supp_nation || '>' || cust_nation, CAST(l_year AS VARCHAR), n, v FROM q7
+UNION ALL
+SELECT 'q15', s_name, '1996Q1', n, v FROM q15
+UNION ALL
+SELECT 'q18', c_name, k2, n, v FROM q18
+UNION ALL
+SELECT 'q19', 'ALL', 'ALL', n, v FROM q19
+UNION ALL
+SELECT 'q22', CAST(c_nationkey AS VARCHAR), 'ALL', n, v FROM q22
+"""
+
 _TOP_PARTS_SQL = """
 WITH rev AS (
   SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -3533,7 +3672,7 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: binary decode plumbing → rows-only check
         "pricing_summary": _PRICING_SQL,
         "shipping_priority": _SHIPPING_SQL,
-        "nation_volume": _NATION_VOLUME_SQL,
+        "tpch_deep": _TPCH_DEEP_SQL,
         "top_parts_per_brand": _TOP_PARTS_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "streaming_hourly_stats": _STREAMING_HOURLY_SQL,

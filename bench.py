@@ -68,6 +68,8 @@ EXTRA = {
     "vocab_bpe_build": entry.q_vocab_bpe,
     # F14 folded into the time_buckets union entry; benched standalone
     "events_json_stats": entry.q_events_json_stats,
+    # F3 folded into the tpch_deep union entry; benched standalone
+    "nation_volume": entry.q_nation_volume,
 }
 
 HEADLINE = [
@@ -110,6 +112,7 @@ HEADLINE = [
     "revenue_rollup",
     "shipping_priority",
     "nation_volume",
+    "tpch_deep",
     "sessionize_events",
     "streaming_hourly",
     "events_json_stats",

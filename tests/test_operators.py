@@ -994,3 +994,81 @@ def test_ams_f2_state_and_estimate(spark, sf_dir):
         assert r["f2_est"] == round(r["sum_sq"] / 16.0, 4)
         # 16 averaged trials on a ~uniform 15-key stream: loose 3x envelope
         assert 0.2 * x[t] < r["f2_est"] < 5.0 * x[t]
+
+
+def test_top_supplier_is_argmax_without_sort(spark, sf_dir):
+    from vectorsearch_rbac_spark.plans import queries as PQ
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    out = PQ.top_supplier(sup, li).collect()
+    assert out, "a max-revenue supplier must exist"
+    # recompute the exact cents max independently
+    rev = (
+        li.where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")).alias("v"))
+    )
+    best = rev.agg(F.max("v")).first()[0]
+    assert {r["revenue_cents"] for r in out} == {best}
+    p = PQ.top_supplier(sup, li)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" not in p and "GlobalSort" not in p
+
+
+def test_large_orders_threshold_and_completeness(spark, sf_dir):
+    from vectorsearch_rbac_spark.plans import queries as PQ
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    thr = 150_000  # lower threshold for the small sf
+    out = PQ.large_orders(cust, orders, li, qty_milli=thr).collect()
+    exact = {
+        r["l_orderkey"]: r["q"]
+        for r in li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 1000, 0).cast("long")).alias("q"))
+        .where(F.col("q") > thr)
+        .collect()
+    }
+    assert {r["o_orderkey"] for r in out} == set(exact)
+    for r in out:
+        assert r["qty_milli"] == exact[r["o_orderkey"]] > thr
+
+
+def test_idle_customers_exact_average_semantics(spark, sf_dir):
+    from vectorsearch_rbac_spark.plans import queries as PQ
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = PQ.idle_customers(cust, orders, cutoff="2000-01-01")
+    rows = out.collect()
+    # replay the definition row-by-row in python
+    crows = cust.collect()
+    cents = {r["c_custkey"]: round(r["c_acctbal"] * 100) for r in crows}
+    pos = [v for v in cents.values() if v > 0]
+    total, n_pos = sum(pos), len(pos)
+    recent = {r["o_custkey"] for r in orders.where(F.col("o_orderdate") >= "2000-01-01").select("o_custkey").distinct().collect()}
+    expect = {}
+    for r in crows:
+        if cents[r["c_custkey"]] * n_pos > total and r["c_custkey"] not in recent:
+            k = r["c_nationkey"]
+            n, v = expect.get(k, (0, 0))
+            expect[k] = (n + 1, v + cents[r["c_custkey"]])
+    got = {r["c_nationkey"]: (r["n_custs"], r["bal_cents"]) for r in rows}
+    assert got == expect and expect, "idle-customer aggregate must replay exactly (and be non-empty)"
+
+
+def test_volume_shipping_directions_and_years(spark, sf_dir):
+    from vectorsearch_rbac_spark.plans import queries as PQ
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rows = PQ.volume_shipping(sup, li, orders, cust, nat).collect()
+    for r in rows:
+        assert r["supp_nation"] != r["cust_nation"]
+        assert {r["supp_nation"], r["cust_nation"]} <= {"NATION_1", "NATION_2"}
+        assert 1996 <= r["l_year"] <= 1997
+        assert r["revenue_cents"] > 0 and r["n_items"] > 0

@@ -61,9 +61,10 @@ def shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFram
 
 def nation_volume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
                   supplier: DataFrame, nation: DataFrame, region: DataFrame,
-                  region_name: str = "ASIA") -> DataFrame:
+                  region_name: str = "ASIA", exact_cents: bool = False) -> DataFrame:
     """TPC-H q5 shape (region-local supplier volume). All dims broadcast;
-    the only large shuffles are fact-fact on orderkey."""
+    the only large shuffles are fact-fact on orderkey. ``exact_cents``
+    emits (n_name, n_items, revenue_cents) for the hash-gated union."""
     j = (
         lineitem.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
@@ -72,6 +73,11 @@ def nation_volume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
         .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.where(F.col("r_name") == region_name).select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    if exact_cents:
+        return j.groupBy("n_name").agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")).alias("revenue_cents"),
+        )
     return (
         j.groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -415,5 +421,143 @@ def small_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
             F.round(
                 F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / F.lit(700.0), 2
             ).alias("avg_yearly"),
+        )
+    )
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents for an order-independent money sum."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def volume_shipping(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, nation: DataFrame,
+                    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+                    y0: int = 1996, y1: int = 1997) -> DataFrame:
+    """TPC-H q7 shape (F27): revenue shipped between two nations in both
+    directions, per (supp_nation, cust_nation, ship year).
+
+    Scale: the only fact-fact shuffle is lineitem⋈orders on orderkey;
+    supplier/customer/nation broadcast, and the two-nation filter is
+    applied to the broadcast sides BEFORE the join so the fact scan's
+    join fan-in is already pruned. Revenue in exact cents.
+    """
+    n1 = nation.where(F.col("n_name").isin(nation_a, nation_b))
+    supp = supplier.join(F.broadcast(n1.select(F.col("n_nationkey").alias("s_nationkey"),
+                                               F.col("n_name").alias("supp_nation"))), "s_nationkey")
+    cust = customer.join(F.broadcast(n1.select(F.col("n_nationkey").alias("c_nationkey"),
+                                               F.col("n_name").alias("cust_nation"))), "c_nationkey")
+    j = (
+        lineitem.where(
+            (F.year("l_shipdate") >= y0) & (F.year("l_shipdate") <= y1)
+        )
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "supp_nation")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust.select("c_custkey", "cust_nation")), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+        )
+    )
+
+
+def top_supplier(supplier: DataFrame, lineitem: DataFrame,
+                 start: str = "1996-01-01", end: str = "1996-04-01") -> DataFrame:
+    """TPC-H q15 shape (F28): the supplier(s) with maximum revenue in a
+    window — max-over-aggregate without a global sort.
+
+    Scale: one map-side-combinable aggregate collapses the fact table to
+    supplier cardinality; the max is an aggregate of THAT (tiny) result
+    broadcast back — never an order-by over the facts. Exact cents make
+    the max well-defined cross-engine.
+    """
+    rev = (
+        lineitem.where((F.col("l_shipdate") >= F.lit(start)) & (F.col("l_shipdate") < F.lit(end)))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+    )
+    best = rev.agg(F.max("revenue_cents").alias("best"))
+    return (
+        rev.join(F.broadcast(best), F.col("revenue_cents") == F.col("best"))
+        .join(F.broadcast(supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")), "l_suppkey")
+        .select(F.col("l_suppkey").cast("long").alias("s_suppkey"), "s_name", "revenue_cents")
+    )
+
+
+def large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 qty_milli: int = 300_000) -> DataFrame:
+    """TPC-H q18 shape (F29): orders whose total quantity exceeds a
+    threshold, with their customer — HAVING over a keyed aggregate,
+    semi-joined back to the order/customer row.
+
+    Scale: the quantity aggregate is map-side combinable on orderkey (the
+    fact's natural key, so AQE can even skip the shuffle when lineitem is
+    bucketed by orderkey); only qualifying orderkeys (a tiny set) join
+    orders, and customer broadcasts. Quantities in exact millis.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 1000, 0).cast("long")).alias("qty_milli"))
+        .where(F.col("qty_milli") > qty_milli)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"), "qty_milli",
+        )
+    )
+
+
+def disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H q19 shape (F30): revenue under three OR'd (brand, size,
+    quantity) predicate branches — the classic disjunctive-pushdown test.
+
+    Scale: the part dim broadcasts with only (partkey, brand, size); the
+    OR predicate evaluates inside codegen after the broadcast hash join,
+    and lineitem's scan is pruned to 4 columns. One aggregate row out.
+    """
+    p = F.broadcast(part.select("p_partkey", "p_brand", "p_size"))
+    j = lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+    )
+
+
+def idle_customers(customer: DataFrame, orders: DataFrame, cutoff: str = "2000-01-01") -> DataFrame:
+    """TPC-H q22 shape (F31): per-nation count and balance of customers
+    whose account balance is above the mean positive balance and who have
+    placed no orders since ``cutoff``.
+
+    The above-average comparison is exact cross-engine: instead of
+    comparing against a floating AVG (whose summation order differs
+    between engines), compare cents·count > total_cents by integer
+    cross-multiplication. The anti-join is a broadcast of the DISTINCT
+    recent-customer keys when small, else a shuffled left-anti.
+    """
+    bal = customer.select("c_custkey", "c_nationkey", _cents(F.col("c_acctbal")).alias("bal_cents"))
+    pos = bal.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("total_cents"), F.count("*").alias("n_pos")
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit(cutoff)).select("o_custkey").distinct()
+    return (
+        bal.crossJoin(F.broadcast(pos))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("total_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_custs"),
+            F.sum("bal_cents").alias("bal_cents"),
         )
     )
