@@ -1040,14 +1040,19 @@ def q_nation_volume(spark, sf_dir):
 
 
 def q_tpch_deep(spark, sf_dir):
-    """F3 q5 + F27 q7 + F28 q15 + F29 q18 + F30 q19 + F31 q22 in one
-    tagged entry — the deeper TPC-H join/subquery shapes, all in exact
-    integer cents/millis so the hash gate is arithmetic-order-proof:
-    'q5' region-local nation volume, 'q7' two-nation volume shipping per
-    year, 'q15' max-revenue supplier (max-over-agg, no global sort),
-    'q18' large-quantity orders (HAVING over the fact key), 'q19'
-    three-branch disjunctive predicate revenue, 'q22' above-average idle
-    customers per nation (integer cross-multiplied average, anti-join)."""
+    """F3 q5 + F27 q7 + F28 q15 + F29 q18 + F30 q19 + F31 q22 + F32 q8 +
+    F33 q21 in one tagged entry — the deeper TPC-H join/subquery shapes,
+    all in exact integer cents/millis so the hash gate is
+    arithmetic-order-proof: 'q5' region-local nation volume, 'q7'
+    two-nation volume shipping per year, 'q15' max-revenue supplier
+    (max-over-agg, no global sort), 'q18' large-quantity orders (HAVING
+    over the fact key), 'q19' three-branch disjunctive predicate revenue,
+    'q22' above-average idle customers per nation (integer
+    cross-multiplied average, anti-join), 'q8' national market share as
+    exact numerator/denominator rows per year, 'q21' only-late-supplier
+    on multi-supplier orders — Spark runs the decorrelated aggregate, the
+    oracle the textbook correlated EXISTS/NOT-EXISTS, so the hash match
+    proves the rewrite."""
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
@@ -1087,7 +1092,17 @@ def q_tpch_deep(spark, sf_dir):
         PQ.idle_customers(customer, orders),
         "q22", F.col("c_nationkey"), F.lit("ALL"), F.col("n_custs"), F.col("bal_cents"),
     )
-    return q5.unionByName(q7).unionByName(q15).unionByName(q18).unionByName(q19).unionByName(q22)
+    q8 = shape(
+        PQ.market_share(customer, orders, li, supplier,
+                        load_table(spark, "part", sf_dir), nation, region),
+        "q8", F.col("o_year"), F.col("side"), F.col("n_items"), F.col("revenue_cents"),
+    )
+    q21 = shape(
+        PQ.waiting_suppliers(supplier, orders, li),
+        "q21", F.col("s_name"), F.lit("ALL"), F.col("numwait"), F.col("s_suppkey"),
+    )
+    return (q5.unionByName(q7).unionByName(q15).unionByName(q18)
+            .unionByName(q19).unionByName(q22).unionByName(q8).unionByName(q21))
 
 
 def q_top_parts_per_brand(spark, sf_dir):
@@ -3221,7 +3236,65 @@ UNION ALL
 SELECT 'q19', 'ALL', 'ALL', n, v FROM q19
 UNION ALL
 SELECT 'q22', CAST(c_nationkey AS VARCHAR), 'ALL', n, v FROM q22
+UNION ALL
+SELECT 'q8', CAST(o_year AS VARCHAR), side, n, v FROM q8
+UNION ALL
+SELECT 'q21', s_name, 'ALL', numwait, s_suppkey FROM q21
 """
+
+# q8/q21 CTEs are appended into _TPCH_DEEP_SQL's WITH-list below: the
+# oracle keeps the textbook formulations (floating-share numerator and
+# denominator as separate exact-integer rows for q8; correlated
+# EXISTS/NOT-EXISTS self-joins for q21) so a hash match certifies the
+# Spark-side conditional-aggregation / decorrelation rewrites.
+_TPCH_DEEP_SQL = _TPCH_DEEP_SQL.replace(
+    ")\nSELECT 'q5' AS method",
+    """),
+q8base AS (
+  SELECT CAST(year(o2.o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CASE WHEN sn.supp_nation = 'NATION_1' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+         CAST(SUM(CASE WHEN sn.supp_nation = 'NATION_1'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS nv,
+         CAST(COUNT(*) AS BIGINT) AS tn,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS tv
+  FROM lineitem l
+  JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN (SELECT s_suppkey, n_name AS supp_nation
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
+    ON l.l_suppkey = sn.s_suppkey
+  JOIN customer c ON o2.o_custkey = c.c_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+  GROUP BY 1
+),
+q8 AS (
+  SELECT o_year, 'nation' AS side, nn AS n, nv AS v FROM q8base
+  UNION ALL
+  SELECT o_year, 'total', tn, tv FROM q8base
+),
+finished AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+q21 AS (
+  SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait,
+         CAST(s.s_suppkey AS BIGINT) AS s_suppkey
+  FROM lineitem l1
+  JOIN finished o ON l1.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey = 9
+    AND l1.l_shipdate > o.o_orderdate + INTERVAL 150 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    JOIN finished o2 ON l3.l_orderkey = o2.o_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o2.o_orderdate + INTERVAL 150 DAY)
+  GROUP BY 1, 3
+)
+SELECT 'q5' AS method""",
+)
 
 _TOP_PARTS_SQL = """
 WITH rev AS (

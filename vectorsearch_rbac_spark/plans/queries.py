@@ -561,3 +561,103 @@ def idle_customers(customer: DataFrame, orders: DataFrame, cutoff: str = "2000-0
             F.sum("bal_cents").alias("bal_cents"),
         )
     )
+
+
+def market_share(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 supplier: DataFrame, part: DataFrame, nation: DataFrame,
+                 region: DataFrame, r_name: str = "ASIA", p_type: str = "PROMO",
+                 target_nation: str = "NATION_1") -> DataFrame:
+    """TPC-H q8 shape (F32): national market share — for orders of a part
+    type sold into a region, the per-year fraction of revenue supplied by
+    one nation. Emitted as exact integer (numerator, denominator) rows
+    rather than a floating ratio so the hash gate is arithmetic-order-proof:
+    per year one 'nation' row (items/revenue from ``target_nation``) and
+    one 'total' row (all items/revenue).
+
+    Scale: one pass over the fact join computes numerator and denominator
+    together (conditional aggregation — no second scan, no self-join).
+    All four dims broadcast pre-filtered, so the fact fan-in is pruned
+    before the only fact-fact shuffle (lineitem⋈orders on orderkey).
+    """
+    cust_in_region = customer.join(
+        F.broadcast(
+            nation.join(F.broadcast(region.where(F.col("r_name") == r_name)),
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(F.col("n_nationkey").alias("c_nationkey"))
+        ),
+        "c_nationkey",
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"),
+                                  F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    ).select("s_suppkey", "supp_nation")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    is_target = (F.col("supp_nation") == target_nation).cast("long")
+    per_year = (
+        lineitem
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part.where(F.col("p_type") == p_type).select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(rev).alias("rev_total"),
+            F.sum(is_target).alias("n_nation"),
+            F.sum(rev * is_target).alias("rev_nation"),
+        )
+    )
+    return per_year.select(
+        "o_year",
+        F.expr("stack(2, 'nation', n_nation, rev_nation, 'total', n_total, rev_total)")
+        .alias("side", "n_items", "revenue_cents"),
+    ).select("o_year", "side", F.col("n_items").cast("long").alias("n_items"), "revenue_cents")
+
+
+def waiting_suppliers(supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                      nationkey: int = 9, late_days: int = 150) -> DataFrame:
+    """TPC-H q21 shape (F33): suppliers (from one nation) who were the
+    ONLY late supplier on a finished multi-supplier order — the classic
+    EXISTS + NOT-EXISTS double self-join on the fact table. The testdata
+    lineitem has no commit/receipt dates, so "late" is
+    ``l_shipdate > o_orderdate + late_days`` (shape-preserving).
+
+    Spark-first decorrelation: instead of two correlated self-joins
+    (reference q21 formulation, which Catalyst would also rewrite), one
+    keyed aggregate computes per order (distinct suppliers, distinct LATE
+    suppliers); EXISTS(other supplier) ⇔ n_supp > 1 and NOT EXISTS(other
+    late supplier) ⇔ n_late_supp = 1 given the probe row is late. One
+    fact shuffle on orderkey shared by the join and the aggregate; the
+    qualifying-order set and the one-nation supplier dim broadcast back.
+    The DuckDB oracle runs the textbook correlated EXISTS/NOT-EXISTS
+    form, so a hash match proves the decorrelation is semantics-exact.
+    """
+    finished = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    lf = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("is_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days))
+    )
+    per_order = lf.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    qual = (
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select(F.col("l_orderkey").alias("q_orderkey"))
+    )
+    return (
+        lf.where(F.col("is_late"))
+        .join(F.broadcast(qual), F.col("l_orderkey") == F.col("q_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(
+            F.broadcast(supplier.where(F.col("s_nationkey") == nationkey)
+                        .select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", F.col("s_suppkey").cast("long").alias("s_suppkey"), "numwait")
+    )
