@@ -310,9 +310,12 @@ def q_cosine_neardup(spark, sf_dir):
 
 def q_exact_dedup(spark, sf_dir):
     """E1 exact dedup + E12 fingerprints + E31 duplicated-substring stats
-    in one entry: per-doc content hash, shingle fingerprint, dedup group
-    resolution (keeper = min doc_id per content hash, group size), and the
-    Lee-et-al.-style cross-doc duplicated-window fraction."""
+    + E38 EXACTSUBSTR span removal in one entry: per-doc content hash,
+    shingle fingerprint, dedup group resolution (keeper = min doc_id per
+    content hash, group size), the Lee-et-al.-style cross-doc
+    duplicated-window fraction, and the operational cut — merged
+    duplicated spans removed, post-cut text fingerprinted
+    (n_spans/n_dup_chars/cut_hash)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
@@ -326,6 +329,12 @@ def q_exact_dedup(spark, sf_dir):
         h.withColumn("keeper_id", F.min("doc_id").over(w))
         .withColumn("group_size", F.count("*").over(w))
         .join(dedup.dup_window_stats(docs, win=DUPWIN_LEN, sample_mod=DUPWIN_MOD), "doc_id")
+        .join(
+            dedup.exactsubstr_cut(docs, win=DUPWIN_LEN).select(
+                "doc_id", "n_spans", "n_dup_chars", "kept_frac", "cut_hash"
+            ),
+            "doc_id",
+        )
     )
     return _i(out, "doc_id", "keeper_id", "group_size")
 
@@ -369,6 +378,13 @@ def q_neardup_pairs(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     return _i(dedup.ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T), "id_a", "id_b")
+
+
+def q_exactsubstr_cut(spark, sf_dir):
+    """E39 bench member: EXACTSUBSTR span removal standalone (rides the
+    exact_dedup registry entry for the oracle gate)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(dedup.exactsubstr_cut(docs, win=DUPWIN_LEN), "doc_id")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -3044,14 +3060,60 @@ dwstats AS (
          CAST(COUNT(*) AS BIGINT) AS n_windows,
          CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
   FROM wins JOIN wdf USING (whash) GROUP BY doc_id
+),
+-- E38 EXACTSUBSTR cut replay: UNSAMPLED windows, occurrence>1 criterion,
+-- gaps-and-islands interval merge, segment-wise text reassembly
+winsall AS (
+  SELECT doc_id, i AS p, {_MD5L.format(x=f"substr(norm, i, {DUPWIN_LEN})")} AS whash
+  FROM t, UNNEST(range(1, length(norm) - {DUPWIN_LEN} + 2)) AS u(i)
+  WHERE length(norm) >= {DUPWIN_LEN}
+),
+duph AS (SELECT whash FROM winsall GROUP BY whash HAVING COUNT(*) > 1),
+dpos AS (SELECT DISTINCT doc_id, p FROM winsall JOIN duph USING (whash)),
+brk AS (
+  SELECT doc_id, p,
+         CASE WHEN p > COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), -{DUPWIN_LEN} * 10) + {DUPWIN_LEN}
+              THEN 1 ELSE 0 END AS b
+  FROM dpos
+),
+isl AS (
+  SELECT doc_id, p,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk
+),
+spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + {DUPWIN_LEN} AS e FROM isl GROUP BY doc_id, g),
+sent AS (
+  SELECT doc_id, length(norm) + 1 AS s, length(norm) + 1 AS e FROM t
+  UNION ALL SELECT doc_id, s, e FROM spans
+),
+gaps AS (
+  SELECT doc_id, COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS gs, s AS ge
+  FROM sent
+),
+cutt AS (
+  SELECT g.doc_id, string_agg(substr(t.norm, g.gs, g.ge - g.gs), '' ORDER BY g.gs) AS cut_text
+  FROM gaps g JOIN t USING (doc_id) GROUP BY g.doc_id
+),
+spanstats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s) AS BIGINT) AS n_dup_chars
+  FROM spans GROUP BY doc_id
 )
 SELECT doc_id, content_hash, shingle_fp,
        MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper_id,
        CAST(COUNT(*) OVER (PARTITION BY content_hash) AS BIGINT) AS group_size,
        COALESCE(n_windows, 0) AS n_windows,
        COALESCE(n_dup_windows, 0) AS n_dup_windows,
-       ROUND(COALESCE(n_dup_windows, 0) / GREATEST(COALESCE(n_windows, 0), 1), 6) AS dup_frac
-FROM h LEFT JOIN dwstats USING (doc_id)
+       ROUND(COALESCE(n_dup_windows, 0) / GREATEST(COALESCE(n_windows, 0), 1), 6) AS dup_frac,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(n_dup_chars, 0) AS n_dup_chars,
+       ROUND((length(t2.norm) - COALESCE(n_dup_chars, 0)) / GREATEST(length(t2.norm), 1), 6) AS kept_frac,
+       md5(cut_text) AS cut_hash
+FROM h
+LEFT JOIN dwstats USING (doc_id)
+LEFT JOIN spanstats USING (doc_id)
+JOIN cutt USING (doc_id)
+JOIN (SELECT doc_id, norm FROM t) t2 USING (doc_id)
 """
 
 _VECTOR_OPS_SQL = """

