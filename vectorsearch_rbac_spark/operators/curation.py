@@ -599,29 +599,40 @@ def bpe_merge_rules(
     phrase detection. Returns the learned rules (step, sym_a, sym_b,
     merged, n).
 
-    Greedy left-to-right overlap resolution is expressed with windows, not
-    a sequential fold: inside each maximal run of consecutive matches, an
-    occurrence is taken iff its offset from the run start is even — the
-    same rows a left-to-right scanner would take, but computable per doc
-    partition in parallel (and replayable verbatim by the SQL oracle).
+    Greedy left-to-right overlap resolution is a per-row array fold
+    (``aggregate`` over token indices): exactly the rows a left-to-right
+    scanner takes, replayed verbatim by the SQL oracle's equivalent
+    windowed formulation (same greedy semantics, proven by the hash gate).
 
-    Scale: per iteration — one posexplode (corpus-token rows), pair
-    counts with map-side combine, a TakeOrdered top-1 for the rule (the
-    single-row collect is the rule broadcast — same class as centroid
-    collects), and doc-partitioned windows bounded by doc length. Lineage
-    is truncated per iteration.
+    Scale: per iteration — pair counting is a NARROW per-row transform +
+    explode (no posexplode/window/doc shuffle; the token array never
+    leaves its row), pair counts aggregate with map-side combine, a
+    top-1 collect for the rule (the single-row collect is the rule
+    broadcast — same class as centroid collects), and the re-tokenize is
+    a pure map over the array column — zero doc-keyed shuffles in the
+    whole loop. Lineage is truncated per iteration.
     """
     toks = documents.select(id_col, T.tokens(text_col).alias("toks"))
     rules = []
+    empty_out = F.expr("CAST(array() AS array<string>)")
     for step in range(1, n_merges + 1):
-        w = Window.partitionBy(id_col).orderBy("pos")
-        ex = (
-            toks.select(id_col, F.posexplode("toks").alias("pos", "tok"))
-            .withColumn("nxt", F.lead("tok").over(w))
+        pairs = (
+            toks.where(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("tok"),
+                            F.element_at("toks", i + 1).alias("nxt"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.tok", "p.nxt")
         )
         best = (
-            ex.where(F.col("nxt").isNotNull())
-            .groupBy("tok", "nxt")
+            pairs.groupBy("tok", "nxt")
             .agg(F.count("*").cast("long").alias("n"))
             .orderBy(F.col("n").desc(), F.col("tok").asc(), F.col("nxt").asc())
             .limit(1)
@@ -632,35 +643,31 @@ def bpe_merge_rules(
         a, b, n = best["tok"], best["nxt"], best["n"]
         merged = f"{a}_{b}"
         rules.append((step, a, b, merged, n))
-        mt = (F.col("tok") == a) & (F.col("nxt") == b)
-        run_start = mt & ~F.coalesce(F.lag(mt).over(w), F.lit(False))
-        marked = ex.withColumn("mt", mt).withColumn(
-            "run_id",
-            F.sum(run_start.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        rs = F.min(F.when(F.col("mt"), F.col("pos"))).over(
-            Window.partitionBy(id_col, "run_id")
-        )
-        taken = F.col("mt") & (((F.col("pos") - rs) % 2) == 0)
-        staged = marked.withColumn("taken", taken).withColumn(
-            "skip", F.coalesce(F.lag("taken").over(w), F.lit(False))
-        )
-        out_tok = (
-            F.when(F.col("taken"), F.lit(merged))
-            .when(F.col("skip"), F.lit(None))
-            .otherwise(F.col("tok"))
-        )
-        toks = (
-            staged.withColumn("out", out_tok)
-            .where(F.col("out").isNotNull())
-            .groupBy(id_col)
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "out"))), lambda s: s["out"]
-                ).alias("toks")
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+        fold = F.aggregate(
+            F.sequence(F.lit(1), F.size("toks")),
+            F.struct(empty_out.alias("out"), F.lit(False).alias("skip")),
+            lambda st, i: F.when(
+                st["skip"],
+                F.struct(st["out"].alias("out"), F.lit(False).alias("skip")),
             )
-            .localCheckpoint(eager=False)
+            .when(
+                (i < F.size("toks"))
+                & (F.element_at("toks", i) == la)
+                & (F.element_at("toks", i + 1) == lb),
+                F.struct(F.concat(st["out"], F.array(lm)).alias("out"), F.lit(True).alias("skip")),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(st["out"], F.array(F.element_at("toks", i))).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            ),
+            lambda st: st["out"],
         )
+        toks = toks.select(
+            id_col, F.when(F.size("toks") > 0, fold).otherwise(empty_out).alias("toks")
+        ).localCheckpoint(eager=False)
     spark = documents.sparkSession
     return spark.createDataFrame(
         rules, "step long, sym_a string, sym_b string, merged string, n long"
