@@ -327,16 +327,22 @@ def anchor_ivf_curve(
     )
 
     np_arr = F.array(*[F.lit(int(n)) for n in nprobes])
+    # score each (query, vec) candidate ONCE, then fan out over the nprobe
+    # ladder — the explode multiplies ~nlists/2× and must not multiply the
+    # dim-sized distance arithmetic with it
     cand = (
         embeddings.select("vec_id", "embedding")
         .join(F.broadcast(assign), "vec_id")
         .join(F.broadcast(probes), "centroid_id")
-        .withColumn("nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank"))))
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .select(
+            "query_id", "vec_id", "probe_rank",
+            F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
+        )
     )
-    scored = cand.join(F.broadcast(queries.select("query_id", "query_vector")), "query_id").select(
-        "nprobe", "query_id", "vec_id",
-        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
-    )
+    scored = cand.withColumn(
+        "nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank")))
+    ).select("nprobe", "query_id", "vec_id", "distance")
     scored = scored.localCheckpoint(eager=False)  # scan counts + top-k reuse
 
     n_queries = queries.count()
