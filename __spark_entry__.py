@@ -348,8 +348,9 @@ def q_neardup_pairs(spark, sf_dir):
     """Every near-dup pair generator in ONE driver-checked entry (registry
     curation): E2 MinHash+LSH, E4 n-gram Jaccard, E3 SimHash, E28 blocked
     Levenshtein, E5 cosine near-dup, E29 SemDeDup cluster-scoped semantic
-    pairs — (method, id_a, id_b, score) union. Each method keeps its own
-    exact-oracle formulation inside the union."""
+    pairs, E41 incremental new-batch-vs-corpus screening (exact-hash +
+    band-collision tiers) — (method, id_a, id_b, score) union. Each
+    method keeps its own exact-oracle formulation inside the union."""
     docs = load_table(spark, "documents", sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
     parts = [
@@ -372,7 +373,8 @@ def q_neardup_pairs(spark, sf_dir):
     for name, df in parts:
         tagged = _i(df, "id_a", "id_b").withColumn("method", F.lit(name))
         out = tagged if out is None else out.unionByName(tagged)
-    return out
+    incr = _i(dedup.incremental_dedup_pairs(docs, mod=5, rem=4), "id_a", "id_b")
+    return out.unionByName(incr.select("id_a", "id_b", "score", "method"))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -487,10 +489,24 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_pack_sequences(spark, sf_dir):
-    """Concat-and-chunk sequence packing into 512-token windows within
-    (lang, id-range) groups (E17)."""
+    """E17 concat-and-chunk sequence packing into 512-token windows within
+    (lang, id-range) groups + E40 deterministic training-shard assignment
+    in one tagged entry: 'pack' rows carry the per-pack rollup, 'shard'
+    rows the per-shard balance audit (doc/token totals, order-hash head
+    doc, membership checksum) — the no-global-sort corpus shuffle."""
     docs = load_table(spark, "documents", sf_dir)
-    return curation.pack_sequences(docs, window_tokens=512, range_size=128)
+    pack = curation.pack_sequences(docs, window_tokens=512, range_size=128).select(
+        F.lit("pack").alias("method"), "lang", F.col("rng").alias("grp"),
+        F.col("pack_seq").alias("seq"), "n_docs",
+        F.col("pack_tokens").alias("n_tokens"), F.col("first_doc").alias("head_doc"),
+        F.lit(0).cast("long").alias("order_checksum"),
+    )
+    shard = curation.shard_corpus(docs, n_shards=16).select(
+        F.lit("shard").alias("method"), F.lit("ALL").alias("lang"),
+        F.col("shard_id").alias("grp"), F.lit(0).cast("long").alias("seq"),
+        "n_docs", "n_tokens", "head_doc", "order_checksum",
+    )
+    return pack.unionByName(shard)
 
 
 def q_tfidf_top_terms(spark, sf_dir):
@@ -2733,10 +2749,27 @@ c AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM d
 )
-SELECT lang, rng, CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS pack_seq,
-       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
-       CAST(MIN(doc_id) AS BIGINT) AS first_doc
-FROM c GROUP BY lang, rng, pack_seq
+SELECT 'pack' AS method, lang, rng AS grp,
+       CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS head_doc, CAST(0 AS BIGINT) AS order_checksum
+FROM c GROUP BY lang, rng, seq
+UNION ALL
+SELECT 'shard', 'ALL', shard_id, 0, n_docs, n_tokens, head_doc, order_checksum FROM (
+  WITH s AS (
+    SELECT doc_id,
+           {_MD5L.format(x="'shard:' || doc_id::VARCHAR")} % 16 AS shard_id,
+           {_MD5L.format(x="'ord:' || doc_id::VARCHAR")} AS order_hash,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents
+  )
+  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(MIN({{'h': order_hash, 'd': doc_id}}).d AS BIGINT) AS head_doc,
+         CAST(SUM(order_hash % 2147483647) AS BIGINT) AS order_checksum
+  FROM s GROUP BY shard_id
+)
 """
 
 # E18: tf = in-doc count, idf = ln((N+1)/(df+1)), top-3/doc, ties by term
@@ -3506,6 +3539,18 @@ UNION ALL
 SELECT 'cosine' AS method, id_a, id_b, cosine_sim AS score FROM ({_COSINE_NEARDUP_SQL})
 UNION ALL
 SELECT 'semdedup' AS method, id_a, id_b, cosine_sim AS score FROM ({_SEMDEDUP_SQL})
+UNION ALL
+SELECT 'incr_exact' AS method, n.doc_id AS id_a, o.doc_id AS id_b, 1.0 AS score
+FROM (SELECT doc_id, md5({_NORM}) AS ch FROM documents WHERE doc_id % 5 = 4) n
+JOIN (SELECT doc_id, md5({_NORM}) AS ch FROM documents WHERE doc_id % 5 != 4) o USING (ch)
+UNION ALL
+SELECT 'incr_band' AS method, id_a, id_b, CAST(nb AS DOUBLE) AS score FROM (
+  {_MINHASH_BANDS_CTE}
+  SELECT n.doc_id AS id_a, o.doc_id AS id_b, COUNT(*) AS nb
+  FROM bands n JOIN bands o ON n.band = o.band AND n.band_sig = o.band_sig
+  WHERE n.doc_id % 5 = 4 AND o.doc_id % 5 != 4
+  GROUP BY 1, 2
+)
 """
 
 def _mmr_ctes(k: int, n_cand: int, qids: tuple) -> str:

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from vectorsearch_rbac_spark.sources import load_table
 from vectorsearch_rbac_spark.rbac import derive, generators
-from vectorsearch_rbac_spark.operators import dedup, partitioning, multimodal
+from vectorsearch_rbac_spark.operators import curation, dedup, partitioning, multimodal
 from vectorsearch_rbac_spark.functions import vector as V
 
 
@@ -1112,3 +1112,42 @@ def test_exactsubstr_cut_removes_planted_spans(spark):
     assert got[2]["n_dup_chars"] > 0
     # spans within one doc never overlap and sum to n_dup_chars
     assert got[5]["n_dup_chars"] <= len("selfrepeat " + copied + " middle bridge words " + copied + " done")
+
+
+def test_incremental_dedup_pairs_tiers(spark):
+    """E41: a new-batch doc (id%5==4) that verbatim-copies an old doc hits
+    incr_exact; a near-copy hits incr_band only; old-old and new-new pairs
+    never appear."""
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "astronauts practice tokenizer training on the platform deck")
+    near = base.replace("seventeen", "eighteen")
+    other = ("completely different content about databases and distributed "
+             "query processing with columnar storage and adaptive execution")
+    docs = spark.createDataFrame(
+        [(1, base), (2, other), (3, other), (4, near), (9, base + ""), (14, near)],
+        "doc_id long, text string",
+    )
+    # new batch = {4, 9, 14}; old = {1, 2, 3}
+    out = dedup.incremental_dedup_pairs(docs, mod=5, rem=4, n=3, num_hashes=16, band_size=4)
+    rows = [(r["method"], r["id_a"], r["id_b"]) for r in out.collect()]
+    assert ("incr_exact", 9, 1) in rows
+    # id_a always new-batch, id_b always old
+    for _, a, b in rows:
+        assert a % 5 == 4 and b % 5 != 4
+    # the verbatim copy also band-collides; old-old exact pair (2,3) excluded
+    assert any(m == "incr_band" and a == 9 and b == 1 for m, a, b in rows)
+    assert not any(b in (4, 9, 14) for _, _, b in rows)
+
+
+def test_shard_corpus_covers_and_balances(spark, sf_dir):
+    """E40: shards partition the corpus exactly (doc/token totals add up)
+    and every shard id is within range; head docs are members."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.shard_corpus(docs, n_shards=8).collect()
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert all(0 <= r["shard_id"] < 8 for r in out)
+    # hash balance: no shard more than 3x the uniform share (md5 is uniform)
+    assert max(r["n_docs"] for r in out) <= 3 * (n_docs // 8 + 1)
+    ids = {r[0] for r in docs.select("doc_id").collect()}
+    assert all(r["head_doc"] in ids for r in out)

@@ -672,3 +672,42 @@ def bpe_merge_rules(
     return spark.createDataFrame(
         rules, "step long, sym_a string, sym_b string, merged string, n long"
     )
+
+
+def shard_corpus(
+    documents: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E40 deterministic training-shard assignment — the "global shuffle"
+    before LLM training WITHOUT a global sort: shard = md5(doc_id) mod
+    n_shards, within-shard order = a second independent md5. Hash
+    assignment balances shards to within sampling noise and is
+    reproducible across engines/runs (unlike rand()); the within-shard
+    order hash is the deterministic stand-in for a shuffle seed.
+
+    Emits one summary row per shard: doc/token totals (balance audit),
+    the head doc under the shard order (order determinism probe) and an
+    order-INdependent checksum over member order-hashes (membership
+    proof). Scale: one narrow projection + one aggregate with map-side
+    combine on an ``n_shards``-ary key; writing the actual shards is
+    ``df.write.partitionBy('shard_id')`` with ``sortWithinPartitions`` —
+    no stage ever globally sorts the corpus.
+    """
+    from ..functions import text as T
+    from ..functions.vector import md5_long
+
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(md5_long(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))), F.lit(n_shards))
+        .cast("long").alias("shard_id"),
+        md5_long(F.concat(F.lit("ord:"), F.col(id_col).cast("string"))).alias("order_hash"),
+        T.token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    return d.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min(F.struct("order_hash", "doc_id")).getField("doc_id").alias("head_doc"),
+        F.sum(F.pmod(F.col("order_hash"), F.lit(2147483647))).alias("order_checksum"),
+    )

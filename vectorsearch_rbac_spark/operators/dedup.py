@@ -769,3 +769,72 @@ def exactsubstr_cut(
             F.substring("cut_text", 1, 80).alias("cut_prefix"),
         )
     )
+
+
+def incremental_dedup_pairs(
+    documents: DataFrame,
+    mod: int = 5,
+    rem: int = 4,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E41 incremental (cross-batch) dedup — the continual-pretraining
+    admission check: screen a NEW document batch against the EXISTING
+    corpus without re-deduping the corpus itself. The deterministic batch
+    split is ``doc_id % mod == rem`` (a stand-in for an arrival-time
+    predicate). Two tiers, one row per (new, old) match:
+
+    - ``incr_exact`` — normalized content hash collides with an old doc
+      (score 1.0): the new doc is a verbatim re-crawl, drop it.
+    - ``incr_band``  — ≥1 shared MinHash LSH band bucket with an old doc
+      (score = number of shared bands): near-dup candidate for the
+      verify tier.
+
+    Scale shape: shingle→minhash→band runs ONCE over the union (on a real
+    pipeline the old side is the persisted band index — H2's bucketed
+    layout — and only the new batch is computed); the new batch is tiny
+    relative to the corpus, so both tiers broadcast the NEW side against
+    the corpus-sized index, never shuffling the old corpus. New-new pairs
+    are intentionally out of scope (they belong to the batch's own
+    intra-dedup, E2).
+    """
+    is_new = F.pmod(F.col(id_col), F.lit(mod)) == F.lit(rem)
+
+    hashed = documents.select(
+        F.col(id_col).alias("doc_id"),
+        md5_long(normalize_text(text_col)).alias("content_hash"),
+        is_new.alias("is_new"),
+    )
+    exact = (
+        hashed.where(~F.col("is_new"))
+        .select(F.col("doc_id").alias("id_b"), "content_hash")
+        .join(
+            F.broadcast(
+                hashed.where("is_new").select(F.col("doc_id").alias("id_a"), "content_hash")
+            ),
+            "content_hash",
+        )
+        .select(F.lit("incr_exact").alias("method"), "id_a", "id_b", F.lit(1.0).alias("score"))
+    )
+
+    bands = lsh_bands_wide(
+        minhash_signatures_wide(word_shingles(documents, id_col, text_col, n), num_hashes),
+        num_hashes,
+        band_size,
+    )
+    new_b = bands.where(F.pmod(F.col("doc_id"), F.lit(mod)) == F.lit(rem))
+    old_b = bands.where(F.pmod(F.col("doc_id"), F.lit(mod)) != F.lit(rem))
+    near = (
+        old_b.select(F.col("doc_id").alias("id_b"), "band", "band_sig")
+        .join(
+            F.broadcast(new_b.select(F.col("doc_id").alias("id_a"), "band", "band_sig")),
+            ["band", "band_sig"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("score"))
+        .select(F.lit("incr_band").alias("method"), "id_a", "id_b", "score")
+    )
+    return exact.unionByName(near)
