@@ -516,7 +516,11 @@ def q_tfidf_top_terms(spark, sf_dir):
     term rank); 'vocab' rows are the corpus-level top-256 tokenizer
     vocabulary (doc_id = -1, score = corpus count, rank = dense term id);
     'bpe' rows are the 4 learned pair-merge rules (doc_id = -1-step,
-    term = merged symbol, score = pair count, rank = step)."""
+    term = merged symbol, score = pair count, rank = step); 'bpe_enc'
+    rows (E42 tokenizer APPLICATION) encode every doc with those rules —
+    term = md5 of the merged token sequence, score = post-merge token
+    count — sharing the training pass (the loop's final state is the
+    encoding)."""
     docs = load_table(spark, "documents", sf_dir)
     tf = curation.tfidf_top_terms(docs, top_n=3).select(
         F.lit("tfidf").alias("method"), "doc_id", "term",
@@ -529,14 +533,21 @@ def q_tfidf_top_terms(spark, sf_dir):
         "term", F.col("n").cast("double").alias("score"),
         F.col("term_id").cast("long").alias("rank"),
     )
-    bpe = curation.bpe_merge_rules(docs, n_merges=BPE_MERGES).select(
+    rules, encoded = curation.bpe_train_and_encode(docs, n_merges=BPE_MERGES)
+    bpe = rules.select(
         F.lit("bpe").alias("method"),
         (F.lit(-1) - F.col("step")).cast("long").alias("doc_id"),
         F.col("merged").alias("term"),
         F.col("n").cast("double").alias("score"),
         F.col("step").cast("long").alias("rank"),
     )
-    return _i(tf.unionByName(vb).unionByName(bpe), "doc_id")
+    enc = encoded.select(
+        F.lit("bpe_enc").alias("method"), "doc_id",
+        F.col("toks_hash").alias("term"),
+        F.col("n_bpe_tokens").cast("double").alias("score"),
+        F.lit(0).cast("long").alias("rank"),
+    )
+    return _i(tf.unionByName(vb).unionByName(bpe).unionByName(enc), "doc_id")
 
 
 def q_int8_topk(spark, sf_dir):
@@ -2869,6 +2880,11 @@ SELECT 'vocab' AS method, CAST(-1 AS BIGINT) AS doc_id, term,
 FROM topv
 UNION ALL
 {_bpe_rule_rows(4)}
+UNION ALL
+SELECT 'bpe_enc' AS method, CAST(doc_id AS BIGINT) AS doc_id,
+       md5(array_to_string(toks, ' ')) AS term,
+       CAST(len(toks) AS DOUBLE) AS score, CAST(0 AS BIGINT) AS "rank"
+FROM bt4
 """
 
 # E33: sliding-window chunking — same stride/window arithmetic as Spark

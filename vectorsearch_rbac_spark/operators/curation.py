@@ -585,19 +585,22 @@ def weighted_reservoir_sample(
     return keyed.orderBy(F.col("es_key").asc(), F.col(id_col).asc()).limit(k)
 
 
-def bpe_merge_rules(
+def bpe_train_and_encode(
     documents: DataFrame,
     n_merges: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """BPE-style pair-merge tokenizer training (E38), word-level symbols:
     repeat ``n_merges`` times — count adjacent symbol pairs corpus-wide,
     take the most frequent (ties by pair, ascending), merge every
     greedy-non-overlapping occurrence, re-tokenize. Char-level BPE is the
     identical plan over char arrays; word-level is also exactly gensim-style
-    phrase detection. Returns the learned rules (step, sym_a, sym_b,
-    merged, n).
+    phrase detection. Returns ``(rules, encoded)``: the learned rules
+    (step, sym_a, sym_b, merged, n) and the corpus ENCODED with them —
+    per doc the post-merge token count and an md5 of the token sequence
+    (E42 tokenizer application; the final loop state is the encoding, so
+    training + applying costs one pass).
 
     Greedy left-to-right overlap resolution is a per-row array fold
     (``aggregate`` over token indices): exactly the rows a left-to-right
@@ -669,9 +672,27 @@ def bpe_merge_rules(
             id_col, F.when(F.size("toks") > 0, fold).otherwise(empty_out).alias("toks")
         ).localCheckpoint(eager=False)
     spark = documents.sparkSession
-    return spark.createDataFrame(
+    rules_df = spark.createDataFrame(
         rules, "step long, sym_a string, sym_b string, merged string, n long"
     )
+    # the loop's final token state IS the encoded corpus (E42 BPE
+    # application): expose it alongside the rules so entries that need
+    # both train once
+    encoded = toks.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("toks_hash"),
+    )
+    return rules_df, encoded
+
+
+def bpe_merge_rules(
+    documents: DataFrame,
+    n_merges: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    return bpe_train_and_encode(documents, n_merges, id_col, text_col)[0]
 
 
 def shard_corpus(
