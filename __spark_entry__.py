@@ -409,15 +409,19 @@ def q_neardup_clusters(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only): synthesize binary media column,
-    decode (deterministic fake) + feature-extract via mapInPandas.
+    """Multimodal plumbing (E13), now FULLY hash-checked: synthesize the
+    binary media column, decode (deterministic integer-arithmetic fake —
+    the codec swap point) + grid-sample + pool via mapInPandas; the
+    DuckDB oracle replays pixel generation, nearest-neighbor sampling and
+    chunk pooling value-for-value, so the Arrow-batched pipeline's output
+    is under the same exact gate as every built-in operator.
 
     The raw ``feature array<float>`` is folded to scalar columns
     (``feature_hash`` = md5 of the 4-dp-rounded values, plus ``feat_dim``)
     so the driver's pandas canonicalizer can sort/hash the rows."""
     from vectorsearch_rbac_spark.operators import multimodal
 
-    docs = load_table(spark, "documents", sf_dir).limit(100)
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 100)
     media = multimodal.synthesize_media(docs, kind="image")
     feats = multimodal.extract_features(media, feat_dim=8)
     return feats.select(
@@ -3165,6 +3169,37 @@ JOIN cutt USING (doc_id)
 JOIN (SELECT doc_id, norm FROM t) t2 USING (doc_id)
 """
 
+# E13: full replay of the multimodal pipeline — integer-arithmetic pseudo
+# pixels, nearest-neighbor 32×32 grid sample, 8-chunk mean pool, 4-dp
+# float32 feature hash; matches extract_features()'s mapInPandas output
+_MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS seed,
+         CAST(doc_id % 640 + 32 AS BIGINT) AS w,
+         CAST(doc_id % 480 + 32 AS BIGINT) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id < 100
+),
+px AS (
+  SELECT media_id, n_bytes,
+         (gy * 96 + gx * 3 + c) // 384 AS chunk,
+         (seed + ((gy * (h - 1) // 31) * w * 3 + (gx * (w - 1) // 31) * 3 + c + 1)
+                 * 2654435761) % 2147483647 % 256 AS v
+  FROM m,
+       UNNEST(range(32)) AS a(gy), UNNEST(range(32)) AS b(gx), UNNEST(range(3)) AS d(c)
+),
+feat AS (
+  SELECT media_id, n_bytes, chunk,
+         ROUND(CAST(CAST(SUM(v) AS DOUBLE) / 384 AS FLOAT)::DOUBLE, 4) AS fv
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT CAST(media_id AS BIGINT) AS media_id, 'image' AS kind,
+       md5(string_agg(fv::VARCHAR, ',' ORDER BY chunk)) AS feature_hash,
+       CAST(8 AS BIGINT) AS feat_dim, n_bytes
+FROM feat GROUP BY media_id, n_bytes
+"""
+
 _VECTOR_OPS_SQL = """
 WITH p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3851,6 +3886,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_ops": _VECTOR_OPS_SQL,
         # ann_recall: approximate ops → rows-only check by design
         "exact_dedup": _EXACT_DEDUP_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
         "neardup_pairs": _NEARDUP_PAIRS_SQL,
         "neardup_clusters": _CLUSTERS_SQL,
         "curated_corpus": _CURATED_SQL,

@@ -59,13 +59,19 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode: deterministic pseudo-pixels from payload hash.
+    """STUB decode: deterministic pseudo-pixels from payload hash — pixel
+    (y, x, c) = (seed + (pos+1)·2654435761) mod p mod 256 with pos the
+    row-major offset and seed the 60-bit md5 of the payload. Pure integer
+    arithmetic: one vectorized numpy op per image AND exactly replayable
+    by the DuckDB oracle (the driver hash-checks the whole decode →
+    grid-sample → pool pipeline, not just its row count).
 
     Real deployment: replace with PIL.Image.open(BytesIO(payload)).
     """
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    seed = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    pos = np.arange(height * width * 3, dtype=np.int64)
+    v = (seed + (pos + 1) * 2654435761) % 2147483647 % 256
+    return v.reshape(height, width, 3).astype(np.uint8)
 
 
 FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, n_bytes long"
@@ -77,10 +83,11 @@ def _decode_grid(payload: bytes, width: int, height: int, gw: int, gh: int) -> n
     Real codecs (PIL/ffmpeg) are per-image C calls that release the GIL;
     what matters for the Spark hot path is that they return FIXED-size
     tensors so the rest of the batch is one stacked numpy op, not a
-    per-row Python loop."""
+    per-row Python loop. Grid sampling is integer nearest-neighbor
+    (y_i = i·(h−1) div (gh−1)) — exact, so the oracle replays it."""
     img = _decode_image(payload, width, height)
-    ys = np.linspace(0, img.shape[0] - 1, gh).astype(int)
-    xs = np.linspace(0, img.shape[1] - 1, gw).astype(int)
+    ys = (np.arange(gh, dtype=np.int64) * (img.shape[0] - 1)) // max(gh - 1, 1)
+    xs = (np.arange(gw, dtype=np.int64) * (img.shape[1] - 1)) // max(gw - 1, 1)
     return img[ys][:, xs]
 
 
