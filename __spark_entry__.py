@@ -1270,7 +1270,7 @@ def q_streaming_hourly_only(spark, sf_dir):
 
 
 def q_streaming_hourly_stats(spark, sf_dir):
-    """FIVE real Structured Streaming executions under one exact oracle
+    """SIX real Structured Streaming executions under one exact oracle
     (registry curation; every member is an availableNow file-source stream
     into a memory sink, hash-matched against batch SQL):
 
@@ -1290,7 +1290,12 @@ def q_streaming_hourly_stats(spark, sf_dir):
       with the same user's views of the trailing hour through the join
       state store (both branches watermarked); the streamed inner-join
       output is batch-folded to per-purchase view counts and the oracle is
-      the batch range join.
+      the batch range join;
+    - 'ivf_route' (G8): streaming vector-index maintenance — arriving
+      embeddings routed to their nearest anchor centroid in-flight (pure
+      narrow map, literal anchors, no state store), batch-folded to
+      per-list counts + vec_id checksums; the oracle replays the anchor
+      assignment (parity: dynamic_partition/hnsw/insertion.py).
 
     Unified (method, key, n, val) schema; complete+availableNow /
     append+availableNow are the bounded-replay harnesses, the watermark
@@ -1361,7 +1366,35 @@ def q_streaming_hourly_stats(spark, sf_dir):
     ).select(
         F.lit("join").alias("method"), F.col("purchase_id").cast("string").alias("key"), "n", "val"
     )
-    return hourly.unionByName(dedup_agg).unionByName(adm).unionByName(sess).unionByName(ssj)
+
+    # 'ivf_route' (G8): streaming vector-index maintenance — embeddings
+    # with vec_id % 3 == 1 arrive as a stream and are routed to their
+    # nearest anchor centroid in-flight (narrow map, no state store); the
+    # routed stream is batch-folded to per-list counts + id checksums and
+    # the oracle replays the anchor assignment in SQL
+    emb = load_table(spark, "embeddings", sf_dir)
+    en = _STREAM_DROPS.get(sf_dir + "#emb")
+    if en is None:
+        en = tempfile.mkdtemp(prefix="stream_emb_") + "/in"
+        emb.where(F.col("vec_id") % 3 == 1).repartition(2).write.mode("overwrite").parquet(en)
+        _STREAM_DROPS[sf_dir + "#emb"] = en
+    anchor_rows = (
+        emb.where(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(8)
+        .select("embedding").collect()
+    )
+    routed = S.run_bounded_to_memory(
+        S.streaming_ivf_route(spark, en, emb.schema, [r["embedding"] for r in anchor_rows]),
+        output_mode="append",
+    )
+    ivr = routed.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vec_id").cast("double").alias("val"),
+    ).select(
+        F.lit("ivf_route").alias("method"), F.col("centroid_id").cast("string").alias("key"),
+        "n", "val",
+    )
+    return (hourly.unionByName(dedup_agg).unionByName(adm).unionByName(sess)
+            .unionByName(ssj).unionByName(ivr))
 
 
 def q_ivf_recall(spark, sf_dir):
@@ -3546,6 +3579,24 @@ FROM events p JOIN events v
   ON v.user_id = p.user_id AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
 WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 GROUP BY p.event_id
+UNION ALL
+SELECT 'ivf_route' AS method, CAST(centroid_id AS VARCHAR) AS key,
+       COUNT(*) AS n, CAST(SUM(vec_id) AS DOUBLE) AS val
+FROM (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, a.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], a.anchor::DOUBLE[]), 6),
+                      a.centroid_id) AS rn
+    FROM embeddings e
+    CROSS JOIN (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS anchor
+      FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 8
+    ) a
+    WHERE e.vec_id % 3 = 1
+  ) WHERE rn = 1
+) GROUP BY centroid_id
 """
 
 # curated-union oracles: each merged entry unions its members' exact

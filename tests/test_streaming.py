@@ -202,3 +202,35 @@ def test_stream_stream_join_matches_batch_range_join(spark, event_dir, tmp_path)
     g = {(r["purchase_id"], r["view_id"]) for r in got.select("purchase_id", "view_id").collect()}
     b = {(r["purchase_id"], r["view_id"]) for r in batch.collect()}
     assert g == b
+
+
+def test_streaming_ivf_route_matches_batch_assignment(spark, sf_dir, tmp_path):
+    """G8: vectors routed in-flight must land on the same anchor centroid
+    as the batch argmin (6-dp rounded distance, centroid-id tie-break)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    drop = str(tmp_path / "emb_in")
+    emb.where(F.col("vec_id") % 3 == 1).coalesce(2).write.mode("overwrite").parquet(drop)
+    anchors = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(8)
+        .select("embedding").collect()
+    ]
+    out = _run(S.streaming_ivf_route(spark, drop, emb.schema, anchors), str(tmp_path), "ivfr")
+    got = {(r["vec_id"], r["centroid_id"]) for r in spark.read.parquet(out).collect()}
+
+    from vectorsearch_rbac_spark.functions import vector as V
+    from pyspark.sql import Window
+
+    a_df = spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in enumerate(anchors)],
+        "centroid_id int, anchor array<double>",
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(V.l2_distance("embedding", "anchor"), 6), F.col("centroid_id")
+    )
+    batch = (
+        emb.where(F.col("vec_id") % 3 == 1).crossJoin(F.broadcast(a_df))
+        .withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    )
+    want = {(r["vec_id"], r["centroid_id"]) for r in batch.select("vec_id", "centroid_id").collect()}
+    assert got == want and len(got) > 0

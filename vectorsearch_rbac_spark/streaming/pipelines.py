@@ -301,3 +301,38 @@ def stream_stream_view_purchase_join(
         views,
         F.expr(f"v_user = user_id AND v_ts <= p_ts AND v_ts > p_ts - INTERVAL {join_window}"),
     ).select("purchase_id", "user_id", "value", "view_id")
+
+
+def streaming_ivf_route(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    anchors: list,
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """G8 streaming vector-index maintenance (parity:
+    ``dynamic_partition/hnsw/insertion.py`` — arriving vectors are routed
+    into the partition-local index they belong to): a file-source stream
+    of new embeddings is assigned to its nearest anchor centroid
+    IN-FLIGHT, as a pure narrow map — the ``nlists`` anchors are literal
+    arrays baked into the plan (same class as a broadcast centroid
+    table), the argmin is an ``array_min`` over (distance, centroid_id)
+    structs with the repo-wide 6-dp/id tie-break, and no state store or
+    shuffle is involved, so the route keeps file-source parallelism at
+    any ingest rate. Downstream, ``partitionBy(centroid_id)`` on the sink
+    is the physical index append.
+    """
+    from ..functions import vector as V
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    structs = []
+    for cid, vec in enumerate(anchors):
+        lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+        d = F.round(V.l2_distance("embedding", lit_vec), 6)
+        structs.append(F.struct(d.alias("d"), F.lit(cid).alias("centroid_id")))
+    best = F.array_min(F.array(*structs))
+    return stream.select("vec_id", best.getField("centroid_id").alias("centroid_id"))
