@@ -389,6 +389,20 @@ def q_exactsubstr_cut(spark, sf_dir):
     return _i(dedup.exactsubstr_cut(docs, win=DUPWIN_LEN), "doc_id")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """E41 bench member: new-batch-vs-corpus screening standalone (rides
+    the neardup_pairs registry entry for the oracle gate)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(dedup.incremental_dedup_pairs(docs, mod=5, rem=4), "id_a", "id_b")
+
+
+def q_shard_corpus(spark, sf_dir):
+    """E40 bench member: deterministic shard assignment standalone (rides
+    the pack_sequences registry entry for the oracle gate)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _i(curation.shard_corpus(docs, n_shards=16), "shard_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = dedup.simhash_neardup_pairs_banded(docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_T)

@@ -41,6 +41,8 @@ EXTRA = {
     "ngram_jaccard": entry.q_ngram_jaccard,
     "simhash_pairs": entry.q_simhash_pairs,
     "exactsubstr_cut": entry.q_exactsubstr_cut,
+    "incremental_dedup": entry.q_incremental_dedup,
+    "shard_corpus": entry.q_shard_corpus,
     "bm25_topk": entry.q_bm25_topk,
     "rbac_bm25_topk": entry.q_rbac_bm25_topk,
     "hybrid_rrf_topk": entry.q_hybrid_rrf_topk,
@@ -92,6 +94,9 @@ HEADLINE = [
     "ngram_jaccard",
     "simhash_pairs",
     "exactsubstr_cut",
+    "incremental_dedup",
+    "shard_corpus",
+    "multimodal_features",
     "text_stats",
     "pii_scrub",
     "tfidf_top_terms",
