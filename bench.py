@@ -236,6 +236,20 @@ def _tuning_block(spark) -> dict:
     }
 
 
+def _force(df) -> int:
+    """Force full computation of EVERY output column in one job: a bare
+    count() lets Catalyst prune computed columns and even eliminate left
+    joins for projection-shaped plans (a dedup pipeline that emits one row
+    per doc would time as a parquet row-count). Summing a hash over all
+    columns closes that loophole; returns the row count from the same job."""
+    from pyspark.sql import functions as F
+
+    r = df.agg(
+        F.count(F.lit(1)), F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(2**31)))
+    ).first()
+    return r[0]
+
+
 def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
@@ -261,7 +275,7 @@ def main() -> None:
         for _ in range(3):
             t0 = time.time()
             df = fn(spark, SF_DIR)
-            n = df.count()
+            n = _force(df)
             runs.append(time.time() - t0)
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs[1:]), 3)

@@ -1,11 +1,19 @@
 """Dedup scale probe: replicate the documents table N× (ids shifted, a
 replica marker token appended so replicas aren't exact dupes) and time
-three dedup pipelines as N grows — MinHash+LSH candidates, duplicated-
-substring stats (content-defined sampling), and SemDeDup cluster-scoped
-pairs over replicated embeddings (cluster count grows with N so cluster
-size — and thus per-task work — stays constant). Linear growth = the
-pipeline is scan-shaped; superlinear growth would mean a hidden self-join
-or unbounded bucket/cluster blowup.
+five dedup pipelines as N grows — MinHash+LSH candidates, duplicated-
+substring stats (content-defined sampling), EXACTSUBSTR span removal
+(full-window cut; work downstream of the hash join ∝ duplicated
+positions), incremental new-batch screening (batch size ∝ N/5, index
+∝ N), and SemDeDup cluster-scoped pairs over replicated embeddings
+(cluster count grows with N so cluster size — and thus per-task work —
+stays constant). Linear growth = the pipeline is scan-shaped;
+superlinear growth would mean a hidden self-join or unbounded
+bucket/cluster blowup.
+
+CAVEAT for exactsubstr on REPLICATED data: every 40-char window interior
+to a replica is shared across replicas, so at factor N nearly the whole
+corpus is "duplicated" — the join-back row count is ∝ corpus size, the
+worst case. Still must scale linearly.
 
 Usage: python tools/dedup_scale_probe.py [factors...]   (default: 1 5 20)
 """
@@ -54,7 +62,7 @@ def main() -> None:
 
     factors = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
     spark = get_spark("dedup-scale-probe")
-    print(f"{'factor':>6} {'docs':>9} {'minhash':>9} {'dupwin':>9} {'semdedup':>9}")
+    print(f"{'factor':>6} {'docs':>9} {'minhash':>9} {'dupwin':>9} {'exsubstr':>9} {'incr':>9} {'semdedup':>9}")
     for f in factors:
         docs = replicated_docs(spark, SF_DIR, f).localCheckpoint()
         emb = replicated_embeddings(spark, SF_DIR, f).localCheckpoint()
@@ -71,12 +79,20 @@ def main() -> None:
         dw.agg(F.sum("dup_frac")).collect()
         t0 = time.time(); dw.agg(F.sum("dup_frac")).collect(); t_dw = time.time() - t0
 
+        ec = dedup.exactsubstr_cut(docs, win=40)
+        ec.agg(F.sum("n_dup_chars")).collect()
+        t0 = time.time(); ec.agg(F.sum("n_dup_chars")).collect(); t_ec = time.time() - t0
+
+        ic = dedup.incremental_dedup_pairs(docs, mod=5, rem=4)
+        ic.count()
+        t0 = time.time(); ic.count(); t_ic = time.time() - t0
+
         # clusters ∝ N keeps per-cluster pair work constant
         sd = ann.semdedup_pairs(emb, n_clusters=max(8, 8 * f), threshold=0.3,
                                 anchor_stride=7)
         sd.count()
         t0 = time.time(); sd.count(); t_sd = time.time() - t0
-        print(f"{f:>6} {n:>9} {t_mh:>8.2f}s {t_dw:>8.2f}s {t_sd:>8.2f}s")
+        print(f"{f:>6} {n:>9} {t_mh:>8.2f}s {t_dw:>8.2f}s {t_ec:>8.2f}s {t_ic:>8.2f}s {t_sd:>8.2f}s")
 
 
 if __name__ == "__main__":

@@ -708,14 +708,17 @@ def exactsubstr_cut(
     kept_frac, cut_hash, cut_prefix)`` where ``cut_hash``/``cut_prefix``
     fingerprint the post-cut text (hash-stable for the oracle gate).
 
-    Plan shape (100 TB-safe): one explode over char positions, one
-    map-side-combinable aggregate on the 60-bit window hash (occurrence
-    count), one hash-keyed join back, one doc-keyed aggregate collecting
-    the (small) duplicated-position list, then interval merge + text
-    surgery as pure array expressions on the doc row — no UDFs, no
-    driver collects, no per-doc iteration outside codegen'd lambdas.
-    Everything downstream of the join is proportional to the number of
-    DUPLICATED positions, not corpus size.
+    Plan shape (100 TB-safe, worst-case-proof): one explode over char
+    positions, one map-side-combinable aggregate on the 60-bit window
+    hash (occurrence count), one hash-keyed join back; then interval
+    merging runs as CODEGEN'D window functions over the duplicated
+    positions (gaps-and-islands: lag → break flags → running island ids)
+    and the text surgery reassembles the inter-span SEGMENTS — per doc
+    only n_spans+1 substrings flow into the concat, so even the
+    pathological everything-is-duplicated corpus (where duplicated
+    positions ≈ corpus size) stays a scan + two doc-keyed shuffles. No
+    per-element interpreted folds anywhere on the corpus-sized path; no
+    UDFs; no driver collects (probe: tools/dedup_scale_probe.py).
     """
     norm = normalize_text(text_col)
     base = documents.select(F.col(id_col).alias("doc_id"), norm.alias("_n"))
@@ -723,50 +726,73 @@ def exactsubstr_cut(
         base.where(F.length("_n") >= win)
         .select("doc_id", "_n", F.explode(F.sequence(F.lit(1), F.length("_n") - (win - 1))).alias("_p"))
         .select("doc_id", "_p", md5_long(F.substr("_n", F.col("_p"), F.lit(win))).alias("whash"))
+        # consumed twice (occurrence count + join-back): truncate so the
+        # corpus-wide md5 pass — the dominant cost — runs once, not twice
+        .localCheckpoint(eager=False)
     )
     dup_hashes = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("occ")).where(F.col("occ") > 1)
-    dup_pos = (
-        wins.join(dup_hashes.select("whash"), "whash")
+    dup_pos = wins.join(dup_hashes.select("whash"), "whash").select("doc_id", "_p").distinct()
+
+    # gaps-and-islands over duplicated positions: a new island starts when
+    # the position exceeds the previous covered end (prev_p + win; ends are
+    # monotone in p, so the lag IS the running max)
+    wseq = Window.partitionBy("doc_id").orderBy("_p")
+    brk = dup_pos.withColumn(
+        "_brk",
+        (F.col("_p") > F.coalesce(F.lag("_p").over(wseq), F.lit(-win * 10)) + win).cast("int"),
+    )
+    isl = brk.withColumn(
+        "_island",
+        F.sum("_brk").over(wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = isl.groupBy("doc_id", "_island").agg(
+        F.min("_p").alias("_s"), (F.max("_p") + win).alias("_e")
+    )
+    span_stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s")).cast("long").alias("n_dup_chars"),
+    )
+
+    # segment reassembly: per doc the kept text is the concat of the gaps
+    # between consecutive spans plus the tail — n_spans+1 substrings, so
+    # the heavy dup_pos relation never feeds the string path
+    sent = spans.select("doc_id", "_s", "_e").unionByName(
+        span_stats.join(base, "doc_id").select(
+            "doc_id", (F.length("_n") + 1).alias("_s"), (F.length("_n") + 1).alias("_e")
+        )
+    )
+    wg = Window.partitionBy("doc_id").orderBy("_s")
+    gaps = sent.withColumn("_gs", F.coalesce(F.lag("_e").over(wg), F.lit(1))).select(
+        "doc_id", "_gs", F.col("_s").alias("_ge")
+    )
+    cut = (
+        gaps.join(base, "doc_id")
+        .select("doc_id", "_gs", F.substr("_n", F.col("_gs"), F.col("_ge") - F.col("_gs")).alias("_seg"))
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("_p")).alias("ps"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_gs", "_seg"))), lambda x: x["_seg"]
+                ),
+                "",
+            ).alias("cut_text")
+        )
     )
-    w = F.lit(win)
-    spans = F.aggregate(
-        F.col("ps"),
-        F.expr("CAST(array() AS array<struct<s:int,e:int>>)"),
-        lambda acc, p: F.when(
-            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.struct(F.element_at(acc, -1)["s"].alias("s"), (p + w).cast("int").alias("e"))),
-            ),
-        ).otherwise(F.concat(acc, F.array(F.struct(p.cast("int").alias("s"), (p + w).cast("int").alias("e"))))),
-    )
-    cut = F.aggregate(
-        F.col("spans"),
-        F.struct(F.lit(1).alias("cur"), F.lit("").alias("acc")),
-        lambda st, sp: F.struct(
-            sp["e"].alias("cur"),
-            F.concat(st["acc"], F.substr(F.col("_n"), st["cur"], sp["s"] - st["cur"])).alias("acc"),
-        ),
-        lambda st: F.concat(st["acc"], F.substr(F.col("_n"), st["cur"], F.length("_n") - st["cur"] + 1)),
-    )
-    n_dup = F.aggregate(F.col("spans"), F.lit(0), lambda a, sp: a + (sp["e"] - sp["s"]))
     return (
-        base.join(dup_pos, "doc_id", "left")
-        .withColumn("ps", F.coalesce(F.col("ps"), F.expr("CAST(array() AS array<int>)")))
-        .withColumn("spans", spans)
-        .withColumn("cut_text", cut)
+        base.join(span_stats, "doc_id", "left")
+        .join(cut, "doc_id", "left")
         .select(
             "doc_id",
             F.length("_n").cast("long").alias("n_chars"),
-            F.size("spans").cast("long").alias("n_spans"),
-            n_dup.cast("long").alias("n_dup_chars"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_chars", F.lit(0)).alias("n_dup_chars"),
             F.round(
-                (F.length("_n") - n_dup) / F.greatest(F.length("_n"), F.lit(1)), 6
+                (F.length("_n") - F.coalesce("n_dup_chars", F.lit(0)))
+                / F.greatest(F.length("_n"), F.lit(1)),
+                6,
             ).alias("kept_frac"),
-            F.md5(F.col("cut_text")).alias("cut_hash"),
-            F.substring("cut_text", 1, 80).alias("cut_prefix"),
+            F.md5(F.coalesce("cut_text", F.col("_n"))).alias("cut_hash"),
+            F.substring(F.coalesce("cut_text", F.col("_n")), 1, 80).alias("cut_prefix"),
         )
     )
 
