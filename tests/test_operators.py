@@ -1151,3 +1151,44 @@ def test_shard_corpus_covers_and_balances(spark, sf_dir):
     assert max(r["n_docs"] for r in out) <= 3 * (n_docs // 8 + 1)
     ids = {r[0] for r in docs.select("doc_id").collect()}
     assert all(r["head_doc"] in ids for r in out)
+
+
+def test_incremental_band_pairs_subset_of_global_minhash(spark, sf_dir):
+    """E41 × E2 consistency: every incr_band (new, old) pair must also be a
+    candidate of the GLOBAL MinHash pipeline run with the same parameters —
+    the incremental path is a restriction of the batch path, never a
+    different answer."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    incr = dedup.incremental_dedup_pairs(docs, mod=5, rem=4, n=3, num_hashes=16, band_size=4)
+    band_pairs = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in incr.where(F.col("method") == "incr_band").collect()
+    }
+    global_pairs = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in dedup.minhash_candidates(docs, n=3, num_hashes=16, band_size=4).collect()
+    }
+    assert band_pairs <= global_pairs
+
+
+def test_exactsubstr_cut_output_contains_no_duplicated_window(spark):
+    """E39 soundness on a crafted corpus: after the cut, no 40-char window
+    of any cut text may appear in the ORIGINAL duplicated set (the spans
+    covering them were removed)."""
+    copied = ("a very long shared passage that exceeds the forty character "
+              "window twice over for sure")
+    docs = spark.createDataFrame(
+        [(1, "alpha " + copied + " omega"), (2, "beta " + copied + " gamma"),
+         (3, "totally unrelated text about nothing that matters here at all ok")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.exactsubstr_cut(docs, win=40).collect()}
+    import re
+    norm = lambda s: re.sub(r"\s+", " ", s.lower()).strip()
+    # reconstruct cut texts via the python replay used at review time: here
+    # just assert the shared core is gone from both docs' prefixes and that
+    # kept_frac dropped accordingly
+    for d in (1, 2):
+        assert out[d]["n_dup_chars"] >= len(copied) - 10
+        assert copied[5:45] not in out[d]["cut_prefix"]
+    assert out[3]["n_spans"] == 0 and out[3]["kept_frac"] == 1.0
