@@ -3517,11 +3517,19 @@ _RUNNING_TOTALS_SQL = """
 SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        ROUND(o_totalprice, 2) AS o_totalprice,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+       ROUND(SUM(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       CAST(NTILE(4) OVER ws AS BIGINT) AS spend_quartile,
+       ROUND(PERCENT_RANK() OVER ws, 6) AS spend_pct_rank,
+       CAST(COALESCE(date_diff('day', lag(o_orderdate) OVER w, o_orderdate), -1) AS BIGINT)
+         AS days_since_prev,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) * 1000)
+              OVER (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+            // (COUNT(*) OVER (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)) AS BIGINT)
+         AS moving_avg_milli
 FROM orders
 WHERE o_custkey <= 200
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       ws AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
 """
 
 _SESSIONIZE_SQL = """

@@ -185,10 +185,15 @@ def revenue_rollup(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
 
 
 def customer_running_totals(orders: DataFrame, limit_custkey: int = 200) -> DataFrame:
-    """Per-customer running order totals + order sequence number: classic
-    cumulative window. One shuffle on custkey; the frame is
-    rows-unbounded-preceding so Spark streams each partition once."""
+    """Per-customer order-history window suite (F9 cumulative + F34
+    ranking/navigation): running total, sequence number, quartile bucket
+    (ntile), percent_rank by spend, days since the previous order (lag),
+    and a centered 3-order moving average. ALL functions share ONE window
+    partitioning (custkey) with two orderings — Spark evaluates them in a
+    single shuffle + two sorts per partition; adding window functions to
+    an existing spec is free at scale, which is the point of the suite."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_spend = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
     return (
         orders.where(F.col("o_custkey") <= limit_custkey)
         .select(
@@ -201,6 +206,28 @@ def customer_running_totals(orders: DataFrame, limit_custkey: int = 200) -> Data
         .withColumn(
             "running_total",
             F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2),
+        )
+        .withColumn("spend_quartile", F.ntile(4).over(w_spend).cast("long"))
+        .withColumn("spend_pct_rank", F.round(F.percent_rank().over(w_spend), 6))
+        .withColumn(
+            "days_since_prev",
+            F.coalesce(
+                F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)), F.lit(-1)
+            ).cast("long"),
+        )
+        # exact milli-cent average via INTEGER division: a float mean lands
+        # on half-cent boundaries where Spark (shortest-decimal round) and
+        # DuckDB (binary-double round) disagree; sum_cents·1000 div n is
+        # the same bigint everywhere
+        .withColumn(
+            "moving_avg_milli",
+            F.expr(
+                "sum(cast(round(o_totalprice * 100) as bigint) * 1000) over "
+                "(partition by o_custkey order by o_orderdate, o_orderkey "
+                "rows between 1 preceding and 1 following) div "
+                "count(1) over (partition by o_custkey order by o_orderdate, o_orderkey "
+                "rows between 1 preceding and 1 following)"
+            ),
         )
         .withColumn("o_totalprice", F.round("o_totalprice", 2))
     )
