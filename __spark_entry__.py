@@ -1962,8 +1962,11 @@ sel AS (
   GROUP BY user_id
 ),
 route AS (
+  -- cost-model crossover (compute_query_time parity): postfilter wins
+  -- when sel >= sqrt(k*expansion / N) = sqrt(40 / |blocks|)
   SELECT q.query_id,
-         CASE WHEN COALESCE(s.selectivity, 0.0) >= 0.5 THEN 'postfilter'
+         CASE WHEN COALESCE(s.selectivity, 0.0)
+                   >= sqrt(40.0 / (SELECT COUNT(*) FROM blocks)) THEN 'postfilter'
               ELSE 'prefilter' END AS strategy
   FROM qs q LEFT JOIN sel s USING (user_id)
 ),

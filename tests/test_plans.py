@@ -381,3 +381,46 @@ def test_cohort_retention_offsets_and_counts(spark):
         ("2024-01-06", 0): 1,  # user 3 cohort
         ("2024-01-06", 1): 1,  # user 3 back on day 7
     }
+
+
+def test_cost_crossover_routing_adapts_to_corpus_size(spark, sf_dir):
+    """D5 cost-model routing: the prefilter/postfilter threshold must equal
+    sqrt(k·expansion/N) and the routing table must apply it — replayed in
+    python over the same selectivity aggregate."""
+    from vectorsearch_rbac_spark.plans import strategy as S
+    from vectorsearch_rbac_spark.rbac.derive import block_selectivity
+    import __spark_entry__ as entry
+
+    t = entry._rbac(spark, sf_dir)
+    blocks = t["documentblocks"]
+    n = blocks.count()
+    thr = S.cost_crossover_threshold(n, k=10, expansion=4)
+    assert abs(thr - (40.0 / n) ** 0.5) < 1e-12
+    sel = block_selectivity(t["user_roles"], t["permission_assignment"], blocks)
+    routing = {
+        r["query_id"]: r["strategy"]
+        for r in S.strategy_routing(t["queries"], sel, postfilter_threshold=thr).collect()
+    }
+    sel_by_user = {r["user_id"]: r["selectivity"] for r in sel.collect()}
+    want = {
+        r["query_id"]: (
+            "postfilter" if sel_by_user.get(r["user_id"], 0.0) >= thr else "prefilter"
+        )
+        for r in t["queries"].select("query_id", "user_id").collect()
+    }
+    assert routing == want
+    # at tiny SFs the crossover can sit above every selectivity (all
+    # prefilter — correct: a 50-block corpus never favors rescanning);
+    # a denser synthetic workload must split
+    dense = spark.createDataFrame(
+        [(900 + i, i % 3) for i in range(6)], "query_id long, user_id long"
+    )
+    dense_sel = spark.createDataFrame(
+        [(0, 0.05), (1, 0.95), (2, float(thr))], "user_id long, selectivity double"
+    )
+    dense_routing = {
+        r["query_id"]: r["strategy"]
+        for r in S.strategy_routing(dense, dense_sel, postfilter_threshold=thr).collect()
+    }
+    assert dense_routing[900] == "prefilter" and dense_routing[901] == "postfilter"
+    assert dense_routing[902] == "postfilter"  # boundary: >= routes to postfilter

@@ -29,6 +29,23 @@ from ..operators import knn
 from ..rbac.derive import block_selectivity
 
 
+def cost_crossover_threshold(n_corpus: int, k: int = 10, expansion: int = 4) -> float:
+    """Predicted-cost crossover between prefilter and postfilter (parity:
+    ``compute_query_time`` AnonySys_dynamic_partition.py:114 — strategy
+    choice by predicted time, not a fixed magic threshold).
+
+    Under the fitted linear scan model t = a·x + b (D9), prefilter scans
+    x = sel·N permitted rows; postfilter scans the global ranking until k
+    permitted rows surface, x ≈ k·expansion/sel in expectation. With the
+    same (a, b) on both sides the argmin reduces to comparing scan
+    counts, and the crossover is sel* = sqrt(k·expansion / N): above it
+    the permitted set is dense enough that rescanning the global layout
+    is cheaper than materializing the permission semi-join. The threshold
+    ADAPTS to corpus size — bigger corpora push the crossover down,
+    which a fixed 0.5 never does."""
+    return (k * expansion / max(n_corpus, 1)) ** 0.5
+
+
 def choose_strategy(selectivity: float, has_partition_layout: bool = False,
                     postfilter_threshold: float = 0.5, partition_threshold: float = 0.05) -> str:
     if selectivity >= postfilter_threshold:
@@ -71,6 +88,8 @@ def adaptive_knn(
     k: int = 10,
     metric: str = "l2",
     has_partition_layout: bool = False,
+    routing_mode: str = "cost",
+    expansion: int = 4,
 ) -> DataFrame:
     """Route each query to the strategy its selectivity warrants, then union.
 
@@ -78,9 +97,20 @@ def adaptive_knn(
     reused across the workload — the reference recomputes per query), and the
     routing stays a DataFrame: each branch semi-joins its broadcast slice of
     the routing table, so the plan carries no per-query literals.
+
+    ``routing_mode='cost'`` (default) derives the prefilter/postfilter
+    threshold from the predicted-cost crossover sel* = sqrt(k·e/N)
+    (:func:`cost_crossover_threshold` — compute_query_time parity);
+    ``'threshold'`` keeps the fixed 0.5 rule.
     """
     sel = block_selectivity(user_roles, permission_assignment, blocks)
-    routing = strategy_routing(queries, sel, has_partition_layout)
+    pf_threshold = (
+        cost_crossover_threshold(blocks.count(), k=k, expansion=expansion)
+        if routing_mode == "cost"
+        else 0.5
+    )
+    routing = strategy_routing(queries, sel, has_partition_layout,
+                               postfilter_threshold=pf_threshold)
 
     impl = {
         "prefilter": knn.knn_prefilter,
