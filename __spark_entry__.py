@@ -1500,17 +1500,31 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def q_graph_recall(spark, sf_dir):
+    """D2 graph ANN (partition-local NSW + beam search, the hnswlib
+    re-expression) vs exact ground truth: per-query recall@k. Approximate
+    op → rows-only, like ivf/lsh/pq."""
+    from vectorsearch_rbac_spark.operators import graph_ann
+
+    t = _rbac(spark, sf_dir)
+    pred = graph_ann.nsw_search(t["documentblocks"], t["queries"], k=TOPK, m=8, ef=48)
+    truth = knn.knn_topk_fast(t["documentblocks"], t["queries"], k=TOPK)
+    return knn.recall_at_k(pred, truth)
+
+
 def q_ann_recall(spark, sf_dir):
-    """All four ANN recall checks in ONE entry (registry curation): per-
+    """All five ANN recall checks in ONE entry (registry curation): per-
     query recall@10 vs exact ground truth for D1 IVF (nprobe=10/16), E8
     hyperplane LSH (5 planes × 8 tables), D6 PQ+refine (ksub=64, exp=8),
-    D11 IVF-PQ residual (IVFADC: coarse route + residual ADC + refine) —
+    D11 IVF-PQ residual (IVFADC: coarse route + residual ADC + refine),
+    D2 graph NSW (partition-local kNN graph + ef-beam search) —
     approximate ops, so rows-only by design; pytest pins the recall floors."""
     parts = [
         ("ivf", q_ivf_recall(spark, sf_dir)),
         ("lsh", q_lsh_recall(spark, sf_dir)),
         ("pq", q_pq_recall(spark, sf_dir)),
         ("ivfpq", q_ivfpq_recall(spark, sf_dir)),
+        ("graph", q_graph_recall(spark, sf_dir)),
     ]
     out = None
     for name, df in parts:

@@ -50,6 +50,7 @@ EXTRA = {
     "hourly_event_stats": entry.q_hourly_event_stats,
     "pq_recall": entry.q_pq_recall,
     "ivfpq_recall": entry.q_ivfpq_recall,
+    "graph_recall": entry.q_graph_recall,
     # the registry entry unions three streaming members for the oracle;
     # bench times the hourly member alone so the timing stays comparable
     "streaming_hourly": entry.q_streaming_hourly_only,
@@ -145,6 +146,7 @@ HEADLINE = [
     "ivf_recall",
     "pq_recall",
     "ivfpq_recall",
+    "graph_recall",
 ]
 
 
@@ -200,6 +202,7 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
         ("lsh", entry.q_lsh_recall),
         ("pq", entry.q_pq_recall),
         ("ivfpq", entry.q_ivfpq_recall),
+        ("graph", entry.q_graph_recall),
     ):
         t0 = time.time()
         r = _mean_recall(fn(spark, SF_DIR))

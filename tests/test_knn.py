@@ -296,3 +296,28 @@ def test_bit_rerank_recall(spark, sf_dir):
     pred = ann.hamming_rerank_topk(emb, qs, k=5, expansion=4).withColumnRenamed(
         "vec_id", "block_id")
     assert knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0] >= 0.3
+
+
+def test_graph_nsw_recall_floor(spark, sf_dir):
+    """D2 graph ANN: single-partition NSW beam search must reach ≥0.9
+    recall@10 at ef=48, and the partitioned variant (graphs per id-range)
+    must hold the floor too — candidates merge through the global rank."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from vectorsearch_rbac_spark.operators import graph_ann, knn
+
+    t = entry._rbac(spark, sf_dir)
+    blocks, qs = t["documentblocks"], t["queries"]
+    truth = knn.knn_topk_fast(blocks, qs, k=10)
+
+    pred = graph_ann.nsw_search(blocks, qs, k=10, m=8, ef=48)
+    r = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
+    assert r >= 0.9
+
+    parts = blocks.withColumn("part", F.pmod(F.col("block_id"), F.lit(4)))
+    pred_p = graph_ann.nsw_search(parts, qs, k=10, m=8, ef=48, part_col="part")
+    rp = knn.recall_at_k(pred_p, truth).agg(F.avg("recall")).first()[0]
+    assert rp >= 0.9
+    # per-query rows are exactly k with contiguous ranks
+    counts = pred.groupBy("query_id").count().select("count").distinct().collect()
+    assert [c["count"] for c in counts] == [10]
