@@ -321,3 +321,48 @@ def test_graph_nsw_recall_floor(spark, sf_dir):
     # per-query rows are exactly k with contiguous ranks
     counts = pred.groupBy("query_id").count().select("count").distinct().collect()
     assert [c["count"] for c in counts] == [10]
+
+
+def test_graph_index_lifecycle(spark, sf_dir):
+    """D2 maintenance parity (insertion/deletion): a prebuilt adjacency
+    searches at full recall; incremental inserts link new nodes (search
+    finds them); deletes remove nodes from results AND from every
+    neighbor list."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from vectorsearch_rbac_spark.operators import graph_ann, knn
+
+    t = entry._rbac(spark, sf_dir)
+    blocks, qs = t["documentblocks"], t["queries"]
+    old = blocks.where(F.col("block_id") % 7 != 0)
+    new = blocks.where(F.col("block_id") % 7 == 0)
+
+    g0 = graph_ann.build_nsw_graph(old, m=8).localCheckpoint()
+    pred0 = graph_ann.nsw_search_indexed(old, g0, qs, k=10, ef=48)
+    truth_old = knn.knn_topk_fast(old, qs, k=10)
+    r0 = knn.recall_at_k(pred0, truth_old).agg(F.avg("recall")).first()[0]
+    assert r0 >= 0.9
+
+    g1 = graph_ann.insert_into_graph(old, g0, new, m=8).localCheckpoint()
+    # every block (old + new) has an adjacency row; edges are symmetric
+    assert g1.count() == blocks.count()
+    edges = g1.select("id", F.explode("neighbors").alias("nb"))
+    rev = edges.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
+    assert edges.exceptAll(rev).count() == 0
+    pred1 = graph_ann.nsw_search_indexed(blocks, g1, qs, k=10, ef=48)
+    truth_all = knn.knn_topk_fast(blocks, qs, k=10)
+    r1 = knn.recall_at_k(pred1, truth_all).agg(F.avg("recall")).first()[0]
+    assert r1 >= 0.85  # incremental graph: slightly looser floor
+    # inserted nodes are reachable: some appear in the merged top-k
+    got_new = pred1.join(new.select("block_id"), "block_id", "left_semi").count()
+    assert got_new > 0
+
+    dels = blocks.where(F.col("block_id") % 5 == 0).select("block_id")
+    g2 = graph_ann.delete_from_graph(g1, dels)
+    remaining = blocks.join(dels, "block_id", "left_anti")
+    assert g2.count() == remaining.count()
+    assert g2.select(F.explode("neighbors").alias("nb")).join(
+        dels.withColumnRenamed("block_id", "nb"), "nb", "left_semi"
+    ).count() == 0
+    pred2 = graph_ann.nsw_search_indexed(remaining, g2, qs, k=10, ef=48)
+    assert pred2.join(dels, pred2["block_id"] == dels["block_id"], "left_semi").count() == 0

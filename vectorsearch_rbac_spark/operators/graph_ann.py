@@ -144,3 +144,191 @@ def nsw_search(
         .select("query_id", F.col("_id").alias(id_col),
                 F.round("distance", 6).alias("distance"), "rank")
     )
+
+
+# ---------------------------------------------------------- index lifecycle
+# Parity: dynamic_partition/hnsw/insertion.py / deletion.py — the reference
+# mutates a per-partition hnswlib index in place; here the adjacency is a
+# DataFrame (part, id, neighbors) and every mutation is a partition-local
+# relational transform, so the maintenance unit (one partition) matches and
+# the index itself survives as ordinary columnar storage.
+
+
+def build_nsw_graph(
+    blocks: DataFrame,
+    m: int = 8,
+    id_col: str = "block_id",
+    vec_col: str = "vector",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Materialize the per-partition symmetrized kNN adjacency as a
+    DataFrame ``(part, id, neighbors array<bigint>)`` — the persisted
+    index; build cost is one blocked-BLAS pass per partition."""
+    src = blocks.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        (F.col(part_col) if part_col else F.lit(0)).alias("part"),
+    )
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        vecs = np.stack(pdf["_vec"].values).astype(np.float64)
+        ids = pdf["_id"].to_numpy()
+        adj = _knn_adjacency(vecs, m)
+        part = pdf["part"].iloc[0]
+        return pd.DataFrame(
+            {
+                "part": part,
+                "id": ids,
+                "neighbors": [[int(ids[v]) for v in a] for a in adj],
+            }
+        )
+
+    return src.groupBy("part").applyInPandas(
+        build_group, schema="part long, id long, neighbors array<long>"
+    )
+
+
+def nsw_search_indexed(
+    blocks: DataFrame,
+    adjacency: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = 48,
+    id_col: str = "block_id",
+    vec_col: str = "vector",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Search a PREBUILT adjacency (no rebuild per query batch): vectors
+    join their neighbor lists on the id key inside each partition, and the
+    beam runs exactly as in :func:`nsw_search`."""
+    src = blocks.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_vec"),
+        (F.col(part_col) if part_col else F.lit(0)).alias("part"),
+    ).join(adjacency, ["part", "id"])
+
+    q_rows = queries.select("query_id", "query_vector").collect()
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = np.asarray([r["query_vector"] for r in q_rows], dtype=np.float64)
+
+    def search_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        vecs = np.stack(pdf["_vec"].values).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        pos = {int(i): p for p, i in enumerate(ids)}
+        adj = [
+            [pos[int(v)] for v in nbrs if int(v) in pos]
+            for nbrs in pdf["neighbors"].values
+        ]
+        entry = int(np.argmin(((vecs - vecs.mean(axis=0)) ** 2).sum(axis=1)))
+        rows = []
+        for qi, qv in zip(q_ids, q_mat):
+            for d2, u in _beam_search(vecs, adj, entry, qv, k, ef):
+                rows.append((qi, int(ids[u]), float(np.sqrt(max(d2, 0.0)))))
+        return pd.DataFrame(rows, columns=["query_id", "id", "distance"])
+
+    cand = src.groupBy("part").applyInPandas(
+        search_group, schema="query_id long, id long, distance double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("distance", 6).asc(), F.col("id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias(id_col),
+                F.round("distance", 6).alias("distance"), "rank")
+    )
+
+
+def insert_into_graph(
+    blocks: DataFrame,
+    adjacency: DataFrame,
+    new_blocks: DataFrame,
+    m: int = 8,
+    id_col: str = "block_id",
+    vec_col: str = "vector",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Incremental insert (insertion.py parity): each new node links to its
+    ``m`` nearest EXISTING nodes in its partition (exact within the
+    partition — the hnswlib beam is an approximation of exactly this), and
+    reverse edges are appended to those neighbors. One applyInPandas pass
+    per partition touching only partitions that receive rows; untouched
+    partitions' adjacency flows through unchanged."""
+    src_old = blocks.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"),
+        (F.col(part_col) if part_col else F.lit(0)).alias("part"),
+        F.lit(False).alias("_new"),
+    )
+    src_new = new_blocks.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"),
+        (F.col(part_col) if part_col else F.lit(0)).alias("part"),
+        F.lit(True).alias("_new"),
+    )
+    touched = src_new.select("part").distinct()
+    src = src_old.join(F.broadcast(touched), "part", "left_semi").unionByName(src_new).join(
+        adjacency.select("part", "id", "neighbors"), ["part", "id"], "left"
+    )
+
+    def insert_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        part = int(pdf["part"].iloc[0])
+        is_new = pdf["_new"].to_numpy()
+        ids = pdf["id"].to_numpy()
+        nbrs: dict[int, set[int]] = {}
+        for i in np.flatnonzero(~is_new):
+            lst = pdf["neighbors"].iloc[i]
+            nbrs[int(ids[i])] = set(int(x) for x in (lst if lst is not None else []))
+        old_idx = np.flatnonzero(~is_new)
+        new_idx = np.flatnonzero(is_new)
+        if len(old_idx) and len(new_idx):
+            ov = np.stack(pdf["_vec"].iloc[old_idx].values).astype(np.float64)
+            oid = ids[old_idx]
+            on = (ov * ov).sum(axis=1)
+            for i in new_idx:
+                v = np.asarray(pdf["_vec"].iloc[i], dtype=np.float64)
+                d2 = on - 2.0 * (ov @ v)
+                mm = min(m, len(old_idx))
+                picks = (
+                    np.argpartition(d2, mm - 1)[:mm] if mm < len(old_idx)
+                    else np.arange(len(old_idx))
+                )
+                mine = set(int(oid[p]) for p in picks)
+                nbrs[int(ids[i])] = mine
+                for t in mine:
+                    nbrs[t].add(int(ids[i]))
+        else:
+            for i in new_idx:
+                nbrs.setdefault(int(ids[i]), set())
+        ordered = sorted(nbrs)
+        return pd.DataFrame(
+            {"part": part, "id": ordered, "neighbors": [sorted(nbrs[i]) for i in ordered]}
+        )
+
+    updated = src.groupBy("part").applyInPandas(
+        insert_group, schema="part long, id long, neighbors array<long>"
+    )
+    untouched = adjacency.join(F.broadcast(touched), "part", "left_anti")
+    return untouched.unionByName(updated)
+
+
+def delete_from_graph(adjacency: DataFrame, delete_ids: DataFrame) -> DataFrame:
+    """Delete (deletion.py parity): drop the nodes and filter them out of
+    every neighbor list — a narrow map plus one broadcast anti-join; heavy
+    deletions degrade connectivity, and the repair unit is a partition
+    rebuild (build_nsw_graph on that partition), exactly the reference's
+    heavy-partition-refine escalation."""
+    gone = F.broadcast(delete_ids.select(F.col(delete_ids.columns[0]).alias("_gone")))
+    gone_arr = delete_ids.select(
+        F.collect_set(F.col(delete_ids.columns[0]).cast("long")).alias("g")
+    )
+    return (
+        adjacency.join(gone, adjacency["id"] == F.col("_gone"), "left_anti")
+        .crossJoin(F.broadcast(gone_arr))
+        .select(
+            "part", "id",
+            F.filter("neighbors", lambda v: ~F.array_contains(F.col("g"), v)).alias("neighbors"),
+        )
+    )
