@@ -748,52 +748,53 @@ def exactsubstr_cut(
     spans = isl.groupBy("doc_id", "_island").agg(
         F.min("_p").alias("_s"), (F.max("_p") + win).alias("_e")
     )
-    span_stats = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.col("_e") - F.col("_s")).cast("long").alias("n_dup_chars"),
-    )
 
-    # segment reassembly: per doc the kept text is the concat of the gaps
-    # between consecutive spans plus the tail — n_spans+1 substrings, so
-    # the heavy dup_pos relation never feeds the string path
-    sent = spans.select("doc_id", "_s", "_e").unionByName(
-        span_stats.join(base, "doc_id").select(
-            "doc_id", (F.length("_n") + 1).alias("_s"), (F.length("_n") + 1).alias("_e")
-        )
-    )
-    wg = Window.partitionBy("doc_id").orderBy("_s")
-    gaps = sent.withColumn("_gs", F.coalesce(F.lag("_e").over(wg), F.lit(1))).select(
-        "doc_id", "_gs", F.col("_s").alias("_ge")
-    )
-    cut = (
-        gaps.join(base, "doc_id")
-        .select("doc_id", "_gs", F.substr("_n", F.col("_gs"), F.col("_ge") - F.col("_gs")).alias("_seg"))
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_gs", "_seg"))), lambda x: x["_seg"]
-                ),
-                "",
-            ).alias("cut_text")
-        )
-    )
-    return (
-        base.join(span_stats, "doc_id", "left")
-        .join(cut, "doc_id", "left")
-        .select(
+    # JOIN-FREE segment reassembly: every doc contributes a sentinel row at
+    # position len+1 CARRYING its normalized text; spans union in with a
+    # null text, a per-doc window propagates the one non-null text, and the
+    # inter-span gaps (lag of previous end → current start) are substring'd
+    # and folded in ONE doc-keyed aggregate. n_spans = gaps − 1 and
+    # n_dup_chars = n_chars − len(cut) fall out of the same aggregate, so
+    # the whole operator is explode → hash agg → hash join (dup criterion)
+    # → doc-keyed windows/agg: no large-large join anywhere, and every
+    # doc-keyed step reuses one shuffle partitioning.
+    sent = spans.select("doc_id", "_s", "_e", F.lit(None).cast("string").alias("_nt")).unionByName(
+        base.select(
             "doc_id",
-            F.length("_n").cast("long").alias("n_chars"),
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            F.coalesce("n_dup_chars", F.lit(0)).alias("n_dup_chars"),
-            F.round(
-                (F.length("_n") - F.coalesce("n_dup_chars", F.lit(0)))
-                / F.greatest(F.length("_n"), F.lit(1)),
-                6,
-            ).alias("kept_frac"),
-            F.md5(F.coalesce("cut_text", F.col("_n"))).alias("cut_hash"),
-            F.substring(F.coalesce("cut_text", F.col("_n")), 1, 80).alias("cut_prefix"),
+            (F.length("_n") + 1).alias("_s"),
+            (F.length("_n") + 1).alias("_e"),
+            F.col("_n").alias("_nt"),
         )
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wg = Window.partitionBy("doc_id").orderBy("_s")
+    gaps = (
+        sent.withColumn("_nt", F.max("_nt").over(wdoc))
+        .withColumn("_gs", F.coalesce(F.lag("_e").over(wg), F.lit(1)))
+        .select(
+            "doc_id", "_gs",
+            F.substr("_nt", F.col("_gs"), F.col("_s") - F.col("_gs")).alias("_seg"),
+            F.col("_s").alias("_sentinel_end"),
+        )
+    )
+    agg = gaps.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_spans"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("_gs", "_seg"))), lambda x: x["_seg"]),
+            "",
+        ).alias("cut_text"),
+        (F.max("_sentinel_end") - 1).cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_spans",
+        (F.col("n_chars") - F.length("cut_text")).cast("long").alias("n_dup_chars"),
+        F.round(
+            F.length("cut_text") / F.greatest(F.col("n_chars"), F.lit(1)), 6
+        ).alias("kept_frac"),
+        F.md5("cut_text").alias("cut_hash"),
+        F.substring("cut_text", 1, 80).alias("cut_prefix"),
     )
 
 
