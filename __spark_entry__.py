@@ -1512,12 +1512,28 @@ def q_graph_recall(spark, sf_dir):
     return knn.recall_at_k(pred, truth)
 
 
+def q_rbac_graph_recall(spark, sf_dir):
+    """D2×D4 capstone — the reference's headline architecture end-to-end:
+    dynamic comb-role partitions, a graph index per partition, role-routed
+    beam search (search.py:17 + per-partition hnswlib), recall-checked
+    against the EXACT dynamic-store answer (RBAC exact by construction;
+    only the top-k is approximate)."""
+    from vectorsearch_rbac_spark.operators import graph_ann
+
+    t = _rbac(spark, sf_dir)
+    store = dynamic.build_store(t["documentblocks"], t["permission_assignment"])
+    pred = graph_ann.knn_dynamic_graph(store, t["queries"], t["query_roles"], k=TOPK, m=8, ef=48)
+    truth = dynamic.knn_dynamic(store, t["queries"], t["query_roles"], k=TOPK)
+    return knn.recall_at_k(pred, truth)
+
+
 def q_ann_recall(spark, sf_dir):
     """All five ANN recall checks in ONE entry (registry curation): per-
     query recall@10 vs exact ground truth for D1 IVF (nprobe=10/16), E8
     hyperplane LSH (5 planes × 8 tables), D6 PQ+refine (ksub=64, exp=8),
     D11 IVF-PQ residual (IVFADC: coarse route + residual ADC + refine),
-    D2 graph NSW (partition-local kNN graph + ef-beam search) —
+    D2 graph NSW (partition-local kNN graph + ef-beam search), D2×D4
+    role-routed per-partition graph search vs the exact dynamic answer —
     approximate ops, so rows-only by design; pytest pins the recall floors."""
     parts = [
         ("ivf", q_ivf_recall(spark, sf_dir)),
@@ -1525,6 +1541,7 @@ def q_ann_recall(spark, sf_dir):
         ("pq", q_pq_recall(spark, sf_dir)),
         ("ivfpq", q_ivfpq_recall(spark, sf_dir)),
         ("graph", q_graph_recall(spark, sf_dir)),
+        ("rbac_graph", q_rbac_graph_recall(spark, sf_dir)),
     ]
     out = None
     for name, df in parts:

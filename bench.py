@@ -51,6 +51,7 @@ EXTRA = {
     "pq_recall": entry.q_pq_recall,
     "ivfpq_recall": entry.q_ivfpq_recall,
     "graph_recall": entry.q_graph_recall,
+    "rbac_graph_recall": entry.q_rbac_graph_recall,
     # the registry entry unions three streaming members for the oracle;
     # bench times the hourly member alone so the timing stays comparable
     "streaming_hourly": entry.q_streaming_hourly_only,
@@ -147,6 +148,7 @@ HEADLINE = [
     "pq_recall",
     "ivfpq_recall",
     "graph_recall",
+    "rbac_graph_recall",
 ]
 
 
@@ -203,6 +205,7 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
         ("pq", entry.q_pq_recall),
         ("ivfpq", entry.q_ivfpq_recall),
         ("graph", entry.q_graph_recall),
+        ("rbac_graph", entry.q_rbac_graph_recall),
     ):
         t0 = time.time()
         r = _mean_recall(fn(spark, SF_DIR))

@@ -366,3 +366,25 @@ def test_graph_index_lifecycle(spark, sf_dir):
     ).count() == 0
     pred2 = graph_ann.nsw_search_indexed(remaining, g2, qs, k=10, ef=48)
     assert pred2.join(dels, pred2["block_id"] == dels["block_id"], "left_semi").count() == 0
+
+
+def test_rbac_graph_search_recall_and_permissions(spark, sf_dir):
+    """D2×D4: role-routed per-partition graph search must (a) NEVER return
+    a block outside the user's permitted set (RBAC exact by construction)
+    and (b) reach ≥0.9 recall vs the exact dynamic-store answer."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from vectorsearch_rbac_spark.operators import dynamic, graph_ann, knn
+
+    t = entry._rbac(spark, sf_dir)
+    store = dynamic.build_store(t["documentblocks"], t["permission_assignment"]).localCheckpoint()
+    pred = graph_ann.knn_dynamic_graph(store, t["queries"], t["query_roles"], k=10, m=8, ef=48)
+    truth = dynamic.knn_dynamic(store, t["queries"], t["query_roles"], k=10)
+    r = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
+    assert r >= 0.9
+    permitted = (
+        t["query_roles"].join(t["permission_assignment"], "role_id")
+        .select("query_id", "document_id").distinct()
+    )
+    leaked = pred.join(permitted, ["query_id", "document_id"], "left_anti").count()
+    assert leaked == 0

@@ -332,3 +332,80 @@ def delete_from_graph(adjacency: DataFrame, delete_ids: DataFrame) -> DataFrame:
             F.filter("neighbors", lambda v: ~F.array_contains(F.col("g"), v)).alias("neighbors"),
         )
     )
+
+
+def knn_dynamic_graph(
+    store: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ef: int = 48,
+) -> DataFrame:
+    """The reference's HEADLINE architecture end-to-end: dynamic comb-role
+    partitions, a graph index per partition, role-routed search
+    (``dynamic_partition/search.py:17`` + per-partition hnswlib): each
+    query beam-searches ONLY the partitions its roles reach, and the
+    per-partition candidates merge through the global rank.
+
+    Spark shape: the (query → comb_role) routing is the same broadcast
+    role-intersection join ``knn_dynamic`` uses; the per-partition search
+    is a COGROUPED applyInPandas — partition blocks on one side, that
+    partition's routed queries on the other — so a partition's graph is
+    built/searched once regardless of how many queries route to it, work
+    scales with Σ(partition × its queries), and partitions with no routed
+    queries are never touched. RBAC stays exact by construction (a block
+    is in a routed partition iff its access set intersects the query's
+    roles); only the top-k is approximate (beam), so the check is recall
+    against the exact ``knn_dynamic`` answer.
+    """
+    from .dynamic import comb_role_members
+
+    # rename through the members table so the cogroup's two sides don't
+    # share the store's comb_role attribute (self-join ambiguity)
+    members = comb_role_members(store).withColumnRenamed("comb_role", "_cr")
+    qpart = (
+        F.broadcast(query_roles)
+        .join(members, "role_id")
+        .select("query_id", F.col("_cr").alias("comb_role"))
+        .distinct()
+    )
+    routed_q = qpart.join(
+        F.broadcast(queries.select("query_id", "query_vector")), "query_id"
+    )
+
+    def search_cogroup(blocks_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(columns=["query_id", "block_id", "document_id", "distance"])
+        blocks_pdf = blocks_pdf.sort_values("block_id").reset_index(drop=True)
+        vecs = np.stack(blocks_pdf["vector"].values).astype(np.float64)
+        ids = blocks_pdf["block_id"].to_numpy()
+        docs = blocks_pdf["document_id"].to_numpy()
+        adj = _knn_adjacency(vecs, m)
+        entry = int(np.argmin(((vecs - vecs.mean(axis=0)) ** 2).sum(axis=1)))
+        rows = []
+        for r in range(len(q_pdf)):
+            qi = int(q_pdf["query_id"].iloc[r])
+            qv = np.asarray(q_pdf["query_vector"].iloc[r], dtype=np.float64)
+            for d2, u in _beam_search(vecs, adj, entry, qv, k, ef):
+                rows.append((qi, int(ids[u]), int(docs[u]), float(np.sqrt(max(d2, 0.0)))))
+        return pd.DataFrame(rows, columns=["query_id", "block_id", "document_id", "distance"])
+
+    cand = (
+        store.select("comb_role", "block_id", "document_id", "vector")
+        .groupBy("comb_role")
+        .cogroup(routed_q.groupBy("comb_role"))
+        .applyInPandas(
+            search_cogroup,
+            schema="query_id long, block_id long, document_id long, distance double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("distance", 6).asc(), F.col("block_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "block_id", "document_id",
+                F.round("distance", 6).alias("distance"), "rank")
+    )
