@@ -388,3 +388,21 @@ def test_rbac_graph_search_recall_and_permissions(spark, sf_dir):
     )
     leaked = pred.join(permitted, ["query_id", "document_id"], "left_anti").count()
     assert leaked == 0
+
+
+def test_rbac_graph_search_over_rebalanced_store(spark, sf_dir):
+    """D2×D4×D7: the routed graph search must keep working after
+    heavy-partition rebalance (split comb partitions keep their role
+    semantics, so routing and permission exactness survive the split)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from vectorsearch_rbac_spark.operators import dynamic, graph_ann, knn
+
+    t = entry._rbac(spark, sf_dir)
+    store = dynamic.build_store(t["documentblocks"], t["permission_assignment"])
+    reb = dynamic.rebalance_heavy_partitions(store, max_partition_size=40).localCheckpoint()
+    assert reb.count() == store.count()
+    pred = graph_ann.knn_dynamic_graph(reb, t["queries"], t["query_roles"], k=10, m=8, ef=48)
+    truth = dynamic.knn_dynamic(store, t["queries"], t["query_roles"], k=10)
+    r = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
+    assert r >= 0.9
