@@ -1,0 +1,79 @@
+"""Graph-ANN scale probe: replicate the embeddings N× and grow the
+partition count WITH the corpus (partitions ∝ N, so per-partition size —
+the build/search unit — stays constant). Expected shapes at 100 TB:
+
+- build (kNN adjacency): per-partition O(n_part²) BLAS; with n_part fixed
+  the total is linear in N and embarrassingly parallel → wall time ~flat
+  on a machine with spare cores, ~linear once cores saturate.
+- routed search: each query beam-searches only its routed partitions;
+  with partition size fixed the per-(partition × query) work is constant
+  → scales with routed pairs, not corpus size.
+
+Superlinear growth in either column = a partition-global stage leaked in.
+
+Usage: python tools/graph_probe.py [factors...]   (default: 1 4 16)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vectorsearch_rbac_spark.sources import get_spark, load_table
+from vectorsearch_rbac_spark.operators import graph_ann
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("graph-probe")
+    base = load_table(spark, "embeddings", SF_DIR)
+    nb = base.count()
+    qs = base.where(F.col("vec_id") % 97 == 0).limit(20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    ).localCheckpoint()
+
+    print(f"{'factor':>6} {'rows':>9} {'parts':>6} {'build':>8} {'search':>8}")
+    for f in factors:
+        n_parts = 4 * f  # partitions grow with the corpus
+        blocks = (
+            base.crossJoin(spark.range(f).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("vec_id") + F.col("rep") * nb).alias("block_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x + F.when(i == F.col("rep") % 64, 0.01).otherwise(0.0),
+                ).alias("vector"),
+            )
+            .withColumn("part", F.pmod(F.col("block_id"), F.lit(n_parts)))
+            .localCheckpoint()
+        )
+        n = blocks.count()
+
+        g = graph_ann.build_nsw_graph(blocks, m=8, id_col="block_id",
+                                      vec_col="vector", part_col="part")
+        g.count()
+        t0 = time.time()
+        g = graph_ann.build_nsw_graph(blocks, m=8, id_col="block_id",
+                                      vec_col="vector", part_col="part").localCheckpoint()
+        g.count()
+        t_build = time.time() - t0
+
+        s = graph_ann.nsw_search_indexed(blocks, g, qs, k=10, ef=48,
+                                         id_col="block_id", vec_col="vector",
+                                         part_col="part")
+        s.count()
+        t0 = time.time()
+        s.count()
+        t_search = time.time() - t0
+        print(f"{f:>6} {n:>9} {n_parts:>6} {t_build:>7.2f}s {t_search:>7.2f}s")
+
+
+if __name__ == "__main__":
+    main()
