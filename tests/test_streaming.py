@@ -234,3 +234,39 @@ def test_streaming_ivf_route_matches_batch_assignment(spark, sf_dir, tmp_path):
     )
     want = {(r["vec_id"], r["centroid_id"]) for r in batch.select("vec_id", "centroid_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_graph_inserts_match_batch_graph(spark, sf_dir, tmp_path):
+    """G8b: after streaming micro-batches of new vectors through the
+    foreachBatch graph-insert loop, the index must (a) cover every node
+    with symmetric edges and (b) search at the same recall floor as a
+    graph built over the final corpus in one shot."""
+    from vectorsearch_rbac_spark.operators import graph_ann, knn
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.where(F.col("vec_id") % 3 == 0)
+    new = emb.where(F.col("vec_id") % 3 != 0)
+    drop = str(tmp_path / "graph_in")
+    new.repartition(3).write.mode("overwrite").parquet(drop)
+
+    g0 = graph_ann.build_nsw_graph(old, m=8, id_col="vec_id", vec_col="embedding")
+    blocks, graph = S.run_streaming_graph_inserts(
+        spark, drop, emb.select("vec_id", "embedding").schema,
+        old.select("vec_id", "embedding"), g0, m=8,
+    )
+    assert blocks.count() == emb.count() and graph.count() == emb.count()
+    edges = graph.select("id", F.explode("neighbors").alias("nb"))
+    rev = edges.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
+    assert edges.exceptAll(rev).count() == 0
+
+    qs = emb.where(F.col("vec_id") % 101 == 0).limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    pred = graph_ann.nsw_search_indexed(
+        blocks, graph, qs, k=10, ef=48, id_col="vec_id", vec_col="embedding"
+    ).withColumnRenamed("vec_id", "block_id")
+    truth = graph_ann.nsw_search(
+        emb, qs, k=10, m=8, ef=256, id_col="vec_id", vec_col="embedding"
+    ).withColumnRenamed("vec_id", "block_id")
+    r = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
+    assert r >= 0.8  # incremental inserts: looser floor than a fresh build

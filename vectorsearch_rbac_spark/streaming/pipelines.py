@@ -336,3 +336,52 @@ def streaming_ivf_route(
         structs.append(F.struct(d.alias("d"), F.lit(cid).alias("centroid_id")))
     best = F.array_min(F.array(*structs))
     return stream.select("vec_id", best.getField("centroid_id").alias("centroid_id"))
+
+
+def run_streaming_graph_inserts(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    initial_blocks,
+    initial_graph,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 1,
+):
+    """G8b — streaming GRAPH maintenance (insertion.py parity, index side):
+    each arriving micro-batch of vectors is folded into the per-partition
+    NSW adjacency with ``graph_ann.insert_into_graph`` via foreachBatch —
+    the index mutation is incremental (new nodes link to their m nearest
+    existing + reverse edges; untouched partitions flow through), exactly
+    the reference's per-batch HNSW insert loop. Runs the stream to
+    completion (availableNow) and returns (final_blocks, final_graph).
+
+    State note: the evolving adjacency is a DataFrame checkpointed per
+    batch — on a cluster this is the Delta/Iceberg MERGE the sink would
+    run; driver-side here only the HANDLE lives in Python, the data stays
+    distributed.
+    """
+    from ..operators import graph_ann
+
+    state = {"blocks": initial_blocks.localCheckpoint(), "graph": initial_graph.localCheckpoint()}
+
+    def on_batch(batch_df, batch_id):
+        new = batch_df.select(id_col, vec_col)
+        if new.isEmpty():
+            return
+        state["graph"] = graph_ann.insert_into_graph(
+            state["blocks"], state["graph"], new, m=m, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint()
+        state["blocks"] = state["blocks"].unionByName(new).localCheckpoint()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["blocks"], state["graph"]
