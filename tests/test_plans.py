@@ -424,3 +424,27 @@ def test_cost_crossover_routing_adapts_to_corpus_size(spark, sf_dir):
     }
     assert dense_routing[900] == "prefilter" and dense_routing[901] == "postfilter"
     assert dense_routing[902] == "postfilter"  # boundary: >= routes to postfilter
+
+
+def test_sql_surface_matches_dataframe_plan(spark, sf_dir):
+    """The pure-SQL prefilter query over registered views must return the
+    byte-identical result of the DataFrame API (same distance arithmetic,
+    rounding, tie-breaks) — the engine is fully usable from spark.sql."""
+    from vectorsearch_rbac_spark import sql as Q
+    from vectorsearch_rbac_spark.operators import knn
+    import __spark_entry__ as entry
+
+    views = Q.register_views(spark, sf_dir, query_stride=entry.QUERY_STRIDE)
+    assert "documentblocks" in views and "lineitem" in views
+    got = Q.sql_prefilter_topk(spark, k=10).orderBy("query_id", "rank").collect()
+    t = entry._rbac(spark, sf_dir)
+    want = (
+        knn.knn_prefilter(t["documentblocks"], t["queries"], t["query_roles"],
+                          t["permission_assignment"], k=10)
+        .select("query_id", "block_id", "document_id", "distance", "rank")
+        .orderBy("query_id", "rank").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # and ordinary analytics run over the same session's views
+    n = spark.sql("SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey").first()[0]
+    assert n > 0
