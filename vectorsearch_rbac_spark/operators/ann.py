@@ -40,12 +40,8 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
-def lsh_bucket(df: DataFrame, planes: np.ndarray, vec_col: str = "embedding", out_col: str = "bucket") -> DataFrame:
-    """Random-hyperplane (SimHash) bucketing for cosine: bit_i = sign(x·h_i),
-    bucket = packed bits. Pure column math — the planes are literals in the
-    plan, the signature is codegen'd; grouping by ``bucket`` co-locates
-    likely-similar vectors so candidate generation is a bucket-equijoin, not
-    an O(N²) cross join."""
+def _bucket_expr(planes: np.ndarray, vec_col: str) -> F.Column:
+    """Packed sign-bit signature of one hyperplane table as a column."""
     bits = [
         F.when(V.inner_product(F.col(vec_col), F.array(*[F.lit(float(v)) for v in p])) > 0, F.lit(1)).otherwise(F.lit(0))
         for p in planes
@@ -53,7 +49,16 @@ def lsh_bucket(df: DataFrame, planes: np.ndarray, vec_col: str = "embedding", ou
     sig = bits[0].cast("long")
     for i, b in enumerate(bits[1:], start=1):
         sig = sig + (b.cast("long") * F.lit(2 ** i))
-    return df.withColumn(out_col, sig)
+    return sig
+
+
+def lsh_bucket(df: DataFrame, planes: np.ndarray, vec_col: str = "embedding", out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane (SimHash) bucketing for cosine: bit_i = sign(x·h_i),
+    bucket = packed bits. Pure column math — the planes are literals in the
+    plan, the signature is codegen'd; grouping by ``bucket`` co-locates
+    likely-similar vectors so candidate generation is a bucket-equijoin, not
+    an O(N²) cross join."""
+    return df.withColumn(out_col, _bucket_expr(planes, vec_col))
 
 
 def cosine_topk_lsh(
@@ -79,25 +84,25 @@ def cosine_topk_lsh(
     recall-vs-ground-truth validation (basic_benchmark/compute_ground_truth.py).
     """
     dim = len(embeddings.select(vec_col).first()[0])
-    e_parts, q_parts = [], []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-        e_parts.append(
-            lsh_bucket(embeddings, planes, vec_col=vec_col, out_col="bucket").select(
-                F.lit(t).alias("table"), F.col(id_col).alias("block_id"), F.col(vec_col).alias("_v"), "bucket"
-            )
-        )
-        q_parts.append(
-            lsh_bucket(queries, planes, vec_col="query_vector", out_col="qbucket").select(
-                F.lit(t).alias("table"), "query_id", "query_vector", "qbucket"
-            )
-        )
-    e = e_parts[0]
-    for p in e_parts[1:]:
-        e = e.unionAll(p)
-    q = q_parts[0]
-    for p in q_parts[1:]:
-        q = q.unionAll(p)
+    # ALL tables' signatures in ONE corpus scan: an L-table union would
+    # re-read and re-sign the corpus L times; here the per-table buckets
+    # are one struct array exploded after a single pass
+    table_planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    e_sigs = F.array(*[
+        F.struct(F.lit(t).alias("table"), _bucket_expr(p, vec_col).alias("bucket"))
+        for t, p in enumerate(table_planes)
+    ])
+    e = embeddings.select(
+        F.col(id_col).alias("block_id"), F.col(vec_col).alias("_v"),
+        F.explode(e_sigs).alias("_tb"),
+    ).select("block_id", "_v", F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket"))
+    q_sigs = F.array(*[
+        F.struct(F.lit(t).alias("table"), _bucket_expr(p, "query_vector").alias("qbucket"))
+        for t, p in enumerate(table_planes)
+    ])
+    q = queries.select(
+        "query_id", "query_vector", F.explode(q_sigs).alias("_tb")
+    ).select("query_id", "query_vector", F.col("_tb.table").alias("table"), F.col("_tb.qbucket").alias("qbucket"))
 
     # multiprobe: query bucket + all buckets within hamming radius
     probe_buckets = [F.col("qbucket")]
