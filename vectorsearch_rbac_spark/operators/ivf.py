@@ -41,7 +41,17 @@ def kmeans_fit(
     n = blocks.count()
     target = nlists * sample_per_list
     frac = min(1.0, (target * 1.2) / max(n, 1))
-    sample = blocks.select(vec_col).sample(frac, seed=seed).limit(target).collect()
+    # CONTENT-deterministic sample: Bernoulli sample() draws per-row from a
+    # per-partition RNG stream, so its membership depends on row ORDER
+    # within partitions — nondeterministic downstream of joins/aggregates.
+    # TakeOrdered by a content hash is a uniform pseudo-random draw that
+    # depends only on the data (bit-identical build every run).
+    sample = (
+        blocks.select(vec_col)
+        .orderBy(F.xxhash64(F.concat_ws(",", F.col(vec_col).cast("array<string>")), F.lit(seed)))
+        .limit(target)
+        .collect()
+    )
     X = np.array([r[0] for r in sample], dtype=np.float64)
     if len(X) < nlists:
         raise ValueError(f"sample ({len(X)}) smaller than nlists ({nlists})")

@@ -121,7 +121,17 @@ def qdtree_assignment(
             else:
                 # centroid split: 2-means on a sample of vectors
                 rng = np.random.default_rng([seed, depth, pid])
-                vecs = [r[0] for r in node.select(vec_col).sample(0.3, seed=seed + depth).limit(512).collect()]
+                # content-hash TakeOrdered: Bernoulli sample() membership
+                # depends on within-partition row order (drifts run to
+                # run downstream of joins); hash order depends only on
+                # the data
+                vecs = [
+                    r[0]
+                    for r in node.select(vec_col)
+                    .orderBy(F.xxhash64(F.concat_ws(",", F.col(vec_col).cast("array<string>")), F.lit(seed + depth)))
+                    .limit(512)
+                    .collect()
+                ]
                 if len(vecs) < 2:
                     cond = F.lit(False)
                 else:

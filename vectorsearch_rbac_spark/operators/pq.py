@@ -50,7 +50,17 @@ def pq_train(
     target = ksub * sample_per_code
     n = embeddings.count()
     frac = min(1.0, (target * 1.2) / max(n, 1))
-    sample = embeddings.select(vec_col).sample(frac, seed=seed).limit(target).collect()
+    # CONTENT-deterministic sample: Bernoulli sample() draws per-row from a
+    # per-partition RNG stream, so its membership depends on row ORDER
+    # within partitions — nondeterministic downstream of joins/aggregates.
+    # TakeOrdered by a content hash is a uniform pseudo-random draw that
+    # depends only on the data (bit-identical build every run).
+    sample = (
+        embeddings.select(vec_col)
+        .orderBy(F.xxhash64(F.concat_ws(",", F.col(vec_col).cast("array<string>")), F.lit(seed)))
+        .limit(target)
+        .collect()
+    )
     X = np.array([r[0] for r in sample], dtype=np.float64)
     return _codebooks_from_sample(X, m, ksub, max_iter, seed)
 
@@ -245,7 +255,17 @@ def ivfpq_train(
     target = ksub * sample_per_code
     n = embeddings.count()
     frac = min(1.0, (target * 1.2) / max(n, 1))
-    sample = embeddings.select(vec_col).sample(frac, seed=seed).limit(target).collect()
+    # CONTENT-deterministic sample: Bernoulli sample() draws per-row from a
+    # per-partition RNG stream, so its membership depends on row ORDER
+    # within partitions — nondeterministic downstream of joins/aggregates.
+    # TakeOrdered by a content hash is a uniform pseudo-random draw that
+    # depends only on the data (bit-identical build every run).
+    sample = (
+        embeddings.select(vec_col)
+        .orderBy(F.xxhash64(F.concat_ws(",", F.col(vec_col).cast("array<string>")), F.lit(seed)))
+        .limit(target)
+        .collect()
+    )
     X = np.array([r[0] for r in sample], dtype=np.float64)
     C = np.asarray(centroids, dtype=np.float64)
     lab = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
