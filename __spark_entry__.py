@@ -674,10 +674,21 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     return _i(out, "query_id", "doc_id")
 
 
+def q_maxsim_topk(spark, sf_dir):
+    """E44 bench member: late-interaction MaxSim standalone (rides the
+    retrieval_topk registry entry for the oracle gate)."""
+    from vectorsearch_rbac_spark.operators import retrieval
+
+    docs = load_table(spark, "documents", sf_dir)
+    qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
+    return _i(retrieval.maxsim_topk(docs, qt, k=TOPK), "query_id", "doc_id", "rank")
+
+
 def q_retrieval_topk(spark, sf_dir):
     """Text/hybrid retrieval in ONE driver-checked entry (registry
     curation): E26 BM25, C8 permission-aware BM25 (RBAC semi-join before
-    the rank), E27 hybrid RRF fusion, E36 MMR diversified re-rank —
+    the rank), E27 hybrid RRF fusion, E36 MMR diversified re-rank, E44
+    late-interaction MaxSim (ColBERT-style, contextual hash embeddings) —
     (method, query_id, doc_id, score, rank) union; each branch keeps its
     exact oracle inside the union (MMR's is the unrolled greedy replay).
 
@@ -711,6 +722,8 @@ def q_retrieval_topk(spark, sf_dir):
     mmr = retrieval.mmr_topk(
         emb, t["queries"].where(F.col("query_id").isin(qids)), k=MMR_K, n_candidates=MMR_CANDS
     )
+    # E44 late-interaction MaxSim over contextual hash embeddings
+    maxsim = retrieval.maxsim_topk(docs, qt, k=TOPK)
     parts = [
         ("bm25", retrieval.bm25_rank(scored, k=TOPK).select(
             "query_id", "doc_id", "score", "rank")),
@@ -721,6 +734,7 @@ def q_retrieval_topk(spark, sf_dir):
         ("mmr", mmr.select(
             "query_id", (F.col("vec_id") % n_docs).alias("doc_id"),
             (F.round("mmr_score", 6) + F.lit(0.0)).alias("score"), "rank")),
+        ("maxsim", maxsim.select("query_id", "doc_id", "score", "rank")),
     ]
     out = None
     for name, df in parts:
@@ -3774,6 +3788,47 @@ UNION ALL
 SELECT 'hybrid_rrf' AS method, query_id, doc_id, rrf_score AS score, rank FROM ({_HYBRID_SQL})
 UNION ALL
 SELECT 'mmr' AS method, query_id, doc_id, score, rank FROM ({_MMR_SQL})
+UNION ALL
+SELECT 'maxsim' AS method, query_id, doc_id, score, rank FROM (
+WITH mq AS (SELECT * FROM (VALUES (0, 'table'), (0, 'vector'), (100, 'stream'), (100, 'window'), (200, 'customer'), (200, 'part')) AS q(query_id, qtok)),
+dt AS (
+  SELECT doc_id, p,
+         list_transform(range(0, 16), i ->
+           ((('0x' || substr(md5(tok || ':' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS vtok,
+         list_transform(range(0, 16), i ->
+           ((('0x' || substr(md5(prev || ':' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS vprev
+  FROM (
+    SELECT doc_id, toks, p, toks[p] AS tok,
+           CASE WHEN p > 1 THEN toks[p - 1] ELSE '<s>' END AS prev
+    FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM documents),
+         UNNEST(range(1, LEAST(len(toks), 16) + 1)) AS u(p)
+    WHERE len(toks) >= 1
+  )
+),
+dvecs AS (
+  SELECT doc_id, list_transform(range(1, 17), j -> vtok[j] * 0.8 + vprev[j] * 0.2) AS dvec
+  FROM dt
+),
+qvecs AS (
+  SELECT query_id, qtok,
+         list_transform(range(0, 16), i ->
+           (((('0x' || substr(md5(qtok || ':' || i::VARCHAR), 1, 15))::BIGINT) % 2001) - 1000) / 1000.0) AS qvec
+  FROM mq
+),
+best AS (
+  SELECT q.query_id, d.doc_id, q.qtok,
+         MAX(ROUND(list_cosine_similarity(q.qvec, d.dvec), 6)) AS best
+  FROM dvecs d CROSS JOIN qvecs q
+  GROUP BY 1, 2, 3
+),
+msc AS (
+  SELECT query_id, doc_id, ROUND(SUM(best), 6) AS score FROM best GROUP BY 1, 2
+)
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM msc
+) WHERE rank <= 10
+)
 """
 
 

@@ -66,6 +66,7 @@ EXTRA = {
     "small_quantity_revenue": entry.q_small_quantity_revenue,
     "cohort_retention": entry.q_cohort_retention,
     "mmr_topk": entry.q_mmr_topk,
+    "maxsim_topk": entry.q_maxsim_topk,
     "stream_stream_join": entry.q_stream_stream_join,
     # pure TF-IDF keeps the rounds-2/3 key comparable; the registry entry
     # grew vocab + BPE tags, timed separately under vocab_bpe_build
@@ -136,6 +137,7 @@ HEADLINE = [
     "doc_chunks",
     "small_quantity_revenue",
     "mmr_topk",
+    "maxsim_topk",
     "vocab_bpe_build",
     # stream_stream_join is exercised by the correctness entry's 'join'
     # member; 3× bench repeats of a stateful streaming query add ~2 min of

@@ -227,3 +227,86 @@ def mmr_topk(
         )
         selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected
+
+
+def maxsim_topk(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    dim: int = 16,
+    max_doc_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E44 late-interaction retrieval (ColBERT-style MaxSim, Khattab &
+    Zaharia 2020): score(q, d) = Σ_{t∈q} max_{u∈d} cos(E(t), E(u)) — each
+    query token finds its best-matching document token, scores sum.
+
+    Token embeddings here are DETERMINISTIC hash projections
+    (v_i = (md5_long(tok:i) mod 2001 − 1000)/1000 — the stand-in for a
+    learned encoder, exactly replayable by the SQL oracle; swap E() for a
+    real encoder output table and nothing else changes). Doc-side tokens
+    are CONTEXTUALIZED the way a real late-interaction encoder's are:
+    E(u | doc) = 0.8·v(u) + 0.2·v(prev token), so the same word in
+    different contexts embeds differently and MaxSim discriminates
+    occurrences rather than degenerate exact-match ties; query tokens are
+    context-free (the query-encoder side). Documents are represented by
+    their first ``max_doc_tokens`` tokens (with positions) — the
+    fixed-length token matrix a late-interaction index stores.
+
+    Scale shape: doc tokens explode ONCE (≤ max_doc_tokens rows/doc, the
+    context mix computed from the array before the explode — narrow), the
+    tiny query-term table broadcasts, the (q-term × doc-token) cosine is
+    a codegen'd expression, and the two-level aggregate (max per q-term,
+    sum per doc) is map-side combinable on the (query, doc) key. No
+    corpus×corpus join anywhere; per-doc work is O(|q|·max_doc_tokens).
+    """
+    from ..functions.vector import cosine_similarity, md5_long
+
+    def tok_vec(tok_col) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(md5_long(F.concat(tok_col, F.lit(":"), i.cast("string"))), F.lit(2001))
+                - 1000
+            ) / 1000.0,
+        )
+
+    ctx = F.transform(
+        F.sequence(F.lit(1), F.least(F.size("_tk"), F.lit(max_doc_tokens))),
+        lambda p: F.struct(
+            F.zip_with(
+                tok_vec(F.element_at("_tk", p)),
+                tok_vec(F.when(p > 1, F.element_at("_tk", p - 1)).otherwise(F.lit("<s>"))),
+                lambda a, b: a * 0.8 + b * 0.2,
+            ).alias("dvec")
+        ),
+    )
+    d_toks = (
+        documents.select(F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("_tk"))
+        .where(F.size("_tk") >= 1)
+        .select("doc_id", F.explode(ctx).alias("_c"))
+        .select("doc_id", F.col("_c.dvec").alias("dvec"))
+    )
+    q_toks = query_terms.select(
+        "query_id", F.explode("terms").alias("qtok")
+    ).withColumn("qvec", tok_vec(F.col("qtok")))
+
+    per_qtok = (
+        d_toks.join(F.broadcast(q_toks), how="cross")
+        .select(
+            "query_id", "doc_id", "qtok",
+            F.round(cosine_similarity("qvec", "dvec"), 6).alias("sim"),
+        )
+        .groupBy("query_id", "doc_id", "qtok")
+        .agg(F.max("sim").alias("best"))
+    )
+    scored = per_qtok.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("best"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
