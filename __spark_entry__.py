@@ -511,7 +511,10 @@ def q_pack_sequences(spark, sf_dir):
     (lang, id-range) groups + E40 deterministic training-shard assignment
     in one tagged entry: 'pack' rows carry the per-pack rollup, 'shard'
     rows the per-shard balance audit (doc/token totals, order-hash head
-    doc, membership checksum) — the no-global-sort corpus shuffle."""
+    doc, membership checksum) — the no-global-sort corpus shuffle;
+    'zorder' rows (H5) roll up the Morton-interleaved (doc_id, n_chars)
+    codes per curve bucket, pinning the bit arithmetic the z-ordered
+    writer sorts files by."""
     docs = load_table(spark, "documents", sf_dir)
     pack = curation.pack_sequences(docs, window_tokens=512, range_size=128).select(
         F.lit("pack").alias("method"), "lang", F.col("rng").alias("grp"),
@@ -524,7 +527,27 @@ def q_pack_sequences(spark, sf_dir):
         F.col("shard_id").alias("grp"), F.lit(0).cast("long").alias("seq"),
         "n_docs", "n_tokens", "head_doc", "order_checksum",
     )
-    return pack.unionByName(shard)
+    # H5 Z-order tag: Morton-interleave (doc_id mod 2^16, n_chars), roll
+    # up per top-4-bit curve bucket — checks the bit arithmetic the
+    # z-ordered writer sorts by, end-to-end against the SQL replay
+    from vectorsearch_rbac_spark.sources import layouts as LY
+
+    zv = LY.zorder_value(F.pmod(F.col("doc_id"), F.lit(65536)), F.col("n_chars"))
+    zorder = (
+        docs.select("doc_id", zv.alias("_z"))
+        .groupBy(F.shiftright("_z", 28).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.pmod("_z", F.lit(2147483647))).alias("n_tokens"),
+            F.min("doc_id").alias("head_doc"),
+        )
+        .select(
+            F.lit("zorder").alias("method"), F.lit("ALL").alias("lang"),
+            F.col("grp").cast("long").alias("grp"), F.lit(0).cast("long").alias("seq"),
+            "n_docs", "n_tokens", "head_doc", F.lit(0).cast("long").alias("order_checksum"),
+        )
+    )
+    return pack.unionByName(shard).unionByName(zorder)
 
 
 def q_tfidf_top_terms(spark, sf_dir):
@@ -2864,6 +2887,13 @@ SELECT 'pack' AS method, lang, rng AS grp,
        CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        CAST(MIN(doc_id) AS BIGINT) AS head_doc, CAST(0 AS BIGINT) AS order_checksum
 FROM c GROUP BY lang, rng, seq
+UNION ALL
+SELECT 'zorder', 'ALL', grp, 0, n_docs, n_tokens, head_doc, CAST(0 AS BIGINT) FROM (
+  SELECT CAST(z >> 28 AS BIGINT) AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(z % 2147483647) AS BIGINT) AS n_tokens, CAST(MIN(doc_id) AS BIGINT) AS head_doc
+  FROM (SELECT doc_id, CAST((((doc_id % 65536) >> 0) & 1) * 2 + ((n_chars >> 0) & 1) * 1 + (((doc_id % 65536) >> 1) & 1) * 8 + ((n_chars >> 1) & 1) * 4 + (((doc_id % 65536) >> 2) & 1) * 32 + ((n_chars >> 2) & 1) * 16 + (((doc_id % 65536) >> 3) & 1) * 128 + ((n_chars >> 3) & 1) * 64 + (((doc_id % 65536) >> 4) & 1) * 512 + ((n_chars >> 4) & 1) * 256 + (((doc_id % 65536) >> 5) & 1) * 2048 + ((n_chars >> 5) & 1) * 1024 + (((doc_id % 65536) >> 6) & 1) * 8192 + ((n_chars >> 6) & 1) * 4096 + (((doc_id % 65536) >> 7) & 1) * 32768 + ((n_chars >> 7) & 1) * 16384 + (((doc_id % 65536) >> 8) & 1) * 131072 + ((n_chars >> 8) & 1) * 65536 + (((doc_id % 65536) >> 9) & 1) * 524288 + ((n_chars >> 9) & 1) * 262144 + (((doc_id % 65536) >> 10) & 1) * 2097152 + ((n_chars >> 10) & 1) * 1048576 + (((doc_id % 65536) >> 11) & 1) * 8388608 + ((n_chars >> 11) & 1) * 4194304 + (((doc_id % 65536) >> 12) & 1) * 33554432 + ((n_chars >> 12) & 1) * 16777216 + (((doc_id % 65536) >> 13) & 1) * 134217728 + ((n_chars >> 13) & 1) * 67108864 + (((doc_id % 65536) >> 14) & 1) * 536870912 + ((n_chars >> 14) & 1) * 268435456 + (((doc_id % 65536) >> 15) & 1) * 2147483648 + ((n_chars >> 15) & 1) * 1073741824 AS BIGINT) AS z FROM documents)
+  GROUP BY 1
+)
 UNION ALL
 SELECT 'shard', 'ALL', shard_id, 0, n_docs, n_tokens, head_doc, order_checksum FROM (
   WITH s AS (

@@ -1192,3 +1192,38 @@ def test_exactsubstr_cut_output_contains_no_duplicated_window(spark):
         assert out[d]["n_dup_chars"] >= len(copied) - 10
         assert copied[5:45] not in out[d]["cut_prefix"]
     assert out[3]["n_spans"] == 0 and out[3]["kept_frac"] == 1.0
+
+
+def test_zorder_layout_skips_files_on_both_columns(spark, sf_dir, tmp_path):
+    """H5: z-ordered files must enable min/max skipping on BOTH sort
+    columns (a single-column sort only helps its own column), with content
+    preserved; H6: compaction collapses small files content-identically."""
+    from vectorsearch_rbac_spark.sources import layouts as L
+
+    orders = load_table(spark, "orders", sf_dir)
+    zp, sp = str(tmp_path / "z"), str(tmp_path / "s")
+    L.write_zordered(orders, zp, "o_custkey", "o_totalprice", n_files=8)
+    (orders.repartitionByRange(8, "o_custkey").sortWithinPartitions("o_custkey")
+     .write.mode("overwrite").parquet(sp))
+
+    lo, hi = 100000.0, 110000.0
+    z2 = L.file_skip_stats(spark, zp, "o_totalprice", lo, hi)
+    s2 = L.file_skip_stats(spark, sp, "o_totalprice", lo, hi)
+    assert z2["skippable"] > s2["skippable"], "z-order must help the 2nd column"
+    z1 = L.file_skip_stats(spark, zp, "o_custkey", 100, 200)
+    assert z1["skippable"] >= z1["files"] // 2, "1st column still skips most files"
+    assert (spark.read.parquet(zp).orderBy("o_orderkey").collect()
+            == orders.orderBy("o_orderkey").collect())
+
+    # Morton code round-trip identity on crafted coords
+    row = spark.createDataFrame([(5, 3)], "a long, b long").select(
+        L.zorder_value("a", "b", bits=4).alias("z")).first()
+    # a=0b0101 -> odd positions, b=0b0011 -> even positions: 0b100111 = 39
+    assert row["z"] == 0b100111
+
+    # H6 compaction
+    frag = str(tmp_path / "frag")
+    orders.repartition(16).write.mode("overwrite").parquet(frag)
+    stats = L.compact_partition_dir(spark, frag, target_files=2)
+    assert stats["files_before"] >= 16 and stats["files_after"] <= 2
+    assert spark.read.parquet(frag).count() == orders.count()
