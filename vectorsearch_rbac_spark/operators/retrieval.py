@@ -272,32 +272,55 @@ def maxsim_topk(
             ) / 1000.0,
         )
 
-    ctx = F.transform(
-        F.sequence(F.lit(1), F.least(F.size("_tk"), F.lit(max_doc_tokens))),
-        lambda p: F.struct(
-            F.zip_with(
-                tok_vec(F.element_at("_tk", p)),
-                tok_vec(F.when(p > 1, F.element_at("_tk", p - 1)).otherwise(F.lit("<s>"))),
-                lambda a, b: a * 0.8 + b * 0.2,
-            ).alias("dvec")
-        ),
-    )
-    d_toks = (
+    # embed each DISTINCT token once (the "encoder output table"), then
+    # join occurrences against it — hashing per occurrence would redo
+    # dim·2 md5s for every token position in the corpus
+    occs = (
         documents.select(F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("_tk"))
         .where(F.size("_tk") >= 1)
-        .select("doc_id", F.explode(ctx).alias("_c"))
-        .select("doc_id", F.col("_c.dvec").alias("dvec"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.size("_tk"), F.lit(max_doc_tokens))),
+                    lambda p: F.struct(
+                        F.element_at("_tk", p).alias("tok"),
+                        F.when(p > 1, F.element_at("_tk", p - 1)).otherwise(F.lit("<s>")).alias("prev"),
+                    ),
+                )
+            ).alias("_c"),
+        )
+        .select("doc_id", F.col("_c.tok").alias("tok"), F.col("_c.prev").alias("prev"))
+    )
+    vocab = (
+        occs.select(F.col("tok").alias("t"))
+        .unionByName(occs.select(F.col("prev").alias("t")))
+        .distinct()
+        .withColumn("tvec", tok_vec(F.col("t")))
     )
     q_toks = query_terms.select(
         "query_id", F.explode("terms").alias("qtok")
     ).withColumn("qvec", tok_vec(F.col("qtok")))
 
-    per_qtok = (
-        d_toks.join(F.broadcast(q_toks), how="cross")
+    # the dim-heavy cosine runs ONCE per (query-term × distinct context
+    # bigram) — a vocab²-bounded table, not per token occurrence; the
+    # corpus-sized occurrence stream then just hash-joins its
+    # precomputed similarity. |bigram vocab| ≪ corpus by Zipf.
+    bigrams = (
+        occs.select("tok", "prev").distinct()
+        .join(F.broadcast(vocab.select(F.col("t").alias("tok"), F.col("tvec").alias("_vt"))), "tok")
+        .join(F.broadcast(vocab.select(F.col("t").alias("prev"), F.col("tvec").alias("_vp"))), "prev")
+        .select("tok", "prev", F.zip_with("_vt", "_vp", lambda a, b: a * 0.8 + b * 0.2).alias("dvec"))
+    )
+    sims = (
+        bigrams.join(F.broadcast(q_toks), how="cross")
         .select(
-            "query_id", "doc_id", "qtok",
+            "tok", "prev", "query_id", "qtok",
             F.round(cosine_similarity("qvec", "dvec"), 6).alias("sim"),
         )
+    )
+    per_qtok = (
+        occs.join(F.broadcast(sims), ["tok", "prev"])
         .groupBy("query_id", "doc_id", "qtok")
         .agg(F.max("sim").alias("best"))
     )
