@@ -1649,7 +1649,7 @@ def q_tuning_curve(spark, sf_dir):
 
 
 def q_store_lifecycle(spark, sf_dir):
-    """D8 + G4 + F7 + H4 in one driver-checked entry: the versioned store's
+    """D8 + G4 + F7 + H4 + H2 + H3 in one driver-checked entry: the versioned store's
     full mutation lifecycle (commit v0 → insert v1 → delete v2 →
     RESTORE(1) = v3; parity: insertion_rolllback.py / deletion_rolllback.py
     — rollback is reopening an older snapshot) as per-version row counts +
@@ -1659,7 +1659,9 @@ def q_store_lifecycle(spark, sf_dir):
     exact logical bytes per storage tier (H4, space_calculate.py:19).
     The oracle reconstructs every section's exact content: restore(1) must
     hash-equal the pre-delete store, the streamed sink must hash-equal the
-    batch-routed arrivals."""
+    batch-routed arrivals, the csv/jsonl roundtrips (H3) and the
+    partitionBy(comb_role) write/read (H2) must hash-equal the base
+    tables — persistence itself is under the gate."""
     import tempfile
 
     from vectorsearch_rbac_spark.functions.vector import md5_long
@@ -1728,7 +1730,54 @@ def q_store_lifecycle(spark, sf_dir):
             "n_rows", F.expr(r["expr"]).alias("value"),
         )
         space = row if space is None else space.unionByName(row)
-    return _i(out.unionByName(hourly).unionByName(space), "n_rows", "value")
+
+    # H2+H3 under the hash gate: what goes THROUGH the writers/readers
+    # must hash-equal the source — csv and jsonl text-format roundtrips
+    # of the documents table, and a partitionBy(comb_role) parquet
+    # write/read with per-partition content checksums (the oracle
+    # computes all three straight from the base tables, so any
+    # read/write corruption or type coercion breaks the hash)
+    from vectorsearch_rbac_spark.sources import ingest
+
+    docs = load_table(spark, "documents", sf_dir)
+    dh = md5_long(F.concat_ws("|", F.col("doc_id").cast("string"), "lang", "source",
+                              F.col("n_chars").cast("string"), "text"))
+    rt = None
+    for fmt, writer, reader in (
+        ("csv", ingest.write_csv, ingest.read_csv),
+        ("jsonl", ingest.write_jsonl, ingest.read_jsonl),
+    ):
+        d = _STREAM_DROPS.get((fmt, sf_dir))
+        if d is None:
+            d = tempfile.mkdtemp(prefix=f"h3_{fmt}_") + "/out"
+            writer(docs, d)
+            _STREAM_DROPS[(fmt, sf_dir)] = d
+        back = reader(spark, d, schema=docs.schema)
+        row = back.select(dh.alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("value")
+        ).select(F.lit("roundtrip").alias("section"), F.lit(fmt).alias("key"), "n_rows", "value")
+        rt = row if rt is None else rt.unionByName(row)
+
+    pdir = _STREAM_DROPS.get(("partwrite", sf_dir))
+    if pdir is None:
+        pdir = tempfile.mkdtemp(prefix="h2_part_") + "/store"
+        dynamic.build_store(blocks, pa).select("block_id", "document_id", "comb_role").write.mode(
+            "overwrite"
+        ).partitionBy("comb_role").parquet(pdir)
+        _STREAM_DROPS[("partwrite", sf_dir)] = pdir
+    ph = md5_long(F.concat(F.col("block_id").cast("string"), F.lit(":"), F.col("comb_role")))
+    partrt = (
+        spark.read.parquet(pdir)
+        .select(F.col("comb_role").cast("string").alias("comb_role"), ph.alias("h"))
+        .groupBy("comb_role")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("value"))
+        .select(F.lit("partitioned").alias("section"), F.col("comb_role").alias("key"),
+                "n_rows", "value")
+    )
+    return _i(
+        out.unionByName(hourly).unionByName(space).unionByName(rt).unionByName(partrt),
+        "n_rows", "value",
+    )
 
 
 def q_generator_relations(spark, sf_dir):
@@ -3976,6 +4025,18 @@ SELECT 'space' AS section, t.tier AS key, s.n_rows,
                    WHEN 'int8' THEN s.comp ELSE s.comp // 8 END AS value
 FROM (SELECT COUNT(*) AS n_rows, SUM(len(embedding)) AS comp FROM embeddings) s
 CROSS JOIN (SELECT unnest(['vector', 'halfvec', 'int8', 'bit']) AS tier) t
+UNION ALL
+SELECT 'roundtrip' AS section, fmt AS key, n_rows, value FROM (
+  SELECT COUNT(*) AS n_rows,
+         bit_xor(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|'
+           || CAST(n_chars AS VARCHAR) || '|' || text), 1, 15))::BIGINT) AS value
+  FROM documents
+) CROSS JOIN (SELECT unnest(['csv', 'jsonl']) AS fmt)
+UNION ALL
+SELECT 'partitioned' AS section, c.comb_role AS key, COUNT(*) AS n_rows, bit_xor(sb.h) AS value
+FROM sb JOIN blocks b USING (block_id) JOIN comb c USING (document_id)
+GROUP BY c.comb_role
 """
 
 # B2/B4: replay every md5-seeded generator draw row-for-row.
