@@ -1774,8 +1774,38 @@ def q_store_lifecycle(spark, sf_dir):
         .select(F.lit("partitioned").alias("section"), F.col("comb_role").alias("key"),
                 "n_rows", "value")
     )
+    # H5 schema evolution under the gate: half the drop is written with
+    # the LEGACY schema (no n_chars), half with the evolved one; the
+    # mergeSchema read must surface NULLs for the legacy rows and the
+    # exact evolved values elsewhere — checked via a null census and a
+    # coalesced content checksum the oracle recomputes from documents
+    edir = _STREAM_DROPS.get(("evolve", sf_dir))
+    if edir is None:
+        edir = tempfile.mkdtemp(prefix="h5_evolve_") + "/drop"
+        docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+            "overwrite").parquet(edir)
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+            "append").parquet(edir)
+        _STREAM_DROPS[("evolve", sf_dir)] = edir
+    ev = ingest.read_parquet_evolving(spark, edir)
+    eh = md5_long(F.concat_ws("|", F.col("doc_id").cast("string"),
+                              F.coalesce(F.col("n_chars"), F.lit(-1)).cast("string")))
+    evo = ev.select(
+        eh.alias("h"), F.col("n_chars").isNull().cast("long").alias("_nl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("_nl").alias("nulls"),
+        F.expr("bit_xor(h)").alias("cks"),
+    )
+    evrows = evo.select(
+        F.lit("evolution").alias("section"), F.lit("nulls").alias("key"),
+        "n_rows", F.col("nulls").alias("value"),
+    ).unionByName(evo.select(
+        F.lit("evolution").alias("section"), F.lit("content").alias("key"),
+        "n_rows", F.col("cks").alias("value"),
+    ))
     return _i(
-        out.unionByName(hourly).unionByName(space).unionByName(rt).unionByName(partrt),
+        out.unionByName(hourly).unionByName(space).unionByName(rt)
+        .unionByName(partrt).unionByName(evrows),
         "n_rows", "value",
     )
 
@@ -4037,6 +4067,16 @@ UNION ALL
 SELECT 'partitioned' AS section, c.comb_role AS key, COUNT(*) AS n_rows, bit_xor(sb.h) AS value
 FROM sb JOIN blocks b USING (block_id) JOIN comb c USING (document_id)
 GROUP BY c.comb_role
+UNION ALL
+SELECT 'evolution' AS section, k.key, e.n_rows,
+       CASE k.key WHEN 'nulls' THEN e.nulls ELSE e.cks END AS value
+FROM (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS nulls,
+         bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+           CAST(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE -1 END AS VARCHAR)), 1, 15))::BIGINT) AS cks
+  FROM documents
+) e CROSS JOIN (SELECT unnest(['nulls', 'content']) AS key) k
 """
 
 # B2/B4: replay every md5-seeded generator draw row-for-row.
