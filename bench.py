@@ -295,22 +295,41 @@ def main() -> None:
     print(f"# tuning: {tuning_info}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full detail on its own stdout line (queries_cold, recall, tuning): the
+    # driver keeps only the LAST line as the parsed result and a 2000-char
+    # tail of everything — round 4's single fat line blew past that tail and
+    # parsed as null, so the detail and the parsed line are now separate.
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "value_cold": round(sum(cold.values()), 3),
-                "value_r2_subset": round(sum(timings[k] for k in R2_KEYS if k in timings), 3),
-                "queries": timings,
+                "detail": "bench_full",
                 "queries_cold": cold,
                 "recall": recalls,
                 "tuning": tuning_info,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
+    final = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "value_cold": round(sum(cold.values()), 3),
+        "value_r2_subset": round(sum(timings[k] for k in R2_KEYS if k in timings), 3),
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+    }
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1900:
+        # keep the slowest queries itemized, fold the rest into one key so
+        # the line always fits the driver's tail window
+        ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+        keep = dict(sorted((k, round(v, 2)) for k, v in ranked[:45]))
+        keep["_other_sum"] = round(sum(v for _, v in ranked[45:]), 2)
+        final["queries"] = keep
+        line = json.dumps(final, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
