@@ -842,9 +842,17 @@ def q_vector_ops(spark, sf_dir):
 
 
 def q_skew_salted_join(spark, sf_dir):
-    """Salted fact-dim join (F13/scale toolbox): provably identical to the
-    plain join — the oracle runs the unsalted SQL. Exact-milli sums keep the
-    aggregate order-independent."""
+    """F13 + F36 in one tagged entry — the explicit join-rewrite toolbox,
+    both rewrites PROVABLY result-identical to the plain join (the oracle
+    runs the unrewritten SQL):
+    'salted' — fact-dim join with 8-way key splitting (no hot reducer);
+    'bloom' — the same aggregate over a fact side PRE-PRUNED by a
+    deterministic md5 Bloom filter built from the filtered dim's keys
+    (the explicit form of Spark's runtime bloom-filter pushdown; false
+    positives die in the real join, so the aggregate is bit-identical);
+    'bloom_stats' — rows kept by the filter vs true matches: the
+    false-positive count itself is md5-deterministic, so even the
+    approximation error hash-matches."""
     from vectorsearch_rbac_spark.operators import skew
 
     ev = load_table(spark, "events", sf_dir).select("user_id", "value", "event_id")
@@ -852,10 +860,25 @@ def q_skew_salted_join(spark, sf_dir):
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     j = skew.salted_join(ev, cust, "user_id", salt=8, salt_src="event_id")
-    return j.groupBy("c_mktsegment").agg(
+    salted = j.groupBy("c_mktsegment").agg(
         F.count("*").cast("long").alias("n_events"),
         F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("value_milli"),
+    ).select(F.lit("salted").alias("method"), F.col("c_mktsegment").alias("key"), "n_events", "value_milli")
+
+    dimf = cust.where(F.col("c_mktsegment") == "BUILDING")
+    bl = skew.bloom_build(dimf, "user_id", m_bits=16384, k_hashes=4)
+    pruned = skew.bloom_prune(ev, bl, "user_id", m_bits=16384, k_hashes=4)
+    bloom = pruned.join(dimf, "user_id").groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("value_milli"),
+    ).select(F.lit("bloom").alias("method"), F.col("c_mktsegment").alias("key"), "n_events", "value_milli")
+    kept = pruned.agg(F.count("*").cast("long").alias("n_events"))
+    true_n = ev.join(dimf, "user_id", "left_semi").agg(F.count("*").cast("long").alias("value_milli"))
+    stats = kept.crossJoin(true_n).select(
+        F.lit("bloom_stats").alias("method"), F.lit("kept|true").alias("key"),
+        "n_events", "value_milli",
     )
+    return salted.unionByName(bloom).unionByName(stats)
 
 
 def q_order_priority_returns(spark, sf_dir):
@@ -1073,7 +1096,12 @@ def q_sketches(spark, sf_dir):
     count; 'cms' rows are the ≥threshold users with (min-counter
     estimate, exact count), 'cms_thr' pins the integer threshold; 'ams'
     rows pair exact F2 of the user-frequency vector with the 16-trial
-    estimate, 'ams_state' pins Σs_t²."""
+    estimate, 'ams_state' pins Σs_t²; 'qs' rows (F35) carry the
+    coordinated-sample quantile estimate per (event_type, q) with the
+    estimate's EXACT rank in the full data as n — the rank error
+    |n/N − q| is the sketch's accuracy, and both engines compute it from
+    the same md5-thinned sample, so even the approximation error is
+    under the hash gate."""
     from vectorsearch_rbac_spark.operators import sketches as SK
 
     ev = load_table(spark, "events", sf_dir)
@@ -1108,7 +1136,22 @@ def q_sketches(spark, sf_dir):
         F.lit("ams_state").alias("method"), F.col("event_type").alias("key"),
         F.col("sum_sq").cast("long").alias("n"), F.lit(16.0).alias("est"),
     )
-    return hll.unionByName(hstate).unionByName(cms).unionByName(thr_row).unionByName(ams).unionByName(astate)
+    sq = SK.sampled_quantiles(ev, ["event_type"], "value", "event_id", qs=(0.25, 0.5, 0.9), rate_den=4)
+    rank_in_full = ev.join(
+        F.broadcast(sq.select("event_type", "q", "q_est")), "event_type"
+    ).groupBy("event_type", "q").agg(
+        F.sum((F.col("value") <= F.col("q_est")).cast("long")).alias("rank_full")
+    )
+    qrows = sq.join(rank_in_full, ["event_type", "q"]).select(
+        F.lit("qs").alias("method"),
+        F.concat_ws("|", "event_type", F.format_number("q", 2)).alias("key"),
+        F.col("rank_full").alias("n"),
+        F.col("q_est").alias("est"),
+    )
+    return (
+        hll.unionByName(hstate).unionByName(cms).unionByName(thr_row)
+        .unionByName(ams).unionByName(astate).unionByName(qrows)
+    )
 
 
 def q_pricing_summary(spark, sf_dir):
@@ -1826,9 +1869,36 @@ def q_store_lifecycle(spark, sf_dir):
         F.lit("evolution").alias("section"), F.lit("content").alias("key"),
         "n_rows", F.col("cks").alias("value"),
     ))
+    # H8 MERGE INTO under the gate: one relational MERGE against the v2
+    # store — matched updates (block_id%7==1 → comb_role 'UPD'), matched
+    # deletes (%7==2), not-matched inserts (%7==3 re-keyed +10M) — and the
+    # merged store's exact content checksum; the oracle reconstructs the
+    # post-MERGE state with plain set arithmetic, so every branch of the
+    # upsert (update/delete/insert/keep) is certified.
+    st2 = vs.read(2).select("block_id", "comb_role")
+    bid = F.col("block_id")
+    src = (
+        st2.where(bid % 7 == 1)
+        .select("block_id", F.lit("UPD").alias("comb_role"), F.lit(False).alias("_is_del"))
+        .unionByName(st2.where(bid % 7 == 2).select("block_id", "comb_role", F.lit(True).alias("_is_del")))
+        .unionByName(
+            st2.where(bid % 7 == 3).select(
+                (bid + 10_000_000).alias("block_id"),
+                F.concat(F.lit("INS:"), F.col("comb_role")).alias("comb_role"),
+                F.lit(False).alias("_is_del"),
+            )
+        )
+    )
+    merged = dynamic.merge_upsert(st2, src, "block_id", update_cols=["comb_role"], delete_col="_is_del")
+    mh = md5_long(F.concat(F.col("block_id").cast("string"), F.lit(":"), F.col("comb_role")))
+    mrow = (
+        merged.select(mh.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("value"))
+        .select(F.lit("merge").alias("section"), F.lit("content").alias("key"), "n_rows", "value")
+    )
     return _i(
         out.unionByName(hourly).unionByName(space).unionByName(rt)
-        .unionByName(partrt).unionByName(evrows),
+        .unionByName(partrt).unionByName(evrows).unionByName(mrow),
         "n_rows", "value",
     )
 
@@ -2539,10 +2609,37 @@ GROUP BY event_type
 
 # F13: the salted join must be result-identical to the plain join
 _SALTED_JOIN_SQL = """
-SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+WITH dimf AS (SELECT c_custkey AS user_id FROM customer WHERE c_mktsegment = 'BUILDING'),
+hashes AS (SELECT unnest(range(0, 4)) AS i),
+bbits AS (
+  SELECT DISTINCT ('0x' || substr(md5('bf:' || CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 16384 AS b
+  FROM dimf CROSS JOIN hashes),
+words AS (SELECT b // 63 AS word_idx, bit_or(1::BIGINT << CAST(b % 63 AS INT)) AS word FROM bbits GROUP BY 1),
+fkeys AS (SELECT DISTINCT user_id FROM events),
+fbits AS (
+  SELECT user_id,
+         ('0x' || substr(md5('bf:' || CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 16384 AS b
+  FROM fkeys CROSS JOIN hashes),
+probe AS (
+  SELECT f.user_id
+  FROM fbits f LEFT JOIN words w ON f.b // 63 = w.word_idx
+  GROUP BY f.user_id
+  HAVING SUM(CASE WHEN w.word IS NOT NULL
+                   AND ((w.word >> CAST(f.b % 63 AS INT)) & 1) = 1 THEN 1 ELSE 0 END) = 4),
+pruned AS (SELECT e.* FROM events e JOIN probe p ON e.user_id = p.user_id)
+SELECT 'salted' AS method, c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c_mktsegment
+UNION ALL
+SELECT 'bloom', c_mktsegment, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+FROM pruned e JOIN customer c ON e.user_id = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY c_mktsegment
+UNION ALL
+SELECT 'bloom_stats', 'kept|true', (SELECT CAST(COUNT(*) AS BIGINT) FROM pruned),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events e JOIN dimf d ON e.user_id = d.user_id)
 """
 
 # F11/F12: EXISTS → left-semi and NOT EXISTS → left-anti aggregations
@@ -2677,7 +2774,28 @@ ams AS (
   FROM st GROUP BY 1),
 f2x AS (
   SELECT event_type, CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact
-  FROM (SELECT event_type, k, COUNT(*) AS cnt FROM ev GROUP BY 1, 2) GROUP BY 1)
+  FROM (SELECT event_type, k, COUNT(*) AS cnt FROM ev GROUP BY 1, 2) GROUP BY 1),
+qsamp AS (
+  SELECT event_type, value AS v, event_id AS id FROM events
+  WHERE ('0x' || substr(md5('qs:' || CAST(event_id AS VARCHAR)),1,15))::BIGINT % 4 = 0),
+qrank AS (
+  SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, id) AS rn
+  FROM qsamp),
+qn AS (SELECT event_type, MAX(rn) AS n_sample FROM qrank GROUP BY 1),
+qt AS (
+  SELECT event_type, n_sample, q,
+         CAST(floor(q * (n_sample - 1)) + 1 AS BIGINT) AS lo,
+         CAST(ceil(q * (n_sample - 1)) + 1 AS BIGINT) AS hi
+  FROM qn CROSS JOIN (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS q)),
+qest AS (
+  SELECT t.event_type, t.q,
+         round(l.v + (t.q * (t.n_sample - 1) - (t.lo - 1)) * (h.v - l.v), 6) AS q_est
+  FROM qt t JOIN qrank l ON t.event_type = l.event_type AND t.lo = l.rn
+            JOIN qrank h ON t.event_type = h.event_type AND t.hi = h.rn),
+qfull AS (
+  SELECT e.event_type, x.q, x.q_est,
+         CAST(SUM(CASE WHEN e.value <= x.q_est THEN 1 ELSE 0 END) AS BIGINT) AS rank_full
+  FROM events e JOIN qest x ON e.event_type = x.event_type GROUP BY 1, 2, 3)
 SELECT 'hll' AS method, e.event_type AS key, x.n_exact AS n, CAST(e.est AS DOUBLE) AS est
 FROM hest e JOIN hexact x ON e.event_type = x.event_type
 UNION ALL
@@ -2693,6 +2811,9 @@ SELECT 'ams', a.event_type, f.f2_exact, CAST(a.f2_est AS DOUBLE)
 FROM ams a JOIN f2x f ON a.event_type = f.event_type
 UNION ALL
 SELECT 'ams_state', event_type, sum_sq, 16.0 FROM ams
+UNION ALL
+SELECT 'qs', event_type || '|' || printf('%.2f', q), rank_full, CAST(q_est AS DOUBLE)
+FROM qfull
 """
 
 # F16+F17 merged entry
@@ -4090,6 +4211,23 @@ UNION ALL
 SELECT 'partitioned' AS section, c.comb_role AS key, COUNT(*) AS n_rows, bit_xor(sb.h) AS value
 FROM sb JOIN blocks b USING (block_id) JOIN comb c USING (document_id)
 GROUP BY c.comb_role
+UNION ALL
+SELECT 'merge' AS section, 'content' AS key, n_rows, value FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         bit_xor(('0x' || substr(md5(CAST(block_id AS VARCHAR) || ':' || comb_role), 1, 15))::BIGINT) AS value
+  FROM (
+    SELECT block_id,
+           CASE WHEN block_id % 7 = 1 THEN 'UPD' ELSE comb_role END AS comb_role
+    FROM (SELECT b.block_id, c.comb_role FROM blocks b JOIN comb c USING (document_id)
+          WHERE b.block_id % 17 <> 3)
+    WHERE block_id % 7 <> 2
+    UNION ALL
+    SELECT block_id + 10000000, 'INS:' || comb_role
+    FROM (SELECT b.block_id, c.comb_role FROM blocks b JOIN comb c USING (document_id)
+          WHERE b.block_id % 17 <> 3)
+    WHERE block_id % 7 = 3
+  )
+)
 UNION ALL
 SELECT 'evolution' AS section, k.key, e.n_rows,
        CAST(CASE k.key WHEN 'nulls' THEN e.nulls ELSE e.cks END AS BIGINT) AS value

@@ -996,6 +996,83 @@ def test_ams_f2_state_and_estimate(spark, sf_dir):
         assert 0.2 * x[t] < r["f2_est"] < 5.0 * x[t]
 
 
+def test_merge_upsert_all_four_branches(spark):
+    """H8 MERGE: matched-update, matched-delete, not-matched-insert, and
+    untouched-keep, all in one call; target rows keep non-updated columns."""
+    from vectorsearch_rbac_spark.operators import dynamic
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, val string, extra long",
+    )
+    src = spark.createDataFrame(
+        [(2, "B", False), (3, "c", True), (5, "E", False)],
+        "id long, val string, is_del boolean",
+    )
+    out = dynamic.merge_upsert(tgt, src, "id", update_cols=["val"], delete_col="is_del")
+    rows = {r["id"]: (r["val"], r["extra"]) for r in out.collect()}
+    assert rows == {
+        1: ("a", 10),   # keep
+        2: ("B", 20),   # update: val overwritten, extra preserved
+        4: ("d", 40),   # keep
+        5: ("E", None), # insert: no target cols beyond update set
+    }  # 3 deleted
+
+
+def test_bloom_prune_no_false_negatives_and_join_identity(spark, sf_dir):
+    """F36: (1) every true-matching fact row survives the prune (Bloom's
+    one-sided guarantee); (2) pruned-then-joined == plain join (false
+    positives die in the join); (3) the prune is a pure filter — no join
+    or exchange appears between the fact scan and the filter."""
+    from vectorsearch_rbac_spark.operators import skew
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_id", "value")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    dimf = cust.where(F.col("c_mktsegment") == "BUILDING")
+    bl = skew.bloom_build(dimf, "user_id", m_bits=512, k_hashes=3)  # small m → real FPs
+    pruned = skew.bloom_prune(ev, bl, "user_id", m_bits=512, k_hashes=3)
+    true_rows = ev.join(dimf, "user_id", "left_semi")
+    assert true_rows.exceptAll(pruned).count() == 0  # no false negatives
+    j1 = sorted(map(tuple, pruned.join(dimf, "user_id").groupBy("c_mktsegment").count().collect()))
+    j2 = sorted(map(tuple, ev.join(dimf, "user_id").groupBy("c_mktsegment").count().collect()))
+    assert j1 == j2  # result identity
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan  # prune = scan + filter only
+
+
+def test_quantile_sample_merge_and_rank_error(spark, sf_dir):
+    """F35: (1) the coordinated sample is mergeable — sample(union) ==
+    union(samples) because membership is decided per row by content hash;
+    (2) the sample-quantile estimate's exact rank in the FULL data stays
+    within the classical sampling error envelope."""
+    from vectorsearch_rbac_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = SK.quantile_sample(ev, ["event_type"], "value", "event_id", rate_den=4)
+    a = SK.quantile_sample(ev.where(F.col("event_id") % 2 == 0), ["event_type"], "value", "event_id", rate_den=4)
+    b = SK.quantile_sample(ev.where(F.col("event_id") % 2 == 1), ["event_type"], "value", "event_id", rate_den=4)
+    w = sorted((r["event_type"], r["_id"]) for r in whole.collect())
+    m = sorted((r["event_type"], r["_id"]) for r in a.unionByName(b).collect())
+    assert w == m and len(w) > 0
+
+    est = SK.sampled_quantiles(ev, ["event_type"], "value", "event_id", qs=(0.25, 0.5, 0.9), rate_den=4)
+    rows = est.collect()
+    assert {r["q"] for r in rows} == {0.25, 0.5, 0.9}
+    n_full = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    vals = {(r["event_type"],): None for r in rows}
+    for r in rows:
+        ranked = ev.where(
+            (F.col("event_type") == r["event_type"]) & (F.col("value") <= r["q_est"])
+        ).count()
+        n = n_full[r["event_type"]]
+        # ~n/4 sample points per group: 3/sqrt(s) rank-error envelope
+        s = max(1, r["n_sample"])
+        assert abs(ranked / n - r["q"]) <= 3.0 / (s ** 0.5) + 1.0 / n
+    assert vals is not None
+
+
 def test_top_supplier_is_argmax_without_sort(spark, sf_dir):
     from vectorsearch_rbac_spark.plans import queries as PQ
 

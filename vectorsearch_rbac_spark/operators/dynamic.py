@@ -71,6 +71,53 @@ def delete_blocks(store: DataFrame, deleted_ids: DataFrame, id_col: str = "block
     return store.join(F.broadcast(deleted_ids), id_col, "left_anti")
 
 
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    update_cols: list[str] | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """H8: MERGE INTO as a pure relational transform — the lakehouse upsert
+    (Delta/Iceberg MERGE semantics on plain DataFrames):
+
+    - matched + source[delete_col]      → row removed
+    - matched (otherwise)               → target row with ``update_cols``
+                                          overwritten from source
+    - not matched (source only)         → source row inserted
+    - target only                       → kept untouched
+
+    One full-outer join on the key — the same single-shuffle shape Delta's
+    MERGE plans; at 100 TB the target side prunes to the partitions the
+    source keys touch when the store is partitioned on (a prefix of) the
+    key. Source must be unique per key (upstream dedup), as in SQL MERGE
+    where multiple source matches are an error.
+    """
+    update_cols = update_cols if update_cols is not None else [c for c in source.columns if c != key and c != delete_col]
+    s = source
+    if delete_col is None:
+        s = s.withColumn("_del", F.lit(False))
+    else:
+        s = s.withColumnRenamed(delete_col, "_del")
+    s = s.select(key, "_del", *[F.col(c).alias(f"_src_{c}") for c in update_cols])
+    t = target.withColumn("_tgt", F.lit(True))
+    j = t.join(s, key, "full_outer")
+    matched = F.col("_tgt").isNotNull() & F.col("_del").isNotNull()
+    out = j.where(~(matched & F.col("_del")))  # matched deletes drop out
+    cols = []
+    for c in target.columns:
+        if c == key:
+            cols.append(F.col(key).alias(c))
+        elif c in update_cols:
+            # matched update / unmatched insert both take the source value
+            cols.append(
+                F.when(F.col("_del").isNotNull(), F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            cols.append(F.col(c).alias(c))
+    return out.select(*cols)
+
+
 def partition_sizes(store: DataFrame) -> DataFrame:
     """comb_role → block count (the heavy-partition detector's input)."""
     return store.groupBy("comb_role").agg(F.count("*").alias("n_blocks"))

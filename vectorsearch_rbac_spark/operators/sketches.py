@@ -213,3 +213,78 @@ def exact_f2(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
         .groupBy(*group_cols)
         .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2_exact"))
     )
+
+
+def quantile_sample(
+    df: DataFrame, group_cols: list[str], value_col: str, id_col: str, rate_den: int = 4
+) -> DataFrame:
+    """F35 state: a deterministic coordinated sample — keep the rows whose
+    md5_long('qs:' + id) ≡ 0 (mod rate_den), i.e. a 1/rate_den Bernoulli
+    draw decided by the row's CONTENT, not a per-partition RNG stream
+    (§4 sampling rule: membership survives repartitioning, joins, and
+    re-runs bit-for-bit).
+
+    This is the mergeable quantile summary: the sample of a union IS the
+    union of the samples (the filter is row-local), so per-day / per-
+    partition sketches concatenate with no compaction logic, and the
+    expected state is n/rate_den rows per group however the 100 TB is
+    split. Classical sample-quantile bounds apply: rank error is
+    O(sqrt(rate_den / n)) with the usual concentration constants.
+    """
+    keep = F.pmod(_h60(F.concat(F.lit("qs:"), F.col(id_col).cast("string"))), F.lit(rate_den)) == 0
+    return df.where(keep).select(*group_cols, F.col(value_col).alias("v"), F.col(id_col).alias("_id"))
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    rate_den: int = 4,
+) -> DataFrame:
+    """F35 estimate: exact linear-interpolation quantiles computed OVER the
+    coordinated sample — pos = q·(n−1), v = v_lo + (pos−lo)·(v_hi−v_lo),
+    ties in v broken by id so the ranked order is total and the DuckDB
+    oracle replays the estimator value-for-value (each step is a single
+    IEEE double op on identical inputs).
+
+    The sort is per-group over SAMPLE rows only (n/rate_den), never the
+    raw data — the whole point at 100 TB; the q-targets join is a
+    broadcast of groups × len(qs) rows.
+    """
+    from pyspark.sql import Window
+
+    s = quantile_sample(df, group_cols, value_col, id_col, rate_den)
+    w = Window.partitionBy(*group_cols).orderBy("v", "_id")
+    ranked = s.select(
+        *group_cols, "v", F.row_number().over(w).alias("rn")
+    )
+    counts = ranked.groupBy(*group_cols).agg(F.max("rn").alias("n_sample"))
+    targets = None
+    for q in qs:
+        t = counts.select(
+            *group_cols,
+            "n_sample",
+            F.lit(q).alias("q"),
+            # lo/hi are 1-based row numbers: pos = q·(n−1) ∈ [0, n−1]
+            (F.floor(F.lit(q) * (F.col("n_sample") - 1)) + 1).cast("long").alias("lo"),
+            (F.ceil(F.lit(q) * (F.col("n_sample") - 1)) + 1).cast("long").alias("hi"),
+        )
+        targets = t if targets is None else targets.unionByName(t)
+    lo_v = ranked.select(*group_cols, F.col("rn").alias("lo"), F.col("v").alias("v_lo"))
+    hi_v = ranked.select(*group_cols, F.col("rn").alias("hi"), F.col("v").alias("v_hi"))
+    # kept op-for-op identical to the oracle's `q * (n-1) - (lo-1)`:
+    # every step is one IEEE double operation on identical inputs
+    frac = F.col("q") * (F.col("n_sample") - 1).cast("double") - (F.col("lo") - 1).cast("double")
+    return (
+        F.broadcast(targets)
+        .join(lo_v, [*group_cols, "lo"])
+        .join(hi_v, [*group_cols, "hi"])
+        .select(
+            *group_cols,
+            "q",
+            F.col("n_sample"),
+            F.round(F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo")), 6).alias("q_est"),
+        )
+    )

@@ -1,4 +1,4 @@
-"""Skew mitigation operators (SURVEY.md §3 scale toolbox).
+"""Skew mitigation + join-pruning operators (SURVEY.md §3 scale toolbox).
 
 A hash-shuffled join collapses when one key holds a disproportionate share
 of the fact rows: every row of the hot key lands on one reducer. AQE's
@@ -7,15 +7,89 @@ is the explicit, planner-independent form — REWRITE the join so no single
 (key, salt) cell can be hot, at the cost of replicating the (small) build
 side ``salt`` times.
 
-Results are provably identical to the unsalted join (exact-oracle checked
-in ``__spark_entry__``): salting only refines the partitioning key, never
-the join predicate.
+``bloom_build``/``bloom_prune`` (F36) are the explicit form of Spark's
+runtime bloom-filter join pruning (spark.sql.optimizer.runtime.bloomFilter,
+InjectRuntimeFilter): hash the SMALL side's join keys into an m-bit filter,
+then drop fact rows that cannot match BEFORE the shuffle — at 100 TB the
+savings is (1 − selectivity) of the fact shuffle for a few KB broadcast.
+Unlike the planner's (whose might_contain uses an engine-private hash),
+this one hashes with the §4 md5_long contract, so the DuckDB oracle
+replays every bit and even the false-positive count is deterministic.
+
+Results are provably identical to the unfiltered join (exact-oracle
+checked in ``__spark_entry__``): a Bloom filter has no false negatives,
+and surviving false positives are removed by the real join that follows.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# 63 usable bits per packed BIGINT word: bit 63 is never set, so
+# shiftleft(1, bit) can't overflow in either engine (DuckDB raises on
+# 1<<63; Spark wraps silently — neither is a bit you want to debug).
+_WORD_BITS = 63
+
+
+def _h60(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def bloom_build(dim: DataFrame, key: str, m_bits: int = 4096, k_hashes: int = 4) -> DataFrame:
+    """Build an m-bit Bloom filter over ``dim[key]`` as a DataFrame of
+    (word_idx, word) packed-BIGINT rows — ceil(m/63) rows total, one
+    map-side-combinable bit_or aggregate, mergeable across builds.
+
+    Bit i of key x = md5_long('bf:i:' + x) mod m — k independent md5
+    draws, reproducible cross-engine.
+    """
+    bits = None
+    for i in range(k_hashes):
+        b = dim.select(
+            F.pmod(
+                _h60(F.concat(F.lit(f"bf:{i}:"), F.col(key).cast("string"))), F.lit(m_bits)
+            ).alias("b")
+        )
+        bits = b if bits is None else bits.unionByName(b)
+    return (
+        bits.select(
+            F.expr(f"b DIV {_WORD_BITS}").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(b % {_WORD_BITS} AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+
+def bloom_prune(
+    fact: DataFrame, bloom: DataFrame, key: str, m_bits: int = 4096, k_hashes: int = 4
+) -> DataFrame:
+    """Keep only fact rows whose k filter bits are ALL set — the pre-shuffle
+    prune. The filter words are collected (ceil(m/63) longs — KBs) and
+    inlined as a literal array, so the check is pure whole-stage codegen on
+    the fact scan: no join, no shuffle, exactly how the planner's runtime
+    filter is pushed into the probe side.
+    """
+    n_words = (m_bits + _WORD_BITS - 1) // _WORD_BITS
+    words = [0] * n_words
+    for r in bloom.collect():
+        words[int(r["word_idx"])] = int(r["word"])
+    # shiftright with a COLUMN shift count needs expr(); build the whole
+    # predicate as one SQL expression over the literal word array so the
+    # check stays inside whole-stage codegen on the fact scan.
+    arr_sql = "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
+    conds = []
+    for i in range(k_hashes):
+        b = (
+            f"pmod(CAST(conv(substring(md5(concat('bf:{i}:', CAST({key} AS STRING))), 1, 15),"
+            f" 16, 10) AS BIGINT), {m_bits})"
+        )
+        conds.append(
+            f"((shiftright(element_at({arr_sql}, CAST({b} DIV {_WORD_BITS} AS INT) + 1), "
+            f"CAST({b} % {_WORD_BITS} AS INT)) & CAST(1 AS BIGINT)) = 1)"
+        )
+    return fact.where(F.expr(" AND ".join(conds)))
 
 
 def salted_join(
