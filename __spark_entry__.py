@@ -1181,19 +1181,27 @@ def q_nation_volume(spark, sf_dir):
 
 
 def q_tpch_deep(spark, sf_dir):
-    """F3 q5 + F27 q7 + F28 q15 + F29 q18 + F30 q19 + F31 q22 + F32 q8 +
-    F33 q21 in one tagged entry — the deeper TPC-H join/subquery shapes,
-    all in exact integer cents/millis so the hash gate is
-    arithmetic-order-proof: 'q5' region-local nation volume, 'q7'
-    two-nation volume shipping per year, 'q15' max-revenue supplier
-    (max-over-agg, no global sort), 'q18' large-quantity orders (HAVING
-    over the fact key), 'q19' three-branch disjunctive predicate revenue,
-    'q22' above-average idle customers per nation (integer
-    cross-multiplied average, anti-join), 'q8' national market share as
-    exact numerator/denominator rows per year, 'q21' only-late-supplier
-    on multi-supplier orders — Spark runs the decorrelated aggregate, the
-    oracle the textbook correlated EXISTS/NOT-EXISTS, so the hash match
-    proves the rewrite."""
+    """The TPC-H join/subquery suite as one tagged entry, all in exact
+    integer cents/millis so the hash gate is arithmetic-order-proof:
+    'q5' region-local nation volume, 'q7' two-nation volume shipping per
+    year, 'q15' max-revenue supplier (max-over-agg, no global sort),
+    'q18' large-quantity orders (HAVING over the fact key), 'q19'
+    three-branch disjunctive predicate revenue, 'q22' above-average idle
+    customers per nation (integer cross-multiplied average, anti-join),
+    'q8' national market share as exact numerator/denominator rows per
+    year, 'q21' only-late-supplier on multi-supplier orders (Spark runs
+    the decorrelated aggregate, the oracle the textbook correlated
+    EXISTS/NOT-EXISTS — the hash match proves the rewrite); r5 adds
+    'q2' min-cost supplier (correlated-min decorrelated; unit cost
+    adapted from lineitem — no partsupp table in this schema), 'q6' the
+    canonical pushdown scan-aggregate, 'q9' product profit per
+    nation/year (supply cost := p_retailprice, same adaptation note),
+    'q10' top-k returned-item customers (aggregate-then-rank, never a
+    fact sort), 'q13' the zero-inclusive customer order-count histogram
+    (left join + double aggregate), 'q14' promo share as an exact
+    num/den pair. With q1/q3/q4/q16/q17 as standalone entries that's
+    19 of 22 TPC-H shapes; q11/q12/q20 need partsupp / l_shipmode /
+    l_receiptdate columns the testdata schema doesn't carry."""
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
@@ -1242,8 +1250,37 @@ def q_tpch_deep(spark, sf_dir):
         PQ.waiting_suppliers(supplier, orders, li),
         "q21", F.col("s_name"), F.lit("ALL"), F.col("numwait"), F.col("s_suppkey"),
     )
+    part = load_table(spark, "part", sf_dir)
+    q2 = shape(
+        PQ.min_cost_supplier(part, supplier, li, nation, region),
+        "q2", F.concat_ws("|", "p_partkey", "s_suppkey"), F.col("n_name"),
+        F.col("bal_cents"), F.col("cost_milli"),
+    )
+    q6 = shape(
+        PQ.revenue_forecast(li),
+        "q6", F.lit("ALL"), F.lit("ALL"), F.col("n_items"), F.col("revenue_cents"),
+    )
+    q9 = shape(
+        PQ.product_profit(li, supplier, part, orders, nation),
+        "q9", F.col("nation"), F.col("o_year"), F.col("n_items"), F.col("profit_cents"),
+    )
+    q10 = shape(
+        PQ.returned_item_revenue(customer, orders, li, nation),
+        "q10", F.concat_ws("|", "rank", "c_name"), F.col("n_name"),
+        F.col("n_items"), F.col("revenue_cents"),
+    )
+    q13 = shape(
+        PQ.customer_distribution(customer, orders),
+        "q13", F.col("c_count"), F.lit("ALL"), F.col("custdist"), F.col("c_count"),
+    )
+    q14 = shape(
+        PQ.promo_revenue_share(part, li),
+        "q14", F.lit("promo/total"), F.lit("ALL"), F.col("promo_cents"), F.col("total_cents"),
+    )
     return (q5.unionByName(q7).unionByName(q15).unionByName(q18)
-            .unionByName(q19).unionByName(q22).unionByName(q8).unionByName(q21))
+            .unionByName(q19).unionByName(q22).unionByName(q8).unionByName(q21)
+            .unionByName(q2).unionByName(q6).unionByName(q9).unionByName(q10)
+            .unionByName(q13).unionByName(q14))
 
 
 def q_top_parts_per_brand(spark, sf_dir):
@@ -3734,6 +3771,19 @@ UNION ALL
 SELECT 'q8', CAST(o_year AS VARCHAR), side, n, v FROM q8
 UNION ALL
 SELECT 'q21', s_name, 'ALL', numwait, s_suppkey FROM q21
+UNION ALL
+SELECT 'q2', CAST(p_partkey AS VARCHAR) || '|' || CAST(s_suppkey AS VARCHAR), n_name,
+       bal_cents, cost_milli FROM q2
+UNION ALL
+SELECT 'q6', 'ALL', 'ALL', n, v FROM q6
+UNION ALL
+SELECT 'q9', nation, CAST(o_year AS VARCHAR), n, v FROM q9
+UNION ALL
+SELECT 'q10', CAST(rnk AS VARCHAR) || '|' || c_name, n_name, n, v FROM q10
+UNION ALL
+SELECT 'q13', CAST(c_count AS VARCHAR), 'ALL', custdist, c_count FROM q13
+UNION ALL
+SELECT 'q14', 'promo/total', 'ALL', promo_cents, total_cents FROM q14
 """
 
 # q8/q21 CTEs are appended into _TPCH_DEEP_SQL's WITH-list below: the
@@ -3786,6 +3836,87 @@ q21 AS (
                       AND l3.l_suppkey <> l1.l_suppkey
                       AND l3.l_shipdate > o2.o_orderdate + INTERVAL 150 DAY)
   GROUP BY 1, 3
+)
+SELECT 'q5' AS method""",
+)
+
+# r5 CTEs (q2/q6/q9/q10/q13/q14) join the same WITH-list; adaptation
+# notes live in plans/queries.py docstrings (no partsupp/l_shipmode in
+# this schema).
+_TPCH_DEEP_SQL = _TPCH_DEEP_SQL.replace(
+    ")\nSELECT 'q5' AS method",
+    """),
+q2cost AS (
+  SELECT l.l_partkey AS p_partkey, l.l_suppkey,
+         MIN(CAST(round(l.l_extendedprice / l.l_quantity * 1000) AS BIGINT)) AS cost_milli
+  FROM lineitem l
+  JOIN (SELECT p_partkey FROM part WHERE p_size = 3 AND p_type = 'SMALL') pp
+    ON l.l_partkey = pp.p_partkey
+  JOIN (SELECT s_suppkey FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA') ss
+    ON l.l_suppkey = ss.s_suppkey
+  GROUP BY 1, 2
+),
+q2 AS (
+  SELECT c.p_partkey, c.l_suppkey AS s_suppkey, s.s_name, n.n_name,
+         CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents, c.cost_milli
+  FROM q2cost c
+  JOIN supplier s ON c.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE c.cost_milli = (SELECT MIN(c2.cost_milli) FROM q2cost c2 WHERE c2.p_partkey = c.p_partkey)
+),
+q6 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem
+  WHERE year(l_shipdate) = 1996 AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+),
+q9 AS (
+  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                  - CAST(round(p.p_retailprice * 100) AS BIGINT) * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+  GROUP BY 1, 2
+),
+q10agg AS (
+  SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+),
+q10 AS (
+  SELECT a.rnk, c.c_name, n.n_name, a.n, a.v
+  FROM (SELECT o_custkey, n, v,
+               CAST(ROW_NUMBER() OVER (ORDER BY v DESC, o_custkey) AS BIGINT) AS rnk
+        FROM q10agg) a
+  JOIN customer c ON a.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE a.rnk <= 20
+),
+q13 AS (
+  SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                               WHERE o_orderpriority <> '1-URGENT') o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+  ) GROUP BY 1
+),
+q14 AS (
+  SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(l.l_shipdate) = 1996 AND month(l.l_shipdate) = 3
 )
 SELECT 'q5' AS method""",
 )

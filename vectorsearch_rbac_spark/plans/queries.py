@@ -688,3 +688,180 @@ def waiting_suppliers(supplier: DataFrame, orders: DataFrame, lineitem: DataFram
         )
         .select("s_name", F.col("s_suppkey").cast("long").alias("s_suppkey"), "numwait")
     )
+
+
+def revenue_forecast(lineitem: DataFrame, y: int = 1996,
+                     d_lo: float = 0.02, d_hi: float = 0.04, qty_max: int = 24) -> DataFrame:
+    """TPC-H q6 shape (F37): the canonical predicate-pushdown scan-aggregate
+    — one year of shipments in a discount band below a quantity cap,
+    revenue = Σ extendedprice·discount in exact cents.
+
+    Scale: zero joins, zero wide shuffles — every predicate reaches the
+    parquet reader (PushedFilters), the aggregate is one map-side-combined
+    row. The query exists to prove the scan path is clean.
+    """
+    return (
+        lineitem.where(
+            (F.year("l_shipdate") == y)
+            & (F.col("l_discount") >= d_lo) & (F.col("l_discount") <= d_hi)
+            & (F.col("l_quantity") < qty_max)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_cents"),
+        )
+    )
+
+
+def product_profit(lineitem: DataFrame, supplier: DataFrame, part: DataFrame,
+                   orders: DataFrame, nation: DataFrame, name_kw: str = "red") -> DataFrame:
+    """TPC-H q9 shape (F38): product-line profit per (supplier nation, order
+    year). ADAPTED to this schema: no partsupp table, so supply cost :=
+    p_retailprice (the part dim's price column) — amount_cents =
+    cents(extendedprice·(1−discount)) − cents(retailprice)·quantity. The
+    SHAPE is intact: fact × 2 dims × fact-fact orderkey join × nation
+    rollup with a LIKE filter on part names.
+
+    Scale: part/supplier/nation broadcast with the name filter applied
+    before the join; the only fact-fact shuffle is lineitem⋈orders.
+    """
+    p = part.where(F.col("p_name").contains(name_kw)).select(
+        "p_partkey", _cents(F.col("p_retailprice")).alias("cost_cents")
+    )
+    s = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"), "n_name")),
+        "s_nationkey",
+    ).select("s_suppkey", "n_name")
+    amount = (
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        - F.col("cost_cents") * F.col("l_quantity").cast("long")
+    )
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(amount).alias("profit_cents"),
+        )
+    )
+
+
+def returned_item_revenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                          nation: DataFrame, start: str = "1996-01-01",
+                          end: str = "1996-04-01", k: int = 20) -> DataFrame:
+    """TPC-H q10 shape (F39): top-k customers by lost revenue from returned
+    items in one quarter. Exact cents; the top-k rank orders by
+    (revenue_cents DESC, c_custkey) so the cut is total cross-engine.
+
+    Scale: the rank runs over POST-AGGREGATE rows (customer cardinality,
+    not facts) — the same aggregate-then-rank shape as q15, never an
+    order-by over the fact table.
+    """
+    j = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where((F.col("o_orderdate") >= F.lit(start)) & (F.col("o_orderdate") < F.lit(end)))
+            .select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("o_custkey"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey")), "o_custkey")
+        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")), "c_nationkey")
+        .select(
+            F.col("o_custkey").cast("long").alias("c_custkey"), "c_name", "n_name",
+            "n_items", "revenue_cents", F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def customer_distribution(customer: DataFrame, orders: DataFrame,
+                          excl_priority: str = "1-URGENT") -> DataFrame:
+    """TPC-H q13 shape (F40): the customer order-count distribution INCLUDING
+    zero-order customers — the left-join-then-double-aggregate pattern
+    (histogram of per-customer counts).
+
+    Scale: customer⋈orders shuffles on custkey once; the second aggregate
+    runs over customer-cardinality rows. The left join is what preserves
+    the zero bucket an inner join would silently drop.
+    """
+    o = orders.where(F.col("o_orderpriority") != excl_priority).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").cast("long").alias("custdist"))
+
+
+def promo_revenue_share(part: DataFrame, lineitem: DataFrame, y: int = 1996, m: int = 3) -> DataFrame:
+    """TPC-H q14 shape (F41): promo revenue share for one month, emitted as
+    the exact integer (numerator, denominator) cents pair — no floating
+    ratio to drift cross-engine (the q8 convention).
+
+    Scale: one conditional aggregation over the month's fact slice with
+    the part type broadcast — no second scan for the denominator.
+    """
+    li = lineitem.where((F.year("l_shipdate") == y) & (F.month("l_shipdate") == m))
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))).alias("promo_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+    )
+
+
+def min_cost_supplier(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                      nation: DataFrame, region: DataFrame, size: int = 3,
+                      type_eq: str = "SMALL", region_name: str = "ASIA") -> DataFrame:
+    """TPC-H q2 shape (F42): for each qualifying part, the region's suppliers
+    achieving the MINIMUM supply cost — the correlated-min subquery over a
+    multi-dim join. ADAPTED to this schema: no partsupp, so the observed
+    unit cost of (supplier, part) := min over their lineitems of
+    round(extendedprice/quantity·1000) in exact milli-units.
+
+    Scale: the correlated min decorrelates into a per-part aggregate of
+    the (supp, part) cost table joined back on equality — two aggregates
+    and broadcast dims, never a per-part subquery loop.
+    """
+    r = region.where(F.col("r_name") == region_name).select("r_regionkey")
+    n = nation.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+    s = supplier.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "n_name", _cents(F.col("s_acctbal")).alias("bal_cents"))
+    p = part.where((F.col("p_size") == size) & (F.col("p_type") == type_eq)).select("p_partkey", "p_brand")
+    unit_milli = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 1000, 0).cast("long")
+    sp_cost = (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(unit_milli).alias("cost_milli"))
+    )
+    best = sp_cost.groupBy("p_partkey").agg(F.min("cost_milli").alias("best_milli"))
+    return (
+        sp_cost.join(F.broadcast(best), "p_partkey")
+        .where(F.col("cost_milli") == F.col("best_milli"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), "p_partkey")
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"), "p_brand",
+            F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "n_name",
+            "bal_cents", "cost_milli",
+        )
+    )
