@@ -2008,9 +2008,21 @@ def q_quantized_topk(spark, sf_dir):
     in one tagged entry (registry curation): bit-packed hamming, fp16
     halfvec L2, sparsevec cosine, int8 integer-dot, and the pgvector-0.7
     binary-quantize+rerank pipeline (1-bit scan → exact float refine) —
-    each keeps its exact oracle formulation inside the union."""
+    each keeps its exact oracle formulation inside the union. r5 adds
+    'pq_exact' (D6 certification): the PQ encode → ADC-shortlist →
+    exact-refine pipeline over arithmetic ANCHOR codebooks, every
+    sub-distance integer-micro'd before aggregation so the DuckDB oracle
+    replays encode argmin, ADC sums, shortlist, and refine
+    value-for-value (the anchor_ivf_curve treatment applied to PQ;
+    k-means codebooks stay recall-checked in ann_recall)."""
     t = _rbac(spark, sf_dir)
+    from vectorsearch_rbac_spark.operators import pq as PQZ
+
     parts = [
+        ("pq_exact", _i(PQZ.pq_anchor_topk(
+                t["embeddings"], t["queries"], m=8, ksub=16, k=TOPK, expansion=4),
+                "query_id", "vec_id").select(
+            "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
         ("hamming", q_hamming_topk(spark, sf_dir).select(
             "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
         ("bit_rerank", _i(ann.hamming_rerank_topk(
@@ -4502,7 +4514,66 @@ SELECT query_id, vec_id, distance, rank FROM (
 ) WHERE rank <= {TOPK}
 """
 
+# D6 certification: anchor-codebook PQ — encode argmin / ADC / refine all
+# replayed in integer-micro space (see pq.pq_anchor_topk docstring).
+_PQ_EXACT_SQL = f"""
+WITH anchors AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS a
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16)
+),
+subs AS (SELECT unnest(range(0, 8)) AS j),
+ecand AS (
+  SELECT e.vec_id, s.j, an.cid,
+         CAST(round(list_sum(list_transform(range(1, 9),
+             i -> (list_slice(e.embedding::DOUBLE[], s.j*8+1, s.j*8+8)[i]
+                   - list_slice(an.a::DOUBLE[], s.j*8+1, s.j*8+8)[i])
+                * (list_slice(e.embedding::DOUBLE[], s.j*8+1, s.j*8+8)[i]
+                   - list_slice(an.a::DOUBLE[], s.j*8+1, s.j*8+8)[i])))
+             * 1000000) AS BIGINT) AS micro
+  FROM embeddings e CROSS JOIN anchors an CROSS JOIN subs s
+),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY micro, cid) AS rn
+    FROM ecand
+  ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, embedding AS query_vector FROM embeddings WHERE vec_id % 100 = 0),
+luts AS (
+  SELECT q.query_id, s.j, an.cid,
+         CAST(round(list_sum(list_transform(range(1, 9),
+             i -> (list_slice(q.query_vector::DOUBLE[], s.j*8+1, s.j*8+8)[i]
+                   - list_slice(an.a::DOUBLE[], s.j*8+1, s.j*8+8)[i])
+                * (list_slice(q.query_vector::DOUBLE[], s.j*8+1, s.j*8+8)[i]
+                   - list_slice(an.a::DOUBLE[], s.j*8+1, s.j*8+8)[i])))
+             * 1000000) AS BIGINT) AS micro
+  FROM qs q CROSS JOIN anchors an CROSS JOIN subs s
+),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.micro) AS BIGINT) AS adc_micro
+  FROM codes c JOIN luts l ON c.j = l.j AND c.cid = l.cid
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micro, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {TOPK * 4}
+)
+SELECT query_id, vec_id, distance, rank FROM (
+  SELECT s.query_id, s.vec_id,
+         ROUND(list_distance(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6) + 0.0 AS distance,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id
+           ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6), s.vec_id) AS rank
+  FROM short s JOIN embeddings e USING (vec_id) JOIN qs q USING (query_id)
+) WHERE rank <= {TOPK}
+"""
+
 _QUANTIZED_SQL = f"""
+SELECT 'pq_exact' AS method, query_id, vec_id,
+       CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
+FROM ({_PQ_EXACT_SQL})
+UNION ALL
 SELECT 'hamming' AS method, query_id, vec_id,
        CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
 FROM ({_HAMMING_TOPK_SQL})

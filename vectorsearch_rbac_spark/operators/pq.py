@@ -421,3 +421,107 @@ def ivfpq_search_refined(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
     )
+
+
+# ------------------------------------------------------- anchor-exact PQ
+def pq_anchor_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 10,
+    expansion: int = 4,
+    anchor_stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ encode → ADC-shortlist → exact-refine pipeline with every
+    step SQL-expressible, so the DuckDB oracle replays it end-to-end
+    (the certification companion to ``pq_search_refined``, exactly as
+    ``tuning.anchor_ivf_curve`` certifies the IVF machinery: k-means
+    codebooks are float-iterative, so this variant swaps them for
+    ANCHOR codewords chosen arithmetically — codeword c of subspace j is
+    the j-th subvector of the c-th anchor embedding).
+
+    Cross-engine determinism: every sub-distance is rounded to 6 dp and
+    scaled to integer MICRO units before any aggregation, so the encode
+    argmin (min by (micro, cid)) and the ADC sum (BIGINT, order-free)
+    are bit-exact however either engine orders the work — the float
+    tolerance surface is exactly the repo-wide ROUND(...,6) contract,
+    never a float accumulation order.
+
+    Scale: the encode explode is N·ksub·m rows of one fused codegen
+    stage (a certification-path cost; the production encode is the
+    Arrow ``pq_encode``); ADC joins the (N·m) code rows to a broadcast
+    Q·m LUT and the float vectors are fetched only for the k·expansion
+    shortlist, the same read pattern as the production path.
+    """
+    from ..functions import vector as V
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    dsub = dim // m
+    w_anchor = Window.orderBy(id_col)
+    anchors = (
+        embeddings.where(F.col(id_col) % anchor_stride == 0)
+        .orderBy(id_col).limit(ksub)
+        .select((F.row_number().over(w_anchor) - 1).alias("cid"),
+                F.col(vec_col).alias("_a"))
+    )
+
+    def micro_subdist(vcol: str, acol: str, j: int) -> F.Column:
+        sub_v = F.slice(F.col(vcol), j * dsub + 1, dsub)
+        sub_a = F.slice(F.col(acol), j * dsub + 1, dsub)
+        d2 = F.aggregate(
+            F.zip_with(sub_v, sub_a, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        return F.round(d2 * 1000000, 0).cast("long")
+
+    def codes_for(df: DataFrame, idc: str, vcol: str) -> DataFrame:
+        """(id, j, cid): argmin codeword per subspace, ties by cid."""
+        sub = df.select(idc, vcol).join(F.broadcast(anchors), how="cross").select(
+            idc, "cid",
+            F.posexplode(F.array(*[micro_subdist(vcol, "_a", j) for j in range(m)]))
+            .alias("j", "micro"),
+        )
+        w = Window.partitionBy(idc, "j").orderBy(F.col("micro").asc(), F.col("cid").asc())
+        return (
+            sub.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(idc, "j", "cid")
+        )
+
+    codes = codes_for(embeddings, id_col, vec_col)
+    luts = queries.select("query_id", "query_vector").join(
+        F.broadcast(anchors), how="cross"
+    ).select(
+        "query_id", "cid",
+        F.posexplode(F.array(*[micro_subdist("query_vector", "_a", j) for j in range(m)]))
+        .alias("j", "micro"),
+    )
+    adc = (
+        codes.join(F.broadcast(luts), ["j", "cid"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("micro").alias("adc_micro"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.col("adc_micro").asc(), F.col(id_col).asc())
+    shortlist = (
+        adc.withColumn("_rn", F.row_number().over(w_short))
+        .where(F.col("_rn") <= k * expansion)
+        .select("query_id", id_col)
+    )
+    rescored = (
+        shortlist.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .select(
+            "query_id", id_col,
+            (F.round(V.l2_distance(vec_col, "query_vector"), 6) + F.lit(0.0)).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "distance", "rank")
+    )
