@@ -483,19 +483,25 @@ def q_curated_corpus(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     """E9-E12 per-doc text metrics + E30 CCNet-style unigram-LM
-    log-perplexity (corpus-trained add-1 unigram model) in one entry."""
+    log-perplexity (corpus-trained add-1 unigram model) + E43 interpolated
+    bigram-LM log-perplexity (λ·MLE-bigram + (1−λ)·unigram backoff — the
+    context-aware step toward CCNet's KenLM filter) in one entry."""
     docs = load_table(spark, "documents", sf_dir)
-    out = docs.select(
-        "doc_id",
-        T.token_count("text").cast("long").alias("n_tokens"),
-        T.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
-        T.stopword_ratio("text").alias("stopword_ratio"),
-        T.punct_ratio("text").alias("punct_ratio"),
-        T.repetition_ratio("text").alias("repetition_ratio"),
-        T.top_bigram_frac("text").alias("top_bigram_frac"),
-        T.quality_score("text").alias("quality"),
-        T.lang_id("text").alias("lang_pred"),
-    ).join(curation.unigram_logppl(docs), "doc_id")
+    out = (
+        docs.select(
+            "doc_id",
+            T.token_count("text").cast("long").alias("n_tokens"),
+            T.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+            T.stopword_ratio("text").alias("stopword_ratio"),
+            T.punct_ratio("text").alias("punct_ratio"),
+            T.repetition_ratio("text").alias("repetition_ratio"),
+            T.top_bigram_frac("text").alias("top_bigram_frac"),
+            T.quality_score("text").alias("quality"),
+            T.lang_id("text").alias("lang_pred"),
+        )
+        .join(curation.unigram_logppl(docs), "doc_id")
+        .join(curation.bigram_logppl(docs), "doc_id")
+    )
     return _i(out, "doc_id")
 
 
@@ -2497,6 +2503,29 @@ tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS v F
 ppl AS (
   SELECT doc_id, ROUND(AVG(-LN((tf + 1.0) / (total + v))), 6) AS unigram_logppl
   FROM tok2 JOIN vocab USING (token) CROSS JOIN tot GROUP BY doc_id
+),
+tokp AS (
+  SELECT doc_id, toks[i] AS token, i AS pos
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+  WHERE toks[i] <> ''
+),
+seq AS (
+  SELECT doc_id, token, LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tokp
+),
+bgc AS (SELECT prev, token, COUNT(*) AS c FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+bppl AS (
+  SELECT s.doc_id,
+         ROUND(AVG(-LN(CASE WHEN s.prev IS NULL
+             THEN (v1.tf + 1.0) / (tot.total + tot.v)
+             ELSE 0.5 * (bgc.c / vp.tf) + 0.5 * ((v1.tf + 1.0) / (tot.total + tot.v)) END)), 6)
+           AS bigram_logppl
+  FROM seq s
+  JOIN vocab v1 ON s.token = v1.token
+  LEFT JOIN vocab vp ON s.prev = vp.token
+  LEFT JOIN bgc ON s.prev = bgc.prev AND s.token = bgc.token
+  CROSS JOIN tot
+  GROUP BY 1
 )
 SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio, repetition_ratio, top_bigram_frac,
   ROUND(LEAST(stopword_ratio * 4, 1.0) * 0.3
@@ -2506,8 +2535,9 @@ SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio, repetition_r
   CASE WHEN stopword_ratio >= 0.08 AND ascii_ratio >= 0.97 THEN 'en'
        WHEN ascii_ratio >= 0.97 THEN 'latin'
        ELSE 'other' END AS lang_pred,
-  COALESCE(unigram_logppl, 0.0) AS unigram_logppl
-FROM s LEFT JOIN ppl USING (doc_id)
+  COALESCE(unigram_logppl, 0.0) AS unigram_logppl,
+  COALESCE(bigram_logppl, 0.0) AS bigram_logppl
+FROM s LEFT JOIN ppl USING (doc_id) LEFT JOIN bppl USING (doc_id)
 """
 
 _MD5L = "('0x' || substr(md5({x}), 1, 15))::BIGINT"

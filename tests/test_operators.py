@@ -996,6 +996,25 @@ def test_ams_f2_state_and_estimate(spark, sf_dir):
         assert 0.2 * x[t] < r["f2_est"] < 5.0 * x[t]
 
 
+def test_bigram_logppl_rewards_predictable_transitions(spark):
+    """E43: a doc whose transitions are fully determined by context scores
+    strictly lower bigram perplexity than unigram; a single-token doc
+    falls back to exactly the unigram term."""
+    from vectorsearch_rbac_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "a a b b a b b a"), (3, "a")],
+        "doc_id long, text string",
+    )
+    uni = {r["doc_id"]: r["unigram_logppl"] for r in curation.unigram_logppl(docs).collect()}
+    bi = {r["doc_id"]: r["bigram_logppl"] for r in curation.bigram_logppl(docs).collect()}
+    # doc 1: after 'a' always 'b' and vice versa → bigram term is certain
+    assert bi[1] < uni[1]
+    # doc 3: one token, no transitions → pure unigram fallback
+    assert bi[3] == uni[3]
+    assert all(v > 0 for v in bi.values())
+
+
 def test_merge_upsert_all_four_branches(spark):
     """H8 MERGE: matched-update, matched-delete, not-matched-insert, and
     untouched-keep, all in one call; target rows keep non-updated columns."""

@@ -404,6 +404,67 @@ def unigram_logppl(
     )
 
 
+def bigram_logppl(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.5,
+) -> DataFrame:
+    """E43: interpolated bigram-LM quality signal — the context-aware step
+    up from :func:`unigram_logppl` (CCNet's production filter is a 5-gram
+    KenLM; the interpolation structure is the same):
+
+    p(w | prev) = λ·c(prev,w)/tf(prev) + (1−λ)·p_uni(w), first token of a
+    doc scores p_uni alone; bigram_logppl(doc) = mean −ln p, rounded 6 dp.
+    Both models are trained on the corpus itself, so c(prev,w) ≥ 1 for
+    every observed transition — fluent repeated phrasing scores low,
+    token-soup transitions score near the unigram floor.
+
+    Shape: one posexplode + per-doc lag window (prev token), a
+    (prev,w)-keyed count, one broadcastable vocab join. At 100 TB the
+    bigram table gets frequency-truncated exactly like the vocab (tail
+    transitions fall back to the unigram term — standard LM practice).
+    """
+    toks = (
+        documents.select(id_col, F.posexplode(T.tokens(text_col)).alias("pos", "token"))
+        .where(F.col("token") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    seq = toks.withColumn("prev", F.lag("token").over(w))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    bg = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p_uni = (F.col("tf") + F.lit(1.0)) / (F.col("total") + F.col("v"))
+    p = F.when(
+        F.col("prev").isNull(), p_uni
+    ).otherwise(
+        F.lit(lam) * (F.col("c") / F.col("tfp")) + F.lit(1.0 - lam) * p_uni
+    )
+    ppl = (
+        seq.join(F.broadcast(vocab), "token")
+        .join(
+            F.broadcast(vocab.select(F.col("token").alias("prev"), F.col("tf").alias("tfp"))),
+            "prev", "left",
+        )
+        .join(bg, ["prev", "token"], "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(-F.log(p)), 6).alias("bigram_logppl"))
+    )
+    return (
+        documents.select(id_col)
+        .join(ppl, id_col, "left")
+        .select(id_col, F.coalesce("bigram_logppl", F.lit(0.0)).alias("bigram_logppl"))
+    )
+
+
 def dsir_weights(
     documents: DataFrame,
     target,
