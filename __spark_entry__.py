@@ -1148,7 +1148,7 @@ def q_sketches(spark, sf_dir):
     ).groupBy("event_type", "q").agg(
         F.sum((F.col("value") <= F.col("q_est")).cast("long")).alias("rank_full")
     )
-    qrows = sq.join(rank_in_full, ["event_type", "q"]).select(
+    qrows = sq.join(F.broadcast(rank_in_full), ["event_type", "q"]).select(
         F.lit("qs").alias("method"),
         F.concat_ws("|", "event_type", F.format_number("q", 2)).alias("key"),
         F.col("rank_full").alias("n"),
@@ -1421,9 +1421,10 @@ def q_streaming_hourly_only(spark, sf_dir):
 
 
 def q_streaming_hourly_stats(spark, sf_dir):
-    """SIX real Structured Streaming executions under one exact oracle
+    """SEVEN real Structured Streaming executions under one exact oracle
     (registry curation; every member is an availableNow file-source stream
-    into a memory sink, hash-matched against batch SQL):
+    into a memory sink — or, for 'cdc_merge', a foreachBatch MERGE loop —
+    hash-matched against batch SQL):
 
     - 'hourly' (G1/F6): complete-mode hourly aggregate — the batch
       time-bucket plan's streaming twin;
@@ -1446,7 +1447,12 @@ def q_streaming_hourly_stats(spark, sf_dir):
       embeddings routed to their nearest anchor centroid in-flight (pure
       narrow map, literal anchors, no state store), batch-folded to
       per-list counts + vec_id checksums; the oracle replays the anchor
-      assignment (parity: dynamic_partition/hnsw/insertion.py).
+      assignment (parity: dynamic_partition/hnsw/insertion.py);
+    - 'cdc_merge' (G9): streaming CDC apply — a change stream (upserts +
+      tombstones, one change per key) folded into the even-id docs store
+      by a MERGE per micro-batch (foreachBatch + dynamic.merge_upsert);
+      final state is batch-split independent, so the oracle computes it
+      closed-form and the content checksum certifies the whole loop.
 
     Unified (method, key, n, val) schema; complete+availableNow /
     append+availableNow are the bounded-replay harnesses, the watermark
@@ -1544,8 +1550,42 @@ def q_streaming_hourly_stats(spark, sf_dir):
         F.lit("ivf_route").alias("method"), F.col("centroid_id").cast("string").alias("key"),
         "n", "val",
     )
+
+    # 'cdc_merge' (G9): a change stream (upserts + tombstones, one change
+    # per key) applied to the even-id docs store via per-micro-batch MERGE
+    # (foreachBatch + dynamic.merge_upsert). Final state is batch-split
+    # independent, so the oracle computes it directly: every doc_id with
+    # id % 7 != 0 survives carrying n_chars + 1000.
+    from vectorsearch_rbac_spark.functions.vector import md5_long
+
+    cn = _STREAM_DROPS.get(sf_dir + "#cdc")
+    if cn is None:
+        cn = tempfile.mkdtemp(prefix="stream_cdc_") + "/in"
+        docs.select(
+            "doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars"),
+            (F.col("doc_id") % 7 == 0).alias("_is_del"),
+        ).repartition(2).write.mode("overwrite").parquet(cn)
+        _STREAM_DROPS[sf_dir + "#cdc"] = cn
+    base = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    changes_schema = spark.read.parquet(cn).schema
+    final = S.streaming_cdc_merge(
+        spark, cn, changes_schema, base, "doc_id",
+        update_cols=["lang", "n_chars"], delete_col="_is_del",
+    )
+    ch = md5_long(F.concat_ws("|", F.col("doc_id").cast("string"), "lang",
+                              F.col("n_chars").cast("string")))
+    cdc = final.select(ch.alias("_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"), F.expr("bit_xor(_h)").alias("cks")
+    )
+    cdc_rows = cdc.select(
+        F.lit("cdc_merge").alias("method"), F.lit("count").alias("key"),
+        F.col("n_rows").alias("n"), F.lit(0.0).alias("val"),
+    ).unionByName(cdc.select(
+        F.lit("cdc_merge").alias("method"), F.lit("checksum").alias("key"),
+        F.col("cks").alias("n"), F.lit(0.0).alias("val"),
+    ))
     return (hourly.unionByName(dedup_agg).unionByName(adm).unionByName(sess)
-            .unionByName(ssj).unionByName(ivr))
+            .unionByName(ssj).unionByName(ivr).unionByName(cdc_rows))
 
 
 def q_ivf_recall(spark, sf_dir):
@@ -4110,6 +4150,14 @@ FROM (
     WHERE e.vec_id % 3 = 1
   ) WHERE rn = 1
 ) GROUP BY centroid_id
+UNION ALL
+SELECT 'cdc_merge' AS method, k.key,
+       CASE k.key WHEN 'count' THEN (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 7 <> 0)
+                  ELSE (SELECT bit_xor(('0x' || substr(md5(
+                          CAST(doc_id AS VARCHAR) || '|' || lang || '|' || CAST(n_chars + 1000 AS VARCHAR)
+                        ), 1, 15))::BIGINT) FROM documents WHERE doc_id % 7 <> 0) END AS n,
+       0.0 AS val
+FROM (SELECT unnest(['count', 'checksum']) AS key) k
 """
 
 # curated-union oracles: each merged entry unions its members' exact

@@ -1025,7 +1025,7 @@ def test_merge_upsert_all_four_branches(spark):
         "id long, val string, extra long",
     )
     src = spark.createDataFrame(
-        [(2, "B", False), (3, "c", True), (5, "E", False)],
+        [(2, "B", False), (3, "c", True), (5, "E", False), (6, "F", True)],
         "id long, val string, is_del boolean",
     )
     out = dynamic.merge_upsert(tgt, src, "id", update_cols=["val"], delete_col="is_del")
@@ -1035,7 +1035,7 @@ def test_merge_upsert_all_four_branches(spark):
         2: ("B", 20),   # update: val overwritten, extra preserved
         4: ("d", 40),   # keep
         5: ("E", None), # insert: no target cols beyond update set
-    }  # 3 deleted
+    }  # 3 deleted; 6 = delete of a missing key → no action
 
 
 def test_bloom_prune_no_false_negatives_and_join_identity(spark, sf_dir):

@@ -84,7 +84,9 @@ def merge_upsert(
     - matched + source[delete_col]      → row removed
     - matched (otherwise)               → target row with ``update_cols``
                                           overwritten from source
-    - not matched (source only)         → source row inserted
+    - not matched (source only)         → source row inserted, UNLESS
+                                          delete-flagged (SQL MERGE takes
+                                          no action deleting a missing row)
     - target only                       → kept untouched
 
     One full-outer join on the key — the same single-shuffle shape Delta's
@@ -101,9 +103,13 @@ def merge_upsert(
         s = s.withColumnRenamed(delete_col, "_del")
     s = s.select(key, "_del", *[F.col(c).alias(f"_src_{c}") for c in update_cols])
     t = target.withColumn("_tgt", F.lit(True))
-    j = t.join(s, key, "full_outer")
-    matched = F.col("_tgt").isNotNull() & F.col("_del").isNotNull()
-    out = j.where(~(matched & F.col("_del")))  # matched deletes drop out
+    # full-outer can't broadcast; prefer the shuffled-hash build (Spark 3.1+
+    # supports full-outer SHJ) over a sort-merge — no per-partition sort of
+    # the store, the same choice Delta's MERGE planner makes
+    j = t.join(s.hint("shuffle_hash"), key, "full_outer")
+    # any delete-flagged source row yields no output: matched → target row
+    # removed; unmatched → no-op insert suppressed (delete of a missing key)
+    out = j.where(~F.coalesce(F.col("_del"), F.lit(False)))
     cols = []
     for c in target.columns:
         if c == key:

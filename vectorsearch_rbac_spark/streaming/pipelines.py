@@ -385,3 +385,52 @@ def run_streaming_graph_inserts(
     )
     q.awaitTermination()
     return state["blocks"], state["graph"]
+
+
+def streaming_cdc_merge(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    initial_store: DataFrame,
+    key: str,
+    update_cols: list[str],
+    delete_col: str,
+    max_files_per_trigger: int = 1,
+):
+    """G9 — streaming CDC apply: a change stream (upserts + tombstones)
+    folded into a table via ``dynamic.merge_upsert`` per micro-batch
+    through foreachBatch — the Structured-Streaming half of the
+    Delta/Iceberg \"MERGE INTO target USING changes\" loop (every CDC
+    ingestion pipeline's shape; parity: insertion.py/deletion.py as one
+    continuous apply instead of separate jobs).
+
+    Runs the stream to completion (availableNow) and returns the final
+    store DataFrame. With at most one change per key in the drop, the
+    final state is provably independent of how the files split into
+    micro-batches — which is what the oracle checks.
+
+    State note: the evolving store is checkpointed per batch; on a
+    cluster each foreachBatch merge is the transactional sink commit,
+    the same single-shuffle full-outer join at every step.
+    """
+    from ..operators.dynamic import merge_upsert
+
+    state = {"store": initial_store.localCheckpoint()}
+
+    def on_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        state["store"] = merge_upsert(
+            state["store"], batch_df, key, update_cols=update_cols, delete_col=delete_col
+        ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["store"]
