@@ -1001,7 +1001,20 @@ def q_time_buckets(spark, sf_dir):
         F.lit("json_ext").alias("method"), F.lit("ALL").alias("day"), F.col("event_type").alias("key"),
         F.col("min_k").alias("n"), F.col("max_k").alias("value_milli"),
     )
-    return piv.unionByName(roll).unionByName(cub).unionByName(jsn).unionByName(jx)
+    # F43: time_bucket_gapfill + locf + interpolate — the dense per-type
+    # hour spine with gap rows filled three ways; 'gapfill' rows carry the
+    # interpolated milli, 'gapfill_locf' the carried-forward milli
+    gf = PQ.time_gapfill(ev)
+    gfi = gf.select(
+        F.lit("gapfill").alias("method"), F.col("hour").alias("day"),
+        F.col("event_type").alias("key"), "n", F.col("interp_milli").alias("value_milli"),
+    )
+    gfl = gf.select(
+        F.lit("gapfill_locf").alias("method"), F.col("hour").alias("day"),
+        F.col("event_type").alias("key"), "n", F.col("locf_milli").alias("value_milli"),
+    )
+    return (piv.unionByName(roll).unionByName(cub).unionByName(jsn)
+            .unionByName(jx).unionByName(gfi).unionByName(gfl))
 
 
 def q_semi_anti_joins(spark, sf_dir):
@@ -2857,6 +2870,52 @@ SELECT 'json_ext' AS method, 'ALL' AS day, event_type AS key,
        CAST(MIN(k) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS value_milli
 FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
 GROUP BY event_type
+UNION ALL
+SELECT method, day, key, n, value_milli FROM (
+  WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS milli
+    FROM events GROUP BY 1, 2
+  ),
+  spine AS (
+    SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+    FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1)
+  ),
+  filled AS (
+    SELECT s.event_type, s.hour, h.n, h.milli,
+           last_value(h.milli IGNORE NULLS) OVER w_back AS prev_m,
+           last_value(CASE WHEN h.milli IS NOT NULL THEN s.hour END IGNORE NULLS) OVER w_back AS prev_h,
+           first_value(h.milli IGNORE NULLS) OVER w_fwd AS next_m,
+           first_value(CASE WHEN h.milli IS NOT NULL THEN s.hour END IGNORE NULLS) OVER w_fwd AS next_h
+    FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+    WINDOW w_back AS (PARTITION BY s.event_type ORDER BY s.hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_fwd AS (PARTITION BY s.event_type ORDER BY s.hour
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+  ),
+  calc AS (
+    SELECT event_type, hour, n, milli, prev_m, next_m,
+           CAST((epoch(hour) - epoch(prev_h)) / 3600 AS BIGINT) AS pos,
+           CAST((epoch(next_h) - epoch(prev_h)) / 3600 AS BIGINT) AS len
+    FROM filled
+  ),
+  gaprows AS (
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(prev_m, -1) AS BIGINT) AS locf_milli,
+           CAST(CASE WHEN milli IS NOT NULL THEN milli
+                     WHEN prev_m IS NOT NULL AND next_m IS NOT NULL AND len > 0
+                     THEN prev_m + ((next_m - prev_m) * pos
+                          - (((next_m - prev_m) * pos) % len + len) % len) // len
+                     ELSE -1 END AS BIGINT) AS interp_milli
+    FROM calc
+  )
+  SELECT 'gapfill' AS method, hour AS day, event_type AS key, n, interp_milli AS value_milli
+  FROM gaprows
+  UNION ALL
+  SELECT 'gapfill_locf', hour, event_type, n, locf_milli FROM gaprows
+)
 """
 
 # F24+F25+F26: deterministic md5-hashed sketches — the oracle replays the

@@ -996,6 +996,29 @@ def test_ams_f2_state_and_estimate(spark, sf_dir):
         assert 0.2 * x[t] < r["f2_est"] < 5.0 * x[t]
 
 
+def test_time_gapfill_locf_and_interpolation(spark):
+    """F43: gap rows materialize with n=0; locf carries the last observed
+    value; interpolation is exact integer linear between brackets."""
+    import datetime as dt
+
+    from vectorsearch_rbac_spark.plans import queries as PQ
+
+    h = lambda i: dt.datetime(2024, 1, 1, i, 30)
+    ev = spark.createDataFrame(
+        [(1, h(0), 1, "click", 10.0, "{}"), (2, h(3), 1, "click", 40.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = {r["hour"]: r for r in PQ.time_gapfill(ev).collect()}
+    assert len(rows) == 4  # dense spine 00..03
+    gap1 = rows["2024-01-01 01:00:00"]
+    gap2 = rows["2024-01-01 02:00:00"]
+    assert gap1["n"] == 0 and gap1["locf_milli"] == 10000
+    # linear between 10000 and 40000 over 3 hours: +10000/hour
+    assert gap1["interp_milli"] == 20000 and gap2["interp_milli"] == 30000
+    assert rows["2024-01-01 00:00:00"]["interp_milli"] == 10000
+    assert rows["2024-01-01 03:00:00"]["locf_milli"] == 40000
+
+
 def test_bigram_logppl_rewards_predictable_transitions(spark):
     """E43: a doc whose transitions are fully determined by context scores
     strictly lower bigram perplexity than unigram; a single-token doc

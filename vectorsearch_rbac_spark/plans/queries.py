@@ -865,3 +865,74 @@ def min_cost_supplier(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
             "bal_cents", "cost_milli",
         )
     )
+
+
+def time_gapfill(events: DataFrame) -> DataFrame:
+    """F43: hypertable gap-filling — the Timescale ``time_bucket_gapfill``
+    + ``locf()`` + ``interpolate()`` triple on plain DataFrames. Per
+    event_type, hourly value sums in exact millis over a DENSE per-type
+    hour spine (missing hours materialized by a sequence explode between
+    the type's first and last hour), with three fill policies emitted
+    side-by-side:
+
+    - ``n``            = 0 for gap rows (count fill);
+    - ``locf_milli``   = last observed value carried forward (−1 before
+                         the first observation);
+    - ``interp_milli`` = linear interpolation between the neighboring
+                         observations, computed entirely in BIGINT —
+                         prev + floor((next−prev)·pos / len) with an
+                         explicit positive-mod floor division, because
+                         Spark's DIV truncates toward zero while
+                         DuckDB's // floors (−1 outside any bracket).
+
+    Scale: the spine explode is hours-per-type rows (tiny vs the fact
+    table); every window shares one (event_type, hour) sort; the fact
+    aggregate is the only corpus-sized shuffle.
+    """
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("milli"),
+        )
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    g = spine.join(hourly, ["event_type", "hour"], "left")
+    w_back = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_fwd = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_hour = F.when(F.col("milli").isNotNull(), F.col("hour"))
+    g = (
+        g.withColumn("prev_m", F.last("milli", ignorenulls=True).over(w_back))
+        .withColumn("prev_h", F.last(obs_hour, ignorenulls=True).over(w_back))
+        .withColumn("next_m", F.first("milli", ignorenulls=True).over(w_fwd))
+        .withColumn("next_h", F.first(obs_hour, ignorenulls=True).over(w_fwd))
+    )
+    pos = (F.unix_timestamp("hour") - F.unix_timestamp("prev_h")) / 3600
+    length = (F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")) / 3600
+    g = g.withColumn("_pos", pos.cast("long")).withColumn("_len", length.cast("long"))
+    interp = F.expr(
+        "prev_m + ((next_m - prev_m) * _pos"
+        " - (((next_m - prev_m) * _pos) % _len + _len) % _len) DIV _len"
+    )
+    return g.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("prev_m", F.lit(-1)).cast("long").alias("locf_milli"),
+        F.when(F.col("milli").isNotNull(), F.col("milli"))
+        .when(F.col("prev_m").isNotNull() & F.col("next_m").isNotNull() & (F.col("_len") > 0), interp)
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("interp_milli"),
+    )
