@@ -1709,6 +1709,20 @@ def q_graph_recall(spark, sf_dir):
     return knn.recall_at_k(pred, truth)
 
 
+def q_acorn_recall(spark, sf_dir):
+    """D5 completed — ACORN-1 predicate-aware graph traversal (2-hop
+    expansion through failing nodes; acorn_benchmark parity) vs the EXACT
+    permitted answer: per-query recall@k. Approximate op → rows-only."""
+    from vectorsearch_rbac_spark.operators import graph_ann
+
+    t = _rbac(spark, sf_dir)
+    pred = graph_ann.acorn_search(
+        t["documentblocks"], t["queries"], t["query_roles"], k=TOPK, m=8, ef=48
+    )
+    truth = q_rbac_prefilter_topk(spark, sf_dir)
+    return knn.recall_at_k(pred, truth)
+
+
 def q_rbac_graph_recall(spark, sf_dir):
     """D2×D4 capstone — the reference's headline architecture end-to-end:
     dynamic comb-role partitions, a graph index per partition, role-routed
@@ -1725,13 +1739,15 @@ def q_rbac_graph_recall(spark, sf_dir):
 
 
 def q_ann_recall(spark, sf_dir):
-    """All five ANN recall checks in ONE entry (registry curation): per-
+    """All seven ANN recall checks in ONE entry (registry curation): per-
     query recall@10 vs exact ground truth for D1 IVF (nprobe=10/16), E8
     hyperplane LSH (5 planes × 8 tables), D6 PQ+refine (ksub=64, exp=8),
     D11 IVF-PQ residual (IVFADC: coarse route + residual ADC + refine),
     D2 graph NSW (partition-local kNN graph + ef-beam search), D2×D4
-    role-routed per-partition graph search vs the exact dynamic answer —
-    approximate ops, so rows-only by design; pytest pins the recall floors."""
+    role-routed per-partition graph search vs the exact dynamic answer,
+    and D5 ACORN-1 predicate-aware traversal vs the exact permitted
+    answer — approximate ops, so rows-only by design; pytest pins the
+    recall floors."""
     parts = [
         ("ivf", q_ivf_recall(spark, sf_dir)),
         ("lsh", q_lsh_recall(spark, sf_dir)),
@@ -1739,6 +1755,7 @@ def q_ann_recall(spark, sf_dir):
         ("ivfpq", q_ivfpq_recall(spark, sf_dir)),
         ("graph", q_graph_recall(spark, sf_dir)),
         ("rbac_graph", q_rbac_graph_recall(spark, sf_dir)),
+        ("acorn", q_acorn_recall(spark, sf_dir)),
     ]
     out = None
     for name, df in parts:

@@ -52,6 +52,7 @@ EXTRA = {
     "ivfpq_recall": entry.q_ivfpq_recall,
     "graph_recall": entry.q_graph_recall,
     "rbac_graph_recall": entry.q_rbac_graph_recall,
+    "acorn_recall": entry.q_acorn_recall,
     # the registry entry unions three streaming members for the oracle;
     # bench times the hourly member alone so the timing stays comparable
     "streaming_hourly": entry.q_streaming_hourly_only,
@@ -151,6 +152,7 @@ HEADLINE = [
     "ivfpq_recall",
     "graph_recall",
     "rbac_graph_recall",
+    "acorn_recall",
 ]
 
 
@@ -208,6 +210,7 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
         ("ivfpq", entry.q_ivfpq_recall),
         ("graph", entry.q_graph_recall),
         ("rbac_graph", entry.q_rbac_graph_recall),
+        ("acorn", entry.q_acorn_recall),
     ):
         t0 = time.time()
         r = _mean_recall(fn(spark, SF_DIR))

@@ -323,6 +323,38 @@ def test_graph_nsw_recall_floor(spark, sf_dir):
     assert [c["count"] for c in counts] == [10]
 
 
+def test_acorn_filtered_traversal_recall_and_purity(spark, sf_dir):
+    """D5 ACORN-1: predicate-aware beam search must (a) return ONLY
+    permitted blocks — the predicate is enforced in the traversal, not
+    post-hoc — and (b) hold a ≥0.9 recall floor vs the exact permitted
+    answer; 2-hop expansion keeps the filtered subgraph navigable."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from vectorsearch_rbac_spark.operators import graph_ann, knn
+
+    t = entry._rbac(spark, sf_dir)
+    pred = graph_ann.acorn_search(
+        t["documentblocks"], t["queries"], t["query_roles"], k=10, m=8, ef=48
+    )
+    truth = entry.q_rbac_prefilter_topk(spark, sf_dir)
+    r = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
+    assert r >= 0.9
+    # purity: every returned block's document is permitted for the query
+    permitted = (
+        t["query_roles"]
+        .join(t["permission_assignment"], "role_id")
+        .select("query_id", "document_id")
+        .distinct()
+    )
+    blocks_docs = t["documentblocks"].select("block_id", "document_id")
+    leaked = (
+        pred.join(blocks_docs, "block_id")
+        .join(permitted, ["query_id", "document_id"], "left_anti")
+        .count()
+    )
+    assert leaked == 0
+
+
 def test_graph_index_lifecycle(spark, sf_dir):
     """D2 maintenance parity (insertion/deletion): a prebuilt adjacency
     searches at full recall; incremental inserts link new nodes (search

@@ -409,3 +409,111 @@ def knn_dynamic_graph(
         .select("query_id", "block_id", "document_id",
                 F.round("distance", 6).alias("distance"), "rank")
     )
+
+
+# ------------------------------------------------------------------ ACORN
+def _acorn_beam(vecs, adj, q, k, ef, allowed):
+    """Predicate-aware best-first beam (ACORN-1, Patel et al. 2024,
+    arXiv:2403.04871 — the algorithm behind the reference's
+    acorn_benchmark/): the beam and frontier hold only PASSING nodes, but
+    expansion routes through failing neighbors to their neighbors (2-hop),
+    preserving the connectivity the filtered subgraph loses when the
+    predicate knocks out bridge nodes."""
+    idx = np.where(allowed)[0]
+    if idx.size == 0:
+        return []
+    mean = vecs[idx].mean(axis=0)
+    entry = int(idx[np.argmin(((vecs[idx] - mean) ** 2).sum(axis=1))])
+    dist = lambda u: float(np.sum((vecs[u] - q) ** 2))
+    d0 = dist(entry)
+    visited = {entry}
+    frontier = [(d0, entry)]
+    beam = [(-d0, entry)]
+    while frontier:
+        d, u = heapq.heappop(frontier)
+        if len(beam) >= ef and d > -beam[0][0]:
+            break
+        cand = []
+        for v in adj[u]:
+            if allowed[v]:
+                cand.append(v)
+            else:
+                # 2-hop expansion THROUGH the failing node
+                cand.extend(w for w in adj[v] if allowed[w])
+        for v in cand:
+            if v in visited:
+                continue
+            visited.add(v)
+            dv = dist(v)
+            if len(beam) < ef or dv < -beam[0][0]:
+                heapq.heappush(frontier, (dv, v))
+                heapq.heappush(beam, (-dv, v))
+                if len(beam) > ef:
+                    heapq.heappop(beam)
+    return sorted(((-nd, u) for nd, u in beam))[:k]
+
+
+def acorn_search(
+    blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ef: int = 48,
+    id_col: str = "block_id",
+    vec_col: str = "vector",
+    part_col: str | None = None,
+) -> DataFrame:
+    """D5 completed as REAL predicate-aware graph traversal: one graph
+    over the (un-partitioned) corpus, the RBAC predicate evaluated per
+    node DURING the beam search (ACORN-1 2-hop expansion) — the
+    mid-selectivity regime where prefilter scans too much and a
+    role-aligned partition layout doesn't exist. Complements the
+    cost-model router in plans/strategy.py: that picks BETWEEN
+    prefilter/postfilter; this searches WITH the filter in the graph.
+
+    The arithmetic RBAC predicate (SURVEY §4: doc % 10 ∈ roles or
+    (doc+3) % 10 ∈ roles) is evaluated vectorized per partition from each
+    query's (small, closure-captured) role set — no per-query allowed-id
+    lists ship anywhere. Approximate op ⇒ recall-checked like the other
+    graph members.
+    """
+    q_rows = queries.select("query_id", "query_vector").collect()
+    roles_map: dict[int, set[int]] = {}
+    for r in query_roles.select("query_id", "role_id").collect():
+        roles_map.setdefault(r["query_id"], set()).add(int(r["role_id"]))
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = np.asarray([r["query_vector"] for r in q_rows], dtype=np.float64)
+
+    src = blocks.select(
+        F.col(id_col).alias("_id"),
+        F.col("document_id").alias("_doc"),
+        F.col(vec_col).alias("_vec"),
+        (F.col(part_col) if part_col else F.lit(0)).alias("_part"),
+    )
+    schema = "query_id long, _id long, distance double"
+
+    def search_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        vecs = np.stack(pdf["_vec"].values).astype(np.float64)
+        ids = pdf["_id"].to_numpy()
+        docs = pdf["_doc"].to_numpy()
+        adj = _knn_adjacency(vecs, m)
+        rows = []
+        for qi, qv in zip(q_ids, q_mat):
+            roles = roles_map.get(qi, set())
+            allowed = np.isin(docs % 10, list(roles)) | np.isin((docs + 3) % 10, list(roles))
+            for d2, u in _acorn_beam(vecs, adj, qv, k, ef, allowed):
+                rows.append((qi, int(ids[u]), float(np.sqrt(max(d2, 0.0)))))
+        return pd.DataFrame(rows, columns=["query_id", "_id", "distance"])
+
+    cand = src.groupBy("_part").applyInPandas(search_group, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("distance", 6).asc(), F.col("_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("_id").alias(id_col),
+                F.round("distance", 6).alias("distance"), "rank")
+    )
