@@ -872,8 +872,8 @@ def q_skew_salted_join(spark, sf_dir):
     ).select(F.lit("salted").alias("method"), F.col("c_mktsegment").alias("key"), "n_events", "value_milli")
 
     dimf = cust.where(F.col("c_mktsegment") == "BUILDING")
-    bl = skew.bloom_build(dimf, "user_id", m_bits=16384, k_hashes=4)
-    pruned = skew.bloom_prune(ev, bl, "user_id", m_bits=16384, k_hashes=4)
+    bl = skew.bloom_build(dimf, "user_id", m_bits=16384, k_hashes=4, hash_fn="md5")
+    pruned = skew.bloom_prune(ev, bl, "user_id", m_bits=16384, k_hashes=4, hash_fn="md5")
     bloom = pruned.join(dimf, "user_id").groupBy("c_mktsegment").agg(
         F.count("*").cast("long").alias("n_events"),
         F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("value_milli"),

@@ -320,3 +320,37 @@ def test_maxsim_score_bounds_and_coverage(spark, sf_dir):
     out = retrieval.maxsim_topk(docs, qt, k=10).collect()
     assert all(r["score"] <= 2.0 + 1e-9 for r in out)
     assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    tgt=st.dictionaries(st.integers(0, 20), st.integers(0, 99), max_size=12),
+    src=st.dictionaries(
+        st.integers(0, 25),
+        st.tuples(st.integers(0, 99), st.booleans()),  # (new value, is_delete)
+        max_size=12,
+    ),
+)
+def test_merge_upsert_matches_dict_replay(spark, tgt, src):
+    """H8 MERGE must equal the obvious python replay for ANY target/source:
+    apply each source op to a dict — delete if present, else upsert (a
+    delete of a missing key is a no-op)."""
+    from vectorsearch_rbac_spark.operators import dynamic
+
+    expect = dict(tgt)
+    for k, (v, is_del) in src.items():
+        if is_del:
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()] or [(None, None)], "id long, val long"
+    ).where(F.col("id").isNotNull())
+    sdf = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in src.items()] or [(None, None, None)],
+        "id long, val long, is_del boolean",
+    ).where(F.col("id").isNotNull())
+    out = dynamic.merge_upsert(tdf, sdf, "id", update_cols=["val"], delete_col="is_del")
+    got = {r["id"]: r["val"] for r in out.collect()}
+    assert got == expect
