@@ -640,7 +640,16 @@ def q_mixture_sample(spark, sf_dir):
         .select("doc_id", "source", "lang", F.round("es_key", 6).alias("weight"))
         .withColumn("method", F.lit("reservoir"))
     )
-    out = mix.unionByName(dsir).unionByName(res).select("method", "doc_id", "source", "lang", "weight")
+    # E45: temperature-scaled source reweighting (τ=0.7) — kept docs carry
+    # their source's tempered acceptance rate; the oracle replays
+    # counts → q_s ∝ p_s^τ → integer hash threshold exactly
+    temp = (
+        curation.temperature_mixture_sample(docs, tau=0.7)
+        .select("doc_id", "source", "lang", F.col("accept_rate").alias("weight"))
+        .withColumn("method", F.lit("temp"))
+    )
+    out = (mix.unionByName(dsir).unionByName(res).unionByName(temp)
+           .select("method", "doc_id", "source", "lang", "weight"))
     return _i(out, "doc_id")
 
 
@@ -3159,6 +3168,21 @@ FROM (
   FROM documents
   ORDER BY es_key ASC, doc_id ASC LIMIT {RESERVOIR_K}
 )
+UNION ALL
+SELECT 'temp' AS method, CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang,
+       r.accept_rate AS weight
+FROM documents d
+JOIN (
+  SELECT source,
+         LEAST(1.0, ROUND(pow(n_s, 0.7 - 1.0) * N / S, 6)) AS accept_rate
+  FROM (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s FROM documents GROUP BY source)
+  CROSS JOIN (
+    SELECT SUM(n_s) AS N, SUM(pow(n_s, 0.7)) AS S
+    FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n_s FROM documents GROUP BY source)
+  )
+) r ON d.source = r.source
+WHERE {_MD5L.format(x="'tm:' || CAST(d.doc_id AS VARCHAR)")}
+      < CAST(floor(r.accept_rate * 1152921504606846976.0) AS BIGINT)
 """
 
 # E24: per-lang interpolated median quality as cutoff (quality formula

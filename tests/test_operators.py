@@ -996,6 +996,23 @@ def test_ams_f2_state_and_estimate(spark, sf_dir):
         assert 0.2 * x[t] < r["f2_est"] < 5.0 * x[t]
 
 
+def test_temperature_mixture_flattens_skew(spark):
+    """E45: with a 9:1 source skew at τ=0.7, the big source is thinned
+    (rate < 1), the small source keeps everything (rate == 1), and the
+    kept composition is strictly flatter than the input."""
+    from vectorsearch_rbac_spark.operators import curation
+
+    rows = [(i, "big" if i < 900 else "small", "en", "x") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    kept = curation.temperature_mixture_sample(docs, tau=0.7)
+    rates = {r["source"]: r["accept_rate"] for r in kept.select("source", "accept_rate").distinct().collect()}
+    assert rates["small"] == 1.0 and rates["big"] < 1.0
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # input ratio 9:1; tempered ratio must be strictly smaller but ≥ 1
+    assert 1.0 <= by_src["big"] / by_src["small"] < 9.0
+    assert by_src["small"] == 100  # nothing dropped from the small source
+
+
 def test_time_gapfill_locf_and_interpolation(spark):
     """F43: gap rows materialize with n=0; locf carries the last observed
     value; interpolation is exact integer linear between brackets."""

@@ -793,3 +793,48 @@ def shard_corpus(
         F.min(F.struct("order_hash", "doc_id")).getField("doc_id").alias("head_doc"),
         F.sum(F.pmod(F.col("order_hash"), F.lit(2147483647))).alias("order_checksum"),
     )
+
+
+def temperature_mixture_sample(
+    documents: DataFrame,
+    tau: float = 0.7,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E45: temperature-scaled source reweighting — the multilingual-
+    pretraining mixing knob (XLM-R / mT5: sample sources ∝ p_s^τ, τ<1
+    flattens toward uniform so low-resource sources aren't drowned).
+
+    Target share q_s ∝ p_s^τ; the per-source acceptance rate is
+    r_s = min(1, round(n_s^(τ−1)·N / Σ_t n_t^τ, 6)) — over-represented
+    sources are DOWN-sampled to the tempered share (up-sampling a small
+    source is a repeat factor at batch assembly, not a row filter).
+    Membership is the §4 content-hash rule: md5('tm:'+id) below
+    floor(r_s·2^60) — an integer threshold, so the cut is bit-exact
+    cross-engine (a double CAST truncates in Spark but rounds in DuckDB;
+    floor() agrees everywhere).
+
+    Shape: one source-keyed count (sources ≪ corpus → broadcast), one
+    narrow filter over the fact scan. Emits kept rows with ``accept_rate``.
+    """
+    c = documents.groupBy(source_col).agg(F.count(F.lit(1)).cast("double").alias("n_s"))
+    tots = c.agg(
+        F.sum("n_s").alias("N"), F.sum(F.pow("n_s", F.lit(tau))).alias("S")
+    )
+    rates = (
+        c.crossJoin(F.broadcast(tots))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                F.round(F.pow("n_s", F.lit(tau - 1.0)) * F.col("N") / F.col("S"), 6),
+            ).alias("accept_rate"),
+        )
+    )
+    h = md5_long(F.concat(F.lit("tm:"), F.col(id_col).cast("string")))
+    thresh = F.floor(F.col("accept_rate") * F.lit(float(1 << 60))).cast("long")
+    return (
+        documents.join(F.broadcast(rates), source_col)
+        .where(h < thresh)
+        .select(id_col, source_col, "lang", "accept_rate")
+    )
