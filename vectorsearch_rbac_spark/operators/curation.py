@@ -264,7 +264,7 @@ def quality_quantile_filter(
     )
     # the regex-heavy scoring feeds both the cutoff aggregate and the
     # filtered stream — materialize it once (lazy: first action computes it)
-    scored = scored.localCheckpoint(eager=False)
+    scored = scored.persist()
     cuts = scored.groupBy(group_col).agg(
         F.round(F.percentile("quality", F.lit(q)), 6).alias("cutoff")
     )
@@ -513,7 +513,7 @@ def dsir_weights(
         .select(id_col, "_tgt", F.pmod(md5_long("_g"), F.lit(n_buckets)).alias("bucket"))
         .groupBy(id_col, "_tgt", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)  # feeds the corpus counts AND the doc weights
+        .persist()  # feeds the corpus counts AND the doc weights
     )
     counts = doc_bucket.groupBy("bucket").agg(
         F.sum("cnt").alias("cr"),

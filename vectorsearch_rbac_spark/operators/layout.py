@@ -454,7 +454,7 @@ def budget_scan_plan(
     partition. Everything is dim-sized and broadcast."""
     qcomb = query_roles.groupBy("query_id").agg(
         F.array_join(F.array_sort(F.collect_set(F.col("role_id").cast("int"))), ",").alias("comb_key")
-    ).localCheckpoint(eager=False)  # dim-sized; consumed by 3 routing branches
+    ).persist()  # dim-sized; consumed by 3 routing branches
     matched = qcomb.join(F.broadcast(routing), "comb_key").select("query_id", "partition_id")
     unmatched = qcomb.join(F.broadcast(routing.select("comb_key").distinct()), "comb_key", "left_anti")
     fallback = (

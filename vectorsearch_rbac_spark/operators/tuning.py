@@ -102,7 +102,7 @@ def recall_cost_curve(
         "nprobe", "query_id", "block_id",
         F.round(dist("vector", "query_vector"), 6).alias("distance"),
     )
-    scored = scored.localCheckpoint(eager=False)  # consumed twice: scan counts + top-k
+    scored = scored.persist()  # consumed twice: scan counts + top-k
 
     scanned = scored.groupBy("nprobe").agg(
         (F.count(F.lit(1)) / queries.count()).alias("avg_scanned")
@@ -343,7 +343,7 @@ def anchor_ivf_curve(
     scored = cand.withColumn(
         "nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank")))
     ).select("nprobe", "query_id", "vec_id", "distance")
-    scored = scored.localCheckpoint(eager=False)  # scan counts + top-k reuse
+    scored = scored.persist()  # scan counts + top-k reuse
 
     n_queries = queries.count()
     n_corpus = embeddings.count()
