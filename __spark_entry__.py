@@ -2018,6 +2018,20 @@ def q_store_lifecycle(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("value"))
         .select(F.lit("merge").alias("section"), F.lit("content").alias("key"), "n_rows", "value")
     )
+    # H9 deletion vectors under the gate: a DV delete against the latest
+    # snapshot (v3 = the restored v1 content) rewrites NOTHING — the raw
+    # snapshot row stays identical (checked by the store_version v3 row
+    # above) while the LIVE view subtracts the vector; the oracle computes
+    # base-minus-deletes directly.
+    vs.delete_with_dv(blocks.where(F.col("block_id") % 19 == 5).select("block_id"))
+    live = vs.read_current()
+    lh = md5_long(F.concat(F.col("block_id").cast("string"), F.lit(":"), F.col("comb_role")))
+    dvrow = (
+        live.select(lh.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("value"))
+        .select(F.lit("dv").alias("section"), F.lit("live").alias("key"), "n_rows", "value")
+    )
+    mrow = mrow.unionByName(dvrow)
     return _i(
         out.unionByName(hourly).unionByName(space).unionByName(rt)
         .unionByName(partrt).unionByName(evrows).unionByName(mrow),
@@ -4566,6 +4580,11 @@ SELECT 'merge' AS section, 'content' AS key, n_rows, value FROM (
     WHERE block_id % 7 = 3
   )
 )
+UNION ALL
+SELECT 'dv' AS section, 'live' AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor(('0x' || substr(md5(CAST(block_id AS VARCHAR) || ':' || comb_role), 1, 15))::BIGINT) AS value
+FROM (SELECT b.block_id, c.comb_role FROM blocks b JOIN comb c USING (document_id))
+WHERE block_id % 19 <> 5
 UNION ALL
 SELECT 'evolution' AS section, k.key, e.n_rows,
        CAST(CASE k.key WHEN 'nulls' THEN e.nulls ELSE e.cks END AS BIGINT) AS value

@@ -996,6 +996,32 @@ def test_ams_f2_state_and_estimate(spark, sf_dir):
         assert 0.2 * x[t] < r["f2_est"] < 5.0 * x[t]
 
 
+def test_deletion_vectors_and_vacuum(spark, tmp_path):
+    """H9: a DV delete rewrites nothing (raw snapshot unchanged), the live
+    view subtracts every DV, compaction folds DVs into a new snapshot, and
+    vacuum expires old versions while the kept ones still read."""
+    from vectorsearch_rbac_spark.operators import dynamic
+
+    vs = dynamic.VersionedStore(str(tmp_path / "store"), spark)
+    base = spark.createDataFrame([(i, f"r{i}") for i in range(20)], "block_id long, v string")
+    vs.commit(base)
+    vs.delete_with_dv(spark.createDataFrame([(3,), (7,)], "block_id long"))
+    vs.delete_with_dv(spark.createDataFrame([(11,), (7,)], "block_id long"))
+    assert vs.read(0).count() == 20                      # time travel: pre-DV
+    live = {r["block_id"] for r in vs.read_current().collect()}
+    assert live == set(range(20)) - {3, 7, 11}
+    v1 = vs.compact_dvs()
+    assert vs.read(v1).count() == 17                     # DVs folded in
+    vs.commit(vs.read(v1).where(F.col("block_id") < 10))
+    expired = vs.vacuum(keep_last=2)
+    assert expired == [0]
+    assert sorted(vs.versions) == [1, 2]
+    assert vs.read(2).count() == 8  # ids 0-9 minus the folded deletes {3, 7}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        vs.read(0)
+
+
 def test_temperature_mixture_flattens_skew(spark):
     """E45: with a 9:1 source skew at τ=0.7, the big source is thinned
     (rate < 1), the small source keeps everything (rate == 1), and the

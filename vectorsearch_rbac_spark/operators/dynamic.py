@@ -207,6 +207,7 @@ class VersionedStore:
         self.base_path = base_path.rstrip("/")
         self._spark = spark
         self.versions: list[int] = []
+        self._dvs: dict[int, int] = {}  # version -> number of DV files
 
     def _path(self, version: int) -> str:
         return f"{self.base_path}/v={version}"
@@ -236,6 +237,57 @@ class VersionedStore:
         """Roll back: re-commit the old snapshot as the new latest version
         (history is preserved — restore is itself undoable)."""
         return self.commit(self.read(version))
+
+    # -------------------------------------------------- deletion vectors
+    # H9: the Delta deletion-vector / Iceberg positional-delete pattern —
+    # a delete writes a SMALL side file of deleted keys instead of
+    # rewriting the snapshot; readers apply base MINUS dv. At 100 TB this
+    # turns a 10-row delete from a table rewrite into a KB write, at the
+    # price of one anti-join per read until compaction folds the DV in.
+
+    def _dv_path(self, version: int, seq: int) -> str:
+        return f"{self.base_path}/dv/v={version}/d={seq}"
+
+    def delete_with_dv(self, deleted_ids: DataFrame, id_col: str = "block_id") -> int:
+        """Record a delete against the LATEST version as a deletion-vector
+        file; returns the DV sequence number. No snapshot is rewritten."""
+        v = self.latest_version
+        seq = self._dvs.setdefault(v, 0)
+        deleted_ids.select(F.col(id_col).alias("_dv_id")).write.mode("overwrite").parquet(
+            self._dv_path(v, seq)
+        )
+        self._dvs[v] = seq + 1
+        return seq
+
+    def read_current(self, version: int | None = None, id_col: str = "block_id") -> DataFrame:
+        """Snapshot MINUS its accumulated deletion vectors (the live view).
+        ``read()`` stays the raw snapshot — time travel sees pre-DV state."""
+        v = self.latest_version if version is None else version
+        base = self.read(v)
+        n = self._dvs.get(v, 0)
+        if n == 0:
+            return base
+        dv = self._spark.read.parquet(*[self._dv_path(v, s) for s in range(n)])
+        return base.join(F.broadcast(dv.distinct()), base[id_col] == dv["_dv_id"], "left_anti")
+
+    def compact_dvs(self, id_col: str = "block_id") -> int:
+        """Fold the latest version's DVs into a new snapshot (the OPTIMIZE /
+        rewrite step): commits base-minus-DV as the next version and clears
+        the DV chain for it."""
+        v = self.commit(self.read_current(id_col=id_col))
+        return v
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Retention: drop snapshot directories older than the last
+        ``keep_last`` versions (Delta VACUUM / Iceberg expire_snapshots).
+        Returns the expired version numbers; reading them afterwards raises."""
+        import shutil
+
+        expire = self.versions[:-keep_last] if keep_last > 0 else list(self.versions)
+        for v in expire:
+            shutil.rmtree(self._path(v), ignore_errors=True)
+            self.versions.remove(v)
+        return expire
 
 
 def comb_role_members(store: DataFrame) -> DataFrame:
