@@ -2134,6 +2134,11 @@ def q_quantized_topk(spark, sf_dir):
             "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
         ("int8", q_int8_topk(spark, sf_dir).select(
             "query_id", "vec_id", F.col("dot").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
+        # A11 (r5): per-dim affine SQ8 + asymmetric search — the rung
+        # between fp16 and PQ; the oracle recomputes the per-dim min/max
+        # relationally and replays encode → dequant → rank exactly
+        ("sq8", _i(curation.sq8_topk(t["embeddings"], t["queries"], k=TOPK), "query_id", "vec_id").select(
+            "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
     ]
     out = None
     for name, df in parts:
@@ -4766,7 +4771,37 @@ SELECT query_id, vec_id, distance, rank FROM (
 ) WHERE rank <= {TOPK}
 """
 
+# A11: per-dim affine SQ8 — exact min/max stats recomputed relationally,
+# encode → dequant → asymmetric L2 → rank replayed in source order.
+_SQ8_SQL = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+st AS (
+  SELECT i, MIN(embedding[i]) AS mn, MAX(embedding[i]) AS mx
+  FROM embeddings CROSS JOIN dims GROUP BY i
+),
+sp AS (SELECT i, mn, CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END AS span FROM st),
+xh AS (
+  SELECT vec_id, list(xhval ORDER BY i) AS xhat FROM (
+    SELECT e.vec_id, s.i,
+           round((e.embedding[s.i]::DOUBLE - s.mn) * 255.0 / s.span)::DOUBLE * s.span / 255.0 + s.mn AS xhval
+    FROM embeddings e CROSS JOIN sp s
+  ) GROUP BY vec_id
+),
+qs AS (SELECT vec_id AS query_id, embedding AS query_vector FROM embeddings WHERE vec_id % 100 = 0)
+SELECT query_id, vec_id, distance, rank FROM (
+  SELECT q.query_id, x.vec_id,
+         ROUND(list_distance(x.xhat::DOUBLE[], q.query_vector::DOUBLE[]), 6) + 0.0 AS distance,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY ROUND(list_distance(x.xhat::DOUBLE[], q.query_vector::DOUBLE[]), 6), x.vec_id) AS rank
+  FROM xh x CROSS JOIN qs q
+) WHERE rank <= {TOPK}
+"""
+
 _QUANTIZED_SQL = f"""
+SELECT 'sq8' AS method, query_id, vec_id,
+       CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
+FROM ({_SQ8_SQL})
+UNION ALL
 SELECT 'pq_exact' AS method, query_id, vec_id,
        CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
 FROM ({_PQ_EXACT_SQL})

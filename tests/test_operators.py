@@ -996,6 +996,29 @@ def test_ams_f2_state_and_estimate(spark, sf_dir):
         assert 0.2 * x[t] < r["f2_est"] < 5.0 * x[t]
 
 
+def test_sq8_asymmetric_search_recall(spark, sf_dir):
+    """A11: per-dim SQ8 with asymmetric search must track the exact L2
+    ranking closely — 8-bit per-dim error is far below inter-point
+    distances on this data (recall@10 ≥ 0.9)."""
+    import __spark_entry__ as entry
+    from vectorsearch_rbac_spark.operators import curation, knn, ann
+
+    t = entry._rbac(spark, sf_dir)
+    pred = curation.sq8_topk(t["embeddings"], t["queries"], k=10)
+    truth = ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=10)
+    # exact L2 truth over the same table
+    from vectorsearch_rbac_spark.functions import vector as V
+    scored = t["embeddings"].join(
+        F.broadcast(t["queries"].select("query_id", "query_vector")), how="cross"
+    ).select("query_id", F.col("vec_id").alias("block_id"),
+             F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"))
+    truth = knn.topk_per_query(scored, 10).select("query_id", "block_id", "distance", "rank")
+    r = knn.recall_at_k(
+        pred.withColumnRenamed("vec_id", "block_id"), truth
+    ).agg(F.avg("recall")).first()[0]
+    assert r >= 0.9
+
+
 def test_deletion_vectors_and_vacuum(spark, tmp_path):
     """H9: a DV delete rewrites nothing (raw snapshot unchanged), the live
     view subtracts every DV, compaction folds DVs into a new snapshot, and
