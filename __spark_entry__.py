@@ -438,7 +438,7 @@ def q_multimodal_features(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 100)
     media = multimodal.synthesize_media(docs, kind="image")
     feats = multimodal.extract_features(media, feat_dim=8)
-    return feats.select(
+    image = feats.select(
         F.col("media_id").cast("long").alias("media_id"),
         "kind",
         F.md5(
@@ -450,6 +450,20 @@ def q_multimodal_features(spark, sf_dir):
         F.size("feature").cast("long").alias("feat_dim"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
     )
+    # audio half (r5): stub PCM windowing with exact integer energies —
+    # the oracle replays the full sample lattice
+    audio = multimodal.window_audio_features(
+        multimodal.synthesize_media(docs, kind="audio"), n_windows=8, window=256
+    ).select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        F.md5(
+            F.array_join(F.transform("energies", lambda x: x.cast("string")), ",")
+        ).alias("feature_hash"),
+        F.size("energies").cast("long").alias("feat_dim"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+    return image.unionByName(audio)
 
 
 def q_levenshtein_neardup(spark, sf_dir):
@@ -3801,6 +3815,23 @@ SELECT CAST(media_id AS BIGINT) AS media_id, 'image' AS kind,
        md5(string_agg(fv::VARCHAR, ',' ORDER BY chunk)) AS feature_hash,
        CAST(8 AS BIGINT) AS feat_dim, n_bytes
 FROM feat GROUP BY media_id, n_bytes
+UNION ALL
+SELECT CAST(media_id AS BIGINT), 'audio',
+       md5(string_agg(energy::VARCHAR, ',' ORDER BY win)),
+       CAST(8 AS BIGINT), n_bytes
+FROM (
+  SELECT media_id, n_bytes, t // 256 AS win,
+         CAST(SUM(s * s) AS BIGINT) AS energy
+  FROM (
+    SELECT m.media_id, m.n_bytes, u.t,
+           (m.seed + (u.t + 1) * 2654435761) % 2147483647 % 65536 - 32768 AS s
+    FROM (
+      SELECT doc_id AS media_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS seed,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE doc_id < 100
+    ) m, UNNEST(range(2048)) AS u(t)
+  ) GROUP BY 1, 2, 3
+) GROUP BY media_id, n_bytes
 """
 
 _VECTOR_OPS_SQL = """

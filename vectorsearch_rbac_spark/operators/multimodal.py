@@ -179,3 +179,43 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.where(F.col("kind") == "video").mapInPandas(
         fn, schema="media_id long, frame_idx int, ts_ms int, payload binary"
     )
+
+
+def window_audio_features(
+    media: DataFrame, n_windows: int = 8, window: int = 256
+) -> DataFrame:
+    """Audio half of E13: stub PCM decode + fixed windowing + per-window
+    energy — the (batch, windows, samples) tensor shape a real
+    spectrogram/feature kernel consumes, with the decode stub kept in
+    EXACT integer space so the DuckDB oracle replays every sample:
+    s_t = (seed + (t+1)·2654435761) mod p mod 65536 − 32768 (seed = 60-bit
+    md5 of the payload), energy_w = Σ_{t∈w} s_t² as int64.
+
+    Real deployment: swap the lattice for soundfile/librosa frames — the
+    windowing, batching, and schema stay identical. One mapInPandas op
+    per batch (the sample lattice is a single broadcasted numpy op, no
+    per-row Python beyond the seed hash — the codec boundary).
+    """
+    total = n_windows * window
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = np.arange(total, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seeds = np.array(
+                [int(hashlib.md5(bytes(p)).hexdigest()[:15], 16) for p in pdf["payload"]],
+                dtype=np.int64,
+            )
+            s = (seeds[:, None] + (pos[None, :] + 1) * 2654435761) % 2147483647 % 65536 - 32768
+            energies = (s * s).reshape(len(pdf), n_windows, window).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "energies": list(energies),
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return media.mapInPandas(fn, schema="media_id long, kind string, energies array<long>, n_bytes long")
