@@ -270,3 +270,24 @@ def test_streaming_graph_inserts_match_batch_graph(spark, sf_dir, tmp_path):
     ).withColumnRenamed("vec_id", "block_id")
     r = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
     assert r >= 0.8  # incremental inserts: looser floor than a fresh build
+
+
+def test_observed_admission_metrics_match_result(spark, sf_dir, tmp_path):
+    """G10: the observe() metrics the stream reports per micro-batch must
+    SUM to exactly what landed in the sink — admitted count and token
+    volume are cross-checked against the admitted rows themselves."""
+    from vectorsearch_rbac_spark.streaming import pipelines as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    drop = str(tmp_path / "in")
+    docs.where(F.col("doc_id") % 2 == 1).repartition(2).write.parquet(drop)
+    static = docs.where(F.col("doc_id") % 2 == 0)
+    admitted, metrics = S.run_observed_admission(spark, drop, static, quality_min=0.3)
+    n = admitted.count()
+    assert n > 0 and len(metrics) >= 1
+    assert sum(m["n_admitted"] for m in metrics) == n
+    tok = admitted.agg(F.sum("n_tokens")).first()[0]
+    assert sum(m["token_volume"] or 0 for m in metrics) == tok
+    for m in metrics:
+        if m["n_admitted"]:
+            assert 0.0 <= m["mean_quality"] <= 1.0

@@ -434,3 +434,52 @@ def streaming_cdc_merge(
     )
     q.awaitTermination()
     return state["store"]
+
+
+def observe_admission_metrics(stream_df: DataFrame, name: str = "admission") -> DataFrame:
+    """G10: pipeline observability — attach ``observe()`` metrics to an
+    admission/gate stream: rows admitted, mean quality, and token volume
+    per micro-batch. The metrics ride the existing plan (no second scan,
+    no extra action) and surface in every ``StreamingQueryProgress`` under
+    ``observedMetrics[name]`` — the hook a production pipeline exports to
+    its metrics system, and the Spark-native replacement for side-effect
+    accumulators. Works identically on a batch DataFrame (metrics appear
+    on the query execution)."""
+    return stream_df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_admitted"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.sum("n_tokens").alias("token_volume"),
+    )
+
+
+def run_observed_admission(
+    spark: SparkSession,
+    incoming_dir: str,
+    corpus: DataFrame,
+    quality_min: float = 0.3,
+    timeout_s: int = 300,
+):
+    """Run the G5 admission stream with G10 metrics attached (availableNow
+    → memory sink); returns (admitted_df, per_batch_metrics) where the
+    metrics list holds one dict per micro-batch from the query's recent
+    progress — admitted counts, mean quality, token volume."""
+    name = f"observed_admission_{next(_MEMORY_SINK_SEQ)}"
+    observed = observe_admission_metrics(
+        streaming_corpus_filter(spark, incoming_dir, corpus, quality_min), name
+    )
+    q = (
+        observed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    metrics = []
+    for p in q.recentProgress:
+        om = p.get("observedMetrics") if isinstance(p, dict) else p.observedMetrics
+        if om and name in om:
+            row = om[name]
+            metrics.append(row.asDict() if hasattr(row, "asDict") else dict(row))
+    return spark.table(name), metrics
