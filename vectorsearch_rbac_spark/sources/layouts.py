@@ -105,3 +105,42 @@ def compact_partition_dir(spark, path: str, target_files: int = 1) -> dict:
     os.rename(tmp, path)
     after = [f for f in os.listdir(path) if f.endswith(".parquet")]
     return {"files_before": len(before), "files_after": len(after)}
+
+
+def write_sharded(
+    df: DataFrame, path: str, n_shards: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """H10: training-set DELIVERY — write the corpus partitioned into
+    deterministic shards (shard = md5(id) mod S, the E40 assignment) and
+    return the manifest a training loader consumes: per shard, the file
+    list is on disk under ``shard=K/`` and the manifest row carries row
+    count, file count, and an order-independent membership checksum
+    (bit_xor of md5(id)) so a loader can verify a shard before streaming
+    it. Rewriting with a different S touches every file (it's a reshard);
+    appending a NEW drop only adds files to existing shard dirs.
+
+    Scale: one shuffle on the shard key; each shard dir is a self-
+    contained unit a data-loader worker reads independently — the
+    webdataset/tfrecord-shard layout on parquet.
+    """
+    from ..functions.vector import md5_long
+
+    spark = df.sparkSession
+    out = df.withColumn(
+        "shard", F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards)).cast("int")
+    )
+    out.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            "shard",
+            F.input_file_name().alias("_f"),
+            md5_long(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("_f").cast("long").alias("n_files"),
+            F.expr("bit_xor(_h)").alias("membership_checksum"),
+        )
+    )
