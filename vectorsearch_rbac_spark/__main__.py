@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--explain", action="store_true")
     orp = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     orp.add_argument("query")
+    pip = sub.add_parser(
+        "pipeline",
+        help="end-to-end training-data pipeline: curate -> shard -> pack -> manifest",
+    )
+    pip.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    pip.add_argument("--out", default="/tmp/vsr_pipeline_out")
+    pip.add_argument("--n-shards", type=int, default=4)
     args = ap.parse_args(argv)
 
     e = _entry()
@@ -51,6 +58,8 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         print(sql)
         return 0
+    if args.cmd == "pipeline":
+        return _pipeline(args)
     if args.query not in qs:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2
@@ -68,6 +77,51 @@ def main(argv: list[str] | None = None) -> int:
     for r in rows:
         print(" | ".join(str(v) for v in r))
     print(f"# {len(rows)} row(s) shown (limit {args.limit}) in {dt:.2f}s", file=sys.stderr)
+    return 0
+
+
+def _pipeline(args) -> int:
+    """The full training-data flow in one command, each stage a module the
+    test suite pins: quality gate + LSH near-dup clustering + canonical
+    selection (curated corpus) → temperature mixture reweighting →
+    deterministic sharding with a loader manifest → sequence-packing audit.
+    Prints a per-stage summary; the shard dirs + manifest land in --out."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_rbac_spark.operators import curation
+    from vectorsearch_rbac_spark.sources import get_spark, layouts, load_table
+
+    spark = get_spark("pipeline")
+    t0 = time.time()
+    e = _entry()
+    docs = load_table(spark, "documents", args.sf_dir)
+    n0 = docs.count()
+
+    curated_ids = e.q_curated_corpus(spark, args.sf_dir).select("doc_id")
+    curated = docs.join(curated_ids, "doc_id")
+    n1 = curated.count()
+    print(f"[1/4] curate: {n0} -> {n1} docs (quality gate + near-dup clusters + canonical)")
+
+    tempered = curation.temperature_mixture_sample(curated, tau=0.7)
+    kept = curated.join(tempered.select("doc_id"), "doc_id")
+    n2 = kept.count()
+    print(f"[2/4] temper (tau=0.7): {n1} -> {n2} docs")
+
+    manifest = layouts.write_sharded(kept, f"{args.out}/shards", n_shards=args.n_shards)
+    rows = manifest.orderBy("shard").collect()
+    for m in rows:
+        print(f"[3/4] shard={m['shard']}: rows={m['n_rows']} files={m['n_files']} "
+              f"checksum={m['membership_checksum']}")
+    manifest.write.mode("overwrite").parquet(f"{args.out}/manifest")
+
+    packs = curation.pack_sequences(kept, window_tokens=512, range_size=128)
+    stats = packs.agg(
+        F.count(F.lit(1)).alias("n_packs"), F.sum("pack_tokens").alias("tokens")
+    ).first()
+    print(f"[4/4] pack audit: {stats['n_packs']} windows of 512, {stats['tokens']} tokens total")
+    print(f"done in {time.time() - t0:.1f}s -> {args.out}")
     return 0
 
 
