@@ -412,7 +412,7 @@ def knn_dynamic_graph(
 
 
 # ------------------------------------------------------------------ ACORN
-def _acorn_beam(vecs, adj, q, k, ef, allowed):
+def _acorn_beam(vecs, adj, q, k, ef, allowed, expand_2hop=True):
     """Predicate-aware best-first beam (ACORN-1, Patel et al. 2024,
     arXiv:2403.04871 — the algorithm behind the reference's
     acorn_benchmark/): the beam and frontier hold only PASSING nodes, but
@@ -437,7 +437,7 @@ def _acorn_beam(vecs, adj, q, k, ef, allowed):
         for v in adj[u]:
             if allowed[v]:
                 cand.append(v)
-            else:
+            elif expand_2hop:
                 # 2-hop expansion THROUGH the failing node
                 cand.extend(w for w in adj[v] if allowed[w])
         for v in cand:
@@ -463,6 +463,7 @@ def acorn_search(
     id_col: str = "block_id",
     vec_col: str = "vector",
     part_col: str | None = None,
+    expand_2hop: bool = True,
 ) -> DataFrame:
     """D5 completed as REAL predicate-aware graph traversal: one graph
     over the (un-partitioned) corpus, the RBAC predicate evaluated per
@@ -503,7 +504,7 @@ def acorn_search(
         for qi, qv in zip(q_ids, q_mat):
             roles = roles_map.get(qi, set())
             allowed = np.isin(docs % 10, list(roles)) | np.isin((docs + 3) % 10, list(roles))
-            for d2, u in _acorn_beam(vecs, adj, qv, k, ef, allowed):
+            for d2, u in _acorn_beam(vecs, adj, qv, k, ef, allowed, expand_2hop):
                 rows.append((qi, int(ids[u]), float(np.sqrt(max(d2, 0.0)))))
         return pd.DataFrame(rows, columns=["query_id", "_id", "distance"])
 
