@@ -1442,3 +1442,40 @@ def test_write_sharded_manifest_verifies_delivery(spark, sf_dir, tmp_path):
     # a loader worker reads one shard dir independently
     one = spark.read.parquet(f"{path}/shard=0")
     assert one.count() == expect[0][0]
+
+
+def test_r5_operator_edge_cases(spark):
+    """Degenerate inputs for the r5 operators: a single observation per
+    type (gapfill has no gaps, no next bracket), a constant dimension
+    (SQ8 span-0 guard), and a single source (temperature rate exactly 1)."""
+    import datetime as dt
+
+    from vectorsearch_rbac_spark.operators import curation
+    from vectorsearch_rbac_spark.plans import queries as PQ
+
+    # gapfill: one event per type → 1-row spine, interp == own value
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 5), 1, "click", 7.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    g = PQ.time_gapfill(ev).collect()
+    assert len(g) == 1 and g[0]["interp_milli"] == 7000 and g[0]["locf_milli"] == 7000
+
+    # sq8: dim with zero spread must not divide by zero; identical vectors
+    # dequantize identically (distance 0 to an identical query)
+    emb = spark.createDataFrame(
+        [(i, [1.5, float(i), 0.0, 2.5]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame([(0, [1.5, 0.0, 0.0, 2.5])], "query_id long, query_vector array<float>")
+    out = curation.sq8_topk(emb, qs, k=3, dim=4).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["distance"] == 0.0
+
+    # temperature: one source → tempered share == input share → rate 1
+    docs = spark.createDataFrame(
+        [(i, "only", "en", "t") for i in range(50)],
+        "doc_id long, source string, lang string, text string",
+    )
+    kept = curation.temperature_mixture_sample(docs, tau=0.3)
+    assert kept.count() == 50
+    assert kept.select("accept_rate").distinct().first()[0] == 1.0
