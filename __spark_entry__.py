@@ -1036,8 +1036,14 @@ def q_time_buckets(spark, sf_dir):
         F.lit("gapfill_locf").alias("method"), F.col("hour").alias("day"),
         F.col("event_type").alias("key"), "n", F.col("locf_milli").alias("value_milli"),
     )
+    # F47: trailing 7-day RANGE window (integer day-number frame — absent
+    # days contribute nothing, unlike a ROWS frame)
+    tw = PQ.trailing_window_revenue(ev, days=7).select(
+        F.lit("trailing7d").alias("method"), "day", F.col("event_type").alias("key"),
+        F.col("trailing_n").alias("n"), F.col("trailing_milli").alias("value_milli"),
+    )
     return (piv.unionByName(roll).unionByName(cub).unionByName(jsn)
-            .unionByName(jx).unionByName(gfi).unionByName(gfl))
+            .unionByName(jx).unionByName(gfi).unionByName(gfl).unionByName(tw))
 
 
 def q_semi_anti_joins(spark, sf_dir):
@@ -2974,6 +2980,21 @@ SELECT method, day, key, n, value_milli FROM (
   FROM gaprows
   UNION ALL
   SELECT 'gapfill_locf', hour, event_type, n, locf_milli FROM gaprows
+)
+UNION ALL
+SELECT 'trailing7d' AS method, day, key, n, value_milli FROM (
+  WITH daily AS (
+    SELECT event_type, CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day_num,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS milli
+    FROM events GROUP BY 1, 2
+  )
+  SELECT event_type AS key,
+         strftime(to_timestamp(day_num * 86400), '%Y-%m-%d') AS day,
+         CAST(SUM(n) OVER w AS BIGINT) AS n,
+         CAST(SUM(milli) OVER w AS BIGINT) AS value_milli
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 """
 

@@ -936,3 +936,38 @@ def time_gapfill(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("interp_milli"),
     )
+
+
+def trailing_window_revenue(events: DataFrame, days: int = 7) -> DataFrame:
+    """F47: trailing time-RANGE window — per (event_type, day), the value
+    sum over the trailing ``days``-day interval, computed with a
+    rangeBetween frame over integer day numbers (epoch div 86400), NOT a
+    rows frame: days missing from the data contribute nothing and never
+    shift the frame, which is the semantic difference between RANGE and
+    ROWS that daily-active/rolling-revenue metrics depend on. Exact
+    BIGINT millis end-to-end.
+
+    Scale: one fact aggregate to (type, day) cardinality, then the window
+    runs over day-count rows — never the raw stream.
+    """
+    daily = (
+        events.groupBy(
+            "event_type", (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400).cast("long").alias("day_num")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("milli"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format(F.to_timestamp(F.col("day_num") * 86400), "yyyy-MM-dd").alias("day"),
+        "n",
+        F.sum("milli").over(w).alias("trailing_milli"),
+        F.sum("n").over(w).alias("trailing_n"),
+    )
