@@ -2159,6 +2159,11 @@ def q_quantized_topk(spark, sf_dir):
         # relationally and replays encode → dequant → rank exactly
         ("sq8", _i(curation.sq8_topk(t["embeddings"], t["queries"], k=TOPK), "query_id", "vec_id").select(
             "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
+        # A12 (r5): median-threshold binary quantization — balanced bits
+        # vs A9's sign bits; thresholds are the exact interpolated per-dim
+        # medians the oracle recomputes with quantile_cont
+        ("bit_median", _i(ann.median_bit_topk(t["embeddings"], t["queries"], k=TOPK), "query_id", "vec_id").select(
+            "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
     ]
     out = None
     for name, df in parts:
@@ -4849,7 +4854,40 @@ SELECT query_id, vec_id, distance, rank FROM (
 ) WHERE rank <= {TOPK}
 """
 
+# A12: per-dim exact medians (quantile_cont = Spark percentile parity),
+# bits packed via explode + shifted sums, XOR+popcount hamming.
+_BIT_MEDIAN_SQL = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+meds AS (
+  SELECT i, quantile_cont(embedding[i], 0.5) AS med
+  FROM embeddings CROSS JOIN dims GROUP BY i
+),
+bits AS (
+  SELECT e.vec_id, m.i,
+         CASE WHEN e.embedding[m.i]::DOUBLE > m.med THEN 1::BIGINT ELSE 0::BIGINT END AS b
+  FROM embeddings e CROSS JOIN meds m
+),
+packed AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN i <= 32 THEN b << ((i - 1) % 32) ELSE 0 END) AS BIGINT) AS p0,
+         CAST(SUM(CASE WHEN i > 32 THEN b << ((i - 1) % 32) ELSE 0 END) AS BIGINT) AS p1
+  FROM bits GROUP BY vec_id
+),
+qp AS (SELECT vec_id AS query_id, p0 AS q0, p1 AS q1 FROM packed WHERE vec_id % 100 = 0)
+SELECT query_id, vec_id, distance, rank FROM (
+  SELECT q.query_id, e.vec_id,
+         CAST(bit_count(xor(e.p0, q.q0)) + bit_count(xor(e.p1, q.q1)) AS BIGINT) AS distance,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY bit_count(xor(e.p0, q.q0)) + bit_count(xor(e.p1, q.q1)), e.vec_id) AS rank
+  FROM packed e CROSS JOIN qp q
+) WHERE rank <= {TOPK}
+"""
+
 _QUANTIZED_SQL = f"""
+SELECT 'bit_median' AS method, query_id, vec_id,
+       CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
+FROM ({_BIT_MEDIAN_SQL})
+UNION ALL
 SELECT 'sq8' AS method, query_id, vec_id,
        CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
 FROM ({_SQ8_SQL})

@@ -10,7 +10,7 @@ across cluster layouts.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -418,3 +418,62 @@ def hamming_rerank_topk(
     )
     w = topk_per_query(rescored, k, id_col="block_id")
     return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+
+
+def median_bit_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A12: binary quantization with LEARNED per-dim thresholds — bit_i =
+    (x_i > median_i) instead of A9's sign bit. Median thresholds balance
+    every bit to ~50/50, maximizing the entropy of the 64-bit code (the
+    pgvector-0.8 / RaBitQ-direction upgrade over sign quantization; for
+    mean-centered data the two coincide, for shifted dims sign bits
+    saturate and carry nothing).
+
+    The thresholds are one exact interpolated-percentile pass (the F10
+    aggregate — DuckDB quantile_cont parity), collected dim-sized and
+    inlined; packing, XOR+popcount hamming, and the (distance, id) rank
+    mirror the A9 path exactly.
+    """
+    meds_row = embeddings.agg(
+        *[
+            F.percentile(F.element_at(F.col(vec_col), i + 1), F.lit(0.5)).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    med = [float(meds_row[f"m{i}"]) for i in range(dim)]
+
+    def pack(col: str, off: int):
+        word = F.lit(0).cast("long")
+        for i in range(32):
+            word = word + (
+                (F.element_at(F.col(col), off + i + 1).cast("double") > F.lit(med[off + i]))
+                .cast("long") * F.lit(1 << i)
+            )
+        return word
+
+    e = embeddings.select(
+        id_col, pack(vec_col, 0).alias("p0"), pack(vec_col, 32).alias("p1")
+    )
+    q = queries.select(
+        "query_id", pack("query_vector", 0).alias("q0"), pack("query_vector", 32).alias("q1")
+    )
+    scored = e.join(F.broadcast(q), how="cross").select(
+        "query_id",
+        id_col,
+        (
+            F.bit_count(F.col("p0").bitwiseXOR(F.col("q0")))
+            + F.bit_count(F.col("p1").bitwiseXOR(F.col("q1")))
+        ).cast("long").alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "distance", "rank")
+    )
