@@ -166,9 +166,42 @@ def q_rbac_dynamic_topk(spark, sf_dir):
 
 
 def q_rbac_selectivity(spark, sf_dir):
+    """B5 per-user selectivity + B8 RBAC AUDIT rollups in one tagged entry
+    (r5): 'selectivity' rows are the per-user accessible-block counts
+    (generate_queries.py:14 parity); 'role_reach' rows the per-role
+    document/block reach — the access-review summary; 'role_overlap' rows
+    the pairwise role-permission Jaccard (the role-mining similarity
+    matrix — overlap ≈ 1 flags consolidation candidates); 'orphans' pins
+    that every document is reachable by ≥1 role (count 0 proves the
+    permission closure)."""
     t = _rbac(spark, sf_dir)
-    out = derive.block_selectivity(t["user_roles"], t["permission_assignment"], t["documentblocks"])
-    return _i(out, "user_id", "accessible_blocks")
+    sel = derive.block_selectivity(
+        t["user_roles"], t["permission_assignment"], t["documentblocks"]
+    ).select(
+        F.lit("selectivity").alias("section"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("accessible_blocks").cast("long").alias("n"),
+        F.col("selectivity").cast("double").alias("val"),
+    )
+    reach = derive.role_reach(t["permission_assignment"], t["documentblocks"]).select(
+        F.lit("role_reach").alias("section"),
+        F.col("role_id").cast("string").alias("key"),
+        F.col("n_blocks").alias("n"),
+        F.col("block_frac").alias("val"),
+    )
+    ov = derive.role_overlap(t["permission_assignment"]).select(
+        F.lit("role_overlap").alias("section"),
+        F.concat_ws("|", "r1", "r2").alias("key"),
+        F.col("n_inter").alias("n"),
+        F.col("jaccard").alias("val"),
+    )
+    orphans = (
+        t["documentblocks"].select("document_id").distinct()
+        .join(t["permission_assignment"].select("document_id").distinct(), "document_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("orphans").alias("section"), F.lit("ALL").alias("key"), "n", F.lit(-1.0).alias("val"))
+    )
+    return sel.unionByName(reach).unionByName(ov).unionByName(orphans)
 
 
 def q_rbac_topk_fast(spark, sf_dir):
@@ -2373,9 +2406,30 @@ ab AS (
   FROM acc JOIN blocks USING (document_id)
   GROUP BY user_id
 )
-SELECT user_id, CAST(c AS BIGINT) AS accessible_blocks,
-       ROUND(c / (SELECT COUNT(*) FROM blocks), 6) AS selectivity
+SELECT 'selectivity' AS section, CAST(user_id AS VARCHAR) AS key, CAST(c AS BIGINT) AS n,
+       ROUND(c / (SELECT COUNT(*) FROM blocks), 6) AS val
 FROM ab
+UNION ALL
+SELECT 'role_reach', CAST(role_id AS VARCHAR), CAST(nb AS BIGINT),
+       ROUND(nb / (SELECT COUNT(*) FROM blocks), 6)
+FROM (SELECT p.role_id, COUNT(b.block_id) AS nb
+      FROM perm p JOIN blocks b USING (document_id) GROUP BY p.role_id)
+UNION ALL
+SELECT 'role_overlap', CAST(r1 AS VARCHAR) || '|' || CAST(r2 AS VARCHAR),
+       CAST(n_inter AS BIGINT),
+       ROUND(n_inter / (na + nb - n_inter), 6)
+FROM (
+  SELECT a.role_id AS r1, b.role_id AS r2, COUNT(*) AS n_inter
+  FROM perm a JOIN perm b USING (document_id)
+  WHERE a.role_id < b.role_id GROUP BY 1, 2
+) i
+JOIN (SELECT role_id, COUNT(*) AS na FROM perm GROUP BY 1) sa ON i.r1 = sa.role_id
+JOIN (SELECT role_id, COUNT(*) AS nb FROM perm GROUP BY 1) sb ON i.r2 = sb.role_id
+UNION ALL
+SELECT 'orphans', 'ALL',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT document_id FROM blocks) d
+        WHERE NOT EXISTS (SELECT 1 FROM perm p WHERE p.document_id = d.document_id)),
+       -1.0
 """
 
 # D5 adaptive routing, exact: reproduce the per-query strategy choice

@@ -170,3 +170,50 @@ def block_selectivity(user_roles: DataFrame, permission_assignment: DataFrame, d
         "accessible_blocks",
         F.round(F.col("accessible_blocks") / F.col("total_blocks"), 6).alias("selectivity"),
     )
+
+
+def role_reach(permission_assignment: DataFrame, documentblocks: DataFrame) -> DataFrame:
+    """B8: per-role audit rollup — documents and blocks each role reaches,
+    plus the block fraction (the role-level analogue of per-user
+    selectivity; what an access review reads first). One broadcast join +
+    one aggregate."""
+    total = documentblocks.select(F.count("*").alias("total_blocks"))
+    return (
+        permission_assignment.join(
+            documentblocks.select("document_id", "block_id"), "document_id"
+        )
+        .groupBy("role_id")
+        .agg(
+            F.countDistinct("document_id").cast("long").alias("n_docs"),
+            F.count("block_id").cast("long").alias("n_blocks"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "role_id", "n_docs", "n_blocks",
+            F.round(F.col("n_blocks") / F.col("total_blocks"), 6).alias("block_frac"),
+        )
+    )
+
+
+def role_overlap(permission_assignment: DataFrame) -> DataFrame:
+    """B8: pairwise role-permission Jaccard — the role-mining similarity
+    matrix (roles with overlap ≈ 1 are consolidation candidates; RBAC
+    administration's classic cleanup signal). Self-join on document_id
+    with r1 < r2 — pair cardinality is roles², never documents²."""
+    a = permission_assignment.select(F.col("role_id").alias("r1"), "document_id")
+    b = permission_assignment.select(F.col("role_id").alias("r2"), "document_id")
+    inter = (
+        a.join(b, "document_id")
+        .where(F.col("r1") < F.col("r2"))
+        .groupBy("r1", "r2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sizes = permission_assignment.groupBy("role_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("role_id").alias("r1"), F.col("n").alias("na"))), "r1")
+        .join(F.broadcast(sizes.select(F.col("role_id").alias("r2"), F.col("n").alias("nb"))), "r2")
+        .select(
+            "r1", "r2", "n_inter",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6).alias("jaccard"),
+        )
+    )
