@@ -691,7 +691,7 @@ def q_mixture_sample(spark, sf_dir):
     # their source's tempered acceptance rate; the oracle replays
     # counts → q_s ∝ p_s^τ → integer hash threshold exactly
     temp = (
-        curation.temperature_mixture_sample(docs, tau=0.7)
+        curation.temperature_mixture_sample(docs, tau=0.7, extra_cols=("lang",))
         .select("doc_id", "source", "lang", F.col("accept_rate").alias("weight"))
         .withColumn("method", F.lit("temp"))
     )

@@ -278,6 +278,7 @@ def main() -> None:
     # actual execution throughput). Reporting both makes round-over-round
     # deltas readable: the warm total is the steady-state anchor.
     cold: dict[str, float] = {}
+    lat: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         # EXTRA wins: it holds member functions benched under a registry
         # entry's name when the entry grew into a union (tfidf_top_terms)
@@ -290,6 +291,14 @@ def main() -> None:
             runs.append(time.time() - t0)
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs[1:]), 3)
+        # per-query latency distribution over the 3 runs (run_search_experiment
+        # parity: the reference reports QPS + latency percentiles per query);
+        # p50 = median, p95 = interpolated between the two slowest
+        s = sorted(runs)
+        lat[name] = {
+            "p50": round(s[1], 3),
+            "p95": round(s[1] + (s[2] - s[1]) * 0.9, 3),
+        }
         print(f"# {name}: {n} rows in {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
     recalls = _strategy_recalls(spark)
     for s, v in recalls.items():
@@ -308,6 +317,7 @@ def main() -> None:
             {
                 "detail": "bench_full",
                 "queries_cold": cold,
+                "latency": lat,
                 "recall": recalls,
                 "tuning": tuning_info,
             },
@@ -320,6 +330,12 @@ def main() -> None:
         "unit": "sec",
         "value_cold": round(sum(cold.values()), 3),
         "value_r2_subset": round(sum(timings[k] for k in R2_KEYS if k in timings), 3),
+        # aggregate latency profile (sums of per-query p50/p95 over the 3
+        # runs); the per-query breakdown rides the detail line above
+        "latency": {
+            "p50_total": round(sum(v["p50"] for v in lat.values()), 2),
+            "p95_total": round(sum(v["p95"] for v in lat.values()), 2),
+        },
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
     }

@@ -477,3 +477,61 @@ def median_bit_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "distance", "rank")
     )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A11: per-dimension affine scalar quantization (faiss SQ8 /
+    Milvus SQ8 tier) + asymmetric search — the missing rung between fp16
+    (A10) and product quantization (D6) on the compression ladder:
+    4 bytes → 1 byte per dim with per-dim [min, max] ranges trained on
+    the corpus, query side kept float (ADC-style asymmetric distance
+    against the dequantized code).
+
+    code_i = round((x_i − mn_i) · 255 / (mx_i − mn_i)); x̂_i = mn_i +
+    code_i·span_i/255; distance = round(l2(q, x̂), 6), rank by (d, id).
+    The per-dim stats are EXACT min/max aggregates, so the DuckDB oracle
+    recomputes them relationally and replays encode + dequant + rank
+    value-for-value (the arithmetic stays in source order).
+
+    Scale: stats = one map-side-combinable pass (dim aggregates); encode
+    and search are pure codegen over the scan; stats/queries broadcast.
+    """
+    stats = embeddings.agg(
+        *[F.min(F.element_at(F.col(vec_col), i + 1)).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(F.element_at(F.col(vec_col), i + 1)).alias(f"mx{i}") for i in range(dim)],
+    ).first()
+    mn = [float(stats[f"mn{i}"]) for i in range(dim)]
+    # degenerate dims (mx == mn) get span 1.0 so codes land on 0 — the
+    # oracle replicates with CASE WHEN mx = mn THEN 1.0
+    span = [(float(stats[f"mx{i}"]) - float(stats[f"mn{i}"])) or 1.0 for i in range(dim)]
+    mn_lit = F.array(*[F.lit(v) for v in mn])
+    span_lit = F.array(*[F.lit(v) for v in span])
+
+    codes = F.zip_with(
+        F.zip_with(F.col(vec_col), mn_lit, lambda x, m: x.cast("double") - m),
+        span_lit,
+        lambda d, s: F.round(d * 255.0 / s, 0).cast("long"),
+    )
+    dequant = F.zip_with(
+        F.zip_with(codes, span_lit, lambda c, s: c.cast("double") * s / 255.0),
+        mn_lit,
+        lambda a, m: a + m,
+    )
+    enc = embeddings.select(F.col(id_col), dequant.alias("_xhat"))
+    scored = enc.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross").select(
+        "query_id",
+        F.col(id_col).alias("block_id"),
+        (F.round(V.l2_distance("_xhat", "query_vector"), 6) + F.lit(0.0)).alias("distance"),
+    )
+    return (
+        topk_per_query(scored, k, id_col="block_id")
+        .select("query_id", F.col("block_id").alias(id_col), "distance",
+                F.col("rank").cast("long").alias("rank"))
+    )

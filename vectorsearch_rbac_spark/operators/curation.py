@@ -800,6 +800,7 @@ def temperature_mixture_sample(
     tau: float = 0.7,
     source_col: str = "source",
     id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """E45: temperature-scaled source reweighting — the multilingual-
     pretraining mixing knob (XLM-R / mT5: sample sources ∝ p_s^τ, τ<1
@@ -836,66 +837,14 @@ def temperature_mixture_sample(
     return (
         documents.join(F.broadcast(rates), source_col)
         .where(h < thresh)
-        .select(id_col, source_col, "lang", "accept_rate")
+        .select(id_col, source_col, *extra_cols, "accept_rate")
     )
 
 
-def sq8_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """A11: per-dimension affine scalar quantization (faiss SQ8 /
-    Milvus SQ8 tier) + asymmetric search — the missing rung between fp16
-    (A10) and product quantization (D6) on the compression ladder:
-    4 bytes → 1 byte per dim with per-dim [min, max] ranges trained on
-    the corpus, query side kept float (ADC-style asymmetric distance
-    against the dequantized code).
+def sq8_topk(*args, **kwargs):
+    """Moved to :func:`operators.ann.sq8_topk` (its siblings
+    median_bit_topk / hamming_rerank_topk live there); thin re-export kept
+    for source compatibility."""
+    from .ann import sq8_topk as _sq8
 
-    code_i = round((x_i − mn_i) · 255 / (mx_i − mn_i)); x̂_i = mn_i +
-    code_i·span_i/255; distance = round(l2(q, x̂), 6), rank by (d, id).
-    The per-dim stats are EXACT min/max aggregates, so the DuckDB oracle
-    recomputes them relationally and replays encode + dequant + rank
-    value-for-value (the arithmetic stays in source order).
-
-    Scale: stats = one map-side-combinable pass (dim aggregates); encode
-    and search are pure codegen over the scan; stats/queries broadcast.
-    """
-    from ..functions import vector as V
-
-    stats = embeddings.agg(
-        *[F.min(F.element_at(F.col(vec_col), i + 1)).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(F.element_at(F.col(vec_col), i + 1)).alias(f"mx{i}") for i in range(dim)],
-    ).first()
-    mn = [float(stats[f"mn{i}"]) for i in range(dim)]
-    # degenerate dims (mx == mn) get span 1.0 so codes land on 0 — the
-    # oracle replicates with CASE WHEN mx = mn THEN 1.0
-    span = [(float(stats[f"mx{i}"]) - float(stats[f"mn{i}"])) or 1.0 for i in range(dim)]
-    mn_lit = F.array(*[F.lit(v) for v in mn])
-    span_lit = F.array(*[F.lit(v) for v in span])
-
-    codes = F.zip_with(
-        F.zip_with(F.col(vec_col), mn_lit, lambda x, m: x.cast("double") - m),
-        span_lit,
-        lambda d, s: F.round(d * 255.0 / s, 0).cast("long"),
-    )
-    dequant = F.zip_with(
-        F.zip_with(codes, span_lit, lambda c, s: c.cast("double") * s / 255.0),
-        mn_lit,
-        lambda a, m: a + m,
-    )
-    enc = embeddings.select(F.col(id_col), dequant.alias("_xhat"))
-    scored = enc.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross").select(
-        "query_id",
-        id_col,
-        (F.round(V.l2_distance("_xhat", "query_vector"), 6) + F.lit(0.0)).alias("distance"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "distance", "rank")
-    )
+    return _sq8(*args, **kwargs)

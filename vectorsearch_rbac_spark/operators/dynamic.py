@@ -100,8 +100,15 @@ def merge_upsert(
     if delete_col is None:
         s = s.withColumn("_del", F.lit(False))
     else:
-        s = s.withColumnRenamed(delete_col, "_del")
-    s = s.select(key, "_del", *[F.col(c).alias(f"_src_{c}") for c in update_cols])
+        # normalize a possibly tri-state delete flag: NULL means "not a
+        # delete" (real CDC feeds carry nullable booleans)
+        s = s.withColumn("_del", F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)))
+    # dedicated presence marker: _del can no longer double as "source row
+    # exists" now that it is normalized to non-null on the source side only
+    s = s.select(
+        key, "_del", F.lit(True).alias("_src"),
+        *[F.col(c).alias(f"_src_{c}") for c in update_cols],
+    )
     t = target.withColumn("_tgt", F.lit(True))
     # full-outer can't broadcast; prefer the shuffled-hash build (Spark 3.1+
     # supports full-outer SHJ) over a sort-merge — no per-partition sort of
@@ -117,7 +124,7 @@ def merge_upsert(
         elif c in update_cols:
             # matched update / unmatched insert both take the source value
             cols.append(
-                F.when(F.col("_del").isNotNull(), F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
+                F.when(F.col("_src").isNotNull(), F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
             )
         else:
             cols.append(F.col(c).alias(c))
@@ -286,6 +293,10 @@ class VersionedStore:
         expire = self.versions[:-keep_last] if keep_last > 0 else list(self.versions)
         for v in expire:
             shutil.rmtree(self._path(v), ignore_errors=True)
+            # reclaim the version's deletion-vector side files too, and drop
+            # the stale in-memory DV counter — retention covers DV space
+            shutil.rmtree(f"{self.base_path}/dv/v={v}", ignore_errors=True)
+            self._dvs.pop(v, None)
             self.versions.remove(v)
         return expire
 

@@ -39,6 +39,10 @@ def get_spark(app: str = "vectorsearch-rbac-spark", shuffle_partitions: int = 32
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pin the session timezone: the DuckDB oracle treats timestamps as
+        # naive/UTC, so day/hour bucketing (date_trunc, unix_timestamp, year)
+        # must not shift with the host JVM timezone
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
