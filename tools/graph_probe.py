@@ -12,6 +12,12 @@ the build/search unit — stays constant). Expected shapes at 100 TB:
 Superlinear growth in either column = a partition-global stage leaked in.
 
 Usage: python tools/graph_probe.py [factors...]   (default: 1 4 16)
+       python tools/graph_probe.py partsize [sizes...]
+           (default: 8000 16000 32000 64000) — grow ONE partition and
+           measure the incremental build wall + recall@10 at ef=48/128:
+           near-linear wall and flat recall certify the HNSW-style
+           insert loop (hnswbuild.c parity) has no quadratic cliff and
+           no navigability collapse. Pure-kernel check, no Spark.
 """
 
 from __future__ import annotations
@@ -30,7 +36,63 @@ from vectorsearch_rbac_spark.operators import graph_ann
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def partsize_main(sizes: list[int]) -> None:
+    """Partition-size scaling of the incremental (HNSW-insert) build:
+    interpolate pairs of real embeddings (smooth structure — plain
+    replication makes disjoint clone-cliques, pathological for ANY kNN
+    graph) and grow one partition. Expect wall ∝ n and recall flat."""
+    import numpy as np
+
+    from vectorsearch_rbac_spark.operators.graph_ann import (
+        _beam_search,
+        _incremental_adjacency,
+        _medoid,
+    )
+
+    try:
+        import duckdb
+
+        rows = duckdb.sql(
+            f"select embedding from '{SF_DIR}/embeddings.parquet' order by vec_id"
+        ).fetchall()
+        base = np.array([r[0] for r in rows], dtype=np.float64)
+    except Exception:
+        base = np.random.default_rng(0).standard_normal((2000, 64))
+    rng = np.random.default_rng(3)
+
+    def corpus(n: int) -> np.ndarray:
+        a = rng.integers(0, len(base), n)
+        b = rng.integers(0, len(base), n)
+        w = rng.random((n, 1))
+        return base[a] * w + base[b] * (1 - w) + rng.standard_normal(
+            (n, base.shape[1])
+        ) * 0.05 * base.std()
+
+    print(f"{'n':>7} {'build':>8} {'r@ef48':>7} {'r@ef128':>8}")
+    for n in sizes:
+        vecs = corpus(n)
+        norms = (vecs * vecs).sum(axis=1)
+        entry = _medoid(vecs)
+        qs = corpus(20)
+        t0 = time.time()
+        adj = _incremental_adjacency(vecs, 8)
+        tb = time.time() - t0
+        rec = {}
+        for ef in (48, 128):
+            hits = 0
+            for q in qs:
+                d2 = norms - 2 * (vecs @ q) + q @ q
+                truth = set(np.argsort(d2)[:10])
+                got = {u for _, u in _beam_search(vecs, adj, entry, q, 10, ef, norms=norms)}
+                hits += len(truth & got)
+            rec[ef] = hits / 200
+        print(f"{n:>7} {tb:>7.1f}s {rec[48]:>7.3f} {rec[128]:>8.3f}")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "partsize":
+        partsize_main([int(a) for a in sys.argv[2:]] or [8000, 16000, 32000, 64000])
+        return
     factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("graph-probe")
     base = load_table(spark, "embeddings", SF_DIR)
