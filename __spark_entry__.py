@@ -1280,9 +1280,15 @@ def q_tpch_deep(spark, sf_dir):
     'q10' top-k returned-item customers (aggregate-then-rank, never a
     fact sort), 'q13' the zero-inclusive customer order-count histogram
     (left join + double aggregate), 'q14' promo share as an exact
-    num/den pair. With q1/q3/q4/q16/q17 as standalone entries that's
-    19 of 22 TPC-H shapes; q11/q12/q20 need partsupp / l_shipmode /
-    l_receiptdate columns the testdata schema doesn't carry."""
+    num/den pair. r6 closes the suite at 22/22: 'q11' important stock
+    (scalar-subquery HAVING, cross-multiplied integers) and 'q20'
+    surplus-stock suppliers (nested-IN chain decorrelated) run on a
+    DETERMINISTIC derived partsupp (distinct trading pairs + arithmetic
+    cost/stock — PQ.derived_partsupp); 'q12' shipmode priority runs on
+    derived shipmode/commit/receipt columns (key arithmetic over
+    midnight-exact shipdates). With q1/q3/q4/q16/q17 as standalone
+    entries that's all 22 TPC-H shapes, every one hash-checked against
+    the textbook oracle formulation."""
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
@@ -1358,10 +1364,23 @@ def q_tpch_deep(spark, sf_dir):
         PQ.promo_revenue_share(part, li),
         "q14", F.lit("promo/total"), F.lit("ALL"), F.col("promo_cents"), F.col("total_cents"),
     )
+    q11 = shape(
+        PQ.important_stock(li, supplier),
+        "q11", F.col("ps_partkey"), F.lit("ALL"), F.col("n_supp"), F.col("value_cents"),
+    )
+    q12 = shape(
+        PQ.shipmode_priority(li, orders),
+        "q12", F.col("l_shipmode"), F.lit("1996"), F.col("high_count"), F.col("low_count"),
+    )
+    q20 = shape(
+        PQ.promotion_candidates(li, load_table(spark, "part", sf_dir), supplier),
+        "q20", F.col("s_name"), F.lit("NATION_9"), F.col("s_suppkey"), F.col("n_parts"),
+    )
     return (q5.unionByName(q7).unionByName(q15).unionByName(q18)
             .unionByName(q19).unionByName(q22).unionByName(q8).unionByName(q21)
             .unionByName(q2).unionByName(q6).unionByName(q9).unionByName(q10)
-            .unionByName(q13).unionByName(q14))
+            .unionByName(q13).unionByName(q14).unionByName(q11).unionByName(q12)
+            .unionByName(q20))
 
 
 def q_top_parts_per_brand(spark, sf_dir):
@@ -4113,6 +4132,12 @@ UNION ALL
 SELECT 'q13', CAST(c_count AS VARCHAR), 'ALL', custdist, c_count FROM q13
 UNION ALL
 SELECT 'q14', 'promo/total', 'ALL', promo_cents, total_cents FROM q14
+UNION ALL
+SELECT 'q11', CAST(ps_partkey AS VARCHAR), 'ALL', n_supp, value_cents FROM q11
+UNION ALL
+SELECT 'q12', l_shipmode, '1996', high_count, low_count FROM q12
+UNION ALL
+SELECT 'q20', s_name, 'NATION_9', s_suppkey, n_parts FROM q20
 """
 
 # q8/q21 CTEs are appended into _TPCH_DEEP_SQL's WITH-list below: the
@@ -4248,6 +4273,72 @@ q14 AS (
   WHERE year(l.l_shipdate) = 1996 AND month(l.l_shipdate) = 3
 )
 SELECT 'q5' AS method""",
+)
+
+# r6 CTEs close the suite at 22/22: q11/q20 on the deterministic derived
+# partsupp (distinct trading pairs + arithmetic cost/stock), q12 on derived
+# shipmode/commit/receipt columns; the oracle keeps textbook formulations
+# (q11's scalar subquery in HAVING, q20's nested INs) so the hash match
+# certifies the Spark-side broadcast/decorrelation rewrites.
+_TPCH_DEEP_SQL = _TPCH_DEEP_SQL.replace(
+    ")\nSELECT 'q5' AS method",
+    """),
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST((l_partkey*7 + l_suppkey*13) % 10000 + 1 AS BIGINT) AS ps_supplycost_cents,
+         CAST((l_partkey*31 + l_suppkey*17) % 9999 + 1 AS BIGINT) AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+),
+q11scoped AS (
+  SELECT ps_partkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+         CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
+  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+  WHERE s_nationkey = 9
+  GROUP BY 1
+),
+q11 AS (
+  SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey, n_supp, value_cents
+  FROM q11scoped
+  HAVING_PLACEHOLDER
+),
+q12li AS (
+  SELECT l_orderkey,
+         ['MAIL','SHIP','RAIL','TRUCK','AIR','FOB','REG AIR'][CAST(((l_orderkey*3+l_linenumber) % 7 + 7) % 7 AS INTEGER) + 1] AS l_shipmode,
+         CAST(l_shipdate AS DATE) + CAST((l_partkey % 45) - 15 AS INTEGER) AS l_commitdate,
+         CAST(l_shipdate AS DATE) + CAST((l_suppkey % 30) + 1 AS INTEGER) AS l_receiptdate,
+         CAST(l_shipdate AS DATE) AS l_shipdate_d
+  FROM lineitem
+),
+q12 AS (
+  SELECT l_shipmode,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+  FROM q12li JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipmode IN ('MAIL','SHIP') AND l_commitdate < l_receiptdate
+    AND l_shipdate_d < l_commitdate AND year(l_receiptdate) = 1996
+  GROUP BY 1
+),
+q20 AS (
+  SELECT s.s_name, CAST(s.s_suppkey AS BIGINT) AS s_suppkey, c.n_parts
+  FROM (
+    SELECT ps.ps_suppkey, CAST(COUNT(DISTINCT ps.ps_partkey) AS BIGINT) AS n_parts
+    FROM partsupp ps
+    WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND 2000 * ps.ps_availqty > (
+        SELECT CAST(SUM(CAST(round(l.l_quantity * 1000) AS BIGINT)) AS BIGINT)
+        FROM lineitem l
+        WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+          AND year(l.l_shipdate) = 1996)
+    GROUP BY 1
+  ) c
+  JOIN supplier s ON c.ps_suppkey = s.s_suppkey
+  WHERE s.s_nationkey = 9
+)
+SELECT 'q5' AS method""",
+).replace(
+    "HAVING_PLACEHOLDER",
+    "WHERE value_cents * (SELECT COUNT(*) FROM q11scoped)"
+    " > 2 * (SELECT SUM(value_cents) FROM q11scoped)",
 )
 
 _TOP_PARTS_SQL = """

@@ -971,3 +971,168 @@ def trailing_window_revenue(events: DataFrame, days: int = 7) -> DataFrame:
         F.sum("milli").over(w).alias("trailing_milli"),
         F.sum("n").over(w).alias("trailing_n"),
     )
+
+
+def derived_partsupp(lineitem: DataFrame) -> DataFrame:
+    """The testdata schema carries no partsupp table, so q11/q20 run on a
+    DETERMINISTIC reconstruction: the distinct (l_partkey, l_suppkey)
+    pairs that actually traded, with arithmetic supply cost and stock
+    level (pure key arithmetic ⇒ the DuckDB oracle recomputes the exact
+    same relation — same adaptation precedent as q2/q9's cost columns).
+
+    Scale: one distinct over two fact columns (map-side combinable,
+    pruned scan); the derived dim is then small enough to broadcast into
+    the q11/q20 joins at any SF (|pairs| ≪ |lineitem|).
+    """
+    return (
+        lineitem.select("l_partkey", "l_suppkey").distinct()
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            (F.pmod(F.col("l_partkey") * 7 + F.col("l_suppkey") * 13, F.lit(10000)) + 1)
+            .cast("long").alias("ps_supplycost_cents"),
+            (F.pmod(F.col("l_partkey") * 31 + F.col("l_suppkey") * 17, F.lit(9999)) + 1)
+            .cast("long").alias("ps_availqty"),
+        )
+    )
+
+
+def important_stock(lineitem: DataFrame, supplier: DataFrame,
+                    nationkey: int = 9) -> DataFrame:
+    """TPC-H q11 shape: per-part inventory value held by one nation's
+    suppliers, keeping parts above a threshold fraction of the national
+    total — the scalar-subquery HAVING. Runs on
+    :func:`derived_partsupp`. TPC-H scales the fraction by 1/SF; here
+    the threshold is SCALE-INVARIANT by construction — keep parts worth
+    more than 2× the mean part value (value·n_parts > 2·total) — so the
+    query stays selective-but-nonempty at every SF without knowing SF.
+
+    Spark-first: the one-nation supplier dim broadcasts into the
+    partsupp scan; the grand total/count is a single-row aggregate
+    broadcast back (no second shuffle), and the threshold compare is
+    cross-multiplied integers so the hash gate never sees a float.
+    """
+    ps = derived_partsupp(lineitem)
+    scoped = (
+        ps.join(
+            F.broadcast(
+                supplier.where(F.col("s_nationkey") == nationkey).select("s_suppkey")
+            ),
+            ps["ps_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("ps_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n_supp"),
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .cast("long").alias("value_cents"),
+        )
+    )
+    tot = scoped.agg(
+        F.sum("value_cents").cast("long").alias("_total"),
+        F.count("*").cast("long").alias("_n_parts"),
+    )
+    return (
+        scoped.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * F.col("_n_parts") > F.lit(2) * F.col("_total"))
+        .select(F.col("ps_partkey").cast("long").alias("ps_partkey"), "n_supp", "value_cents")
+    )
+
+
+_SHIPMODES = ["MAIL", "SHIP", "RAIL", "TRUCK", "AIR", "FOB", "REG AIR"]
+
+
+def _derived_shipping(lineitem: DataFrame) -> DataFrame:
+    """l_shipmode / l_commitdate / l_receiptdate don't exist in the
+    testdata lineitem; derive all three deterministically from keys and
+    l_shipdate (midnight-only timestamps, so date arithmetic is exact in
+    both engines). commit offset spans [-15, 29] days so the q12
+    'commit before receipt / shipped before commit' predicates actually
+    bind both ways."""
+    return (
+        lineitem
+        .withColumn(
+            "l_shipmode",
+            F.element_at(
+                F.array(*[F.lit(m) for m in _SHIPMODES]),
+                (F.pmod(F.col("l_orderkey") * 3 + F.col("l_linenumber"), F.lit(7)) + 1).cast("int"),
+            ),
+        )
+        .withColumn(
+            "l_commitdate",
+            F.date_add(F.to_date("l_shipdate"),
+                       (F.pmod(F.col("l_partkey"), F.lit(45)) - 15).cast("int")),
+        )
+        .withColumn(
+            "l_receiptdate",
+            F.date_add(F.to_date("l_shipdate"),
+                       (F.pmod(F.col("l_suppkey"), F.lit(30)) + 1).cast("int")),
+        )
+    )
+
+
+def shipmode_priority(lineitem: DataFrame, orders: DataFrame,
+                      modes: tuple = ("MAIL", "SHIP"), y: int = 1996) -> DataFrame:
+    """TPC-H q12 shape: late-shipping analysis — for each ship mode, how
+    many high-priority vs low-priority orders arrived inside the window
+    with commit-before-receipt and ship-before-commit. Runs on the
+    derived shipmode/commit/receipt columns (:func:`_derived_shipping`).
+
+    Scale: every derived-column predicate evaluates on the lineitem scan
+    before the single orderkey shuffle join to orders (the canonical q12
+    plan); the CASE counts are one map-side-combined aggregate over two
+    groups.
+    """
+    li = _derived_shipping(lineitem).where(
+        F.col("l_shipmode").isin(*modes)
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.to_date("l_shipdate") < F.col("l_commitdate"))
+        & (F.year("l_receiptdate") == y)
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipmode")
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_count"),
+        )
+    )
+
+
+def promotion_candidates(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                         prefix: str = "red", y: int = 1996,
+                         nationkey: int = 9) -> DataFrame:
+    """TPC-H q20 shape: suppliers in one nation with surplus stock
+    (availqty > half the year's shipped quantity) of name-prefixed parts
+    — the nested IN-subquery chain, decorrelated to joins. Runs on
+    :func:`derived_partsupp`; surplus test is exact integers
+    (2000·availqty > qty_milli).
+
+    Scale: the prefix-filtered part dim and one-nation supplier dim both
+    broadcast; the year's per-(part,supp) quantity is one pruned fact
+    aggregate; everything after is dim-sized.
+    """
+    ps = derived_partsupp(lineitem)
+    qty = (
+        lineitem.where(F.year("l_shipdate") == y)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 1000, 0).cast("long")).alias("qty_milli"))
+    )
+    return (
+        ps.join(F.broadcast(part.where(F.col("p_name").startswith(prefix))
+                            .select("p_partkey")),
+                ps["ps_partkey"] == F.col("p_partkey"))
+        .join(qty, (F.col("ps_partkey") == F.col("l_partkey"))
+              & (F.col("ps_suppkey") == F.col("l_suppkey")))
+        .where(F.lit(2000) * F.col("ps_availqty") > F.col("qty_milli"))
+        .groupBy("ps_suppkey")
+        .agg(F.countDistinct("ps_partkey").cast("long").alias("n_parts"))
+        .join(
+            F.broadcast(supplier.where(F.col("s_nationkey") == nationkey)
+                        .select("s_suppkey", "s_name")),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", F.col("s_suppkey").cast("long").alias("s_suppkey"), "n_parts")
+    )
