@@ -2187,6 +2187,7 @@ def q_quantized_topk(spark, sf_dir):
     value-for-value (the anchor_ivf_curve treatment applied to PQ;
     k-means codebooks stay recall-checked in ann_recall)."""
     t = _rbac(spark, sf_dir)
+    from vectorsearch_rbac_spark.operators import graph_ann
     from vectorsearch_rbac_spark.operators import pq as PQZ
 
     parts = [
@@ -2215,6 +2216,12 @@ def q_quantized_topk(spark, sf_dir):
         # vs A9's sign bits; thresholds are the exact interpolated per-dim
         # medians the oracle recomputes with quantile_cont
         ("bit_median", _i(ann.median_bit_topk(t["embeddings"], t["queries"], k=TOPK), "query_id", "vec_id").select(
+            "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
+        # D2 (r6): the graph-search path exact-certified — ef >= n over
+        # the ring-connected adjacency is provably exhaustive, so the
+        # oracle is plain brute-force L2 top-k (see graph_exact_topk)
+        ("graph_exact", _i(graph_ann.graph_exact_topk(
+                t["embeddings"], t["queries"], k=TOPK), "query_id", "vec_id").select(
             "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
     ]
     out = None
@@ -5028,6 +5035,24 @@ SELECT query_id, vec_id, distance, rank FROM (
 ) WHERE rank <= {TOPK}
 """
 
+# D2 certification: with ef >= n the beam is provably exhaustive over the
+# ring-connected partition graph, so the oracle for the graph path is
+# plain brute-force L2 top-k (graph_ann.graph_exact_topk docstring).
+_GRAPH_EXACT_SQL = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS query_vector
+  FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT query_id, vec_id, distance, rank FROM (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_distance(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6),
+                    e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN qs q
+) WHERE rank <= {TOPK}
+"""
+
 _QUANTIZED_SQL = f"""
 SELECT 'bit_median' AS method, query_id, vec_id,
        CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
@@ -5056,6 +5081,9 @@ FROM ({_SPARSE_COSINE_SQL})
 UNION ALL
 SELECT 'int8', query_id, vec_id, CAST(dot AS DOUBLE), CAST(rank AS BIGINT)
 FROM ({_INT8_TOPK_SQL})
+UNION ALL
+SELECT 'graph_exact', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT)
+FROM ({_GRAPH_EXACT_SQL})
 """
 
 

@@ -330,6 +330,47 @@ def nsw_search(
     return _rank_topk(cand, k, id_col)
 
 
+def graph_exact_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    expansion: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D2 EXACT certification — the graph-search path under the hash
+    gate, the way r5 certified PQ and LSH: with ``ef`` ≥ partition size
+    the beam cap never binds, so the best-first loop over the
+    ring-connected adjacency (one component by construction) degenerates
+    into an exhaustive traversal that provably visits every node — the
+    shortlist is the exact top-k·expansion. A final JVM-side elementwise
+    L2 rerank (``V.l2_distance``, the oracle's ``list_distance``) makes
+    the emitted 6-dp distances bit-comparable, exactly the
+    ``hamming_rerank_topk`` refine idiom. What the oracle match
+    certifies: graph build plumbing, cogrouped query routing, beam
+    expansion/termination, and the two-phase rank — everything but the
+    approximation itself, which ``ann_recall`` floors cover."""
+    from ..functions import vector as V
+    from .knn import topk_per_query
+
+    shortlist = nsw_search(
+        embeddings, queries, k=k * expansion, m=m, ef=1 << 30,
+        id_col=id_col, vec_col=vec_col, build_method="exact",
+    ).select("query_id", id_col)
+    rescored = (
+        shortlist.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("block_id"),
+            F.round(V.l2_distance(vec_col, "query_vector"), 6).alias("distance"),
+        )
+    )
+    w = topk_per_query(rescored, k, id_col="block_id")
+    return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+
+
 # ---------------------------------------------------------- index lifecycle
 # Parity: dynamic_partition/hnsw/insertion.py / deletion.py — the reference
 # mutates a per-partition hnswlib index in place; here the adjacency is a
