@@ -2104,9 +2104,86 @@ def q_store_lifecycle(spark, sf_dir):
         .select(F.lit("dv").alias("section"), F.lit("live").alias("key"), "n_rows", "value")
     )
     mrow = mrow.unionByName(dvrow)
+    # H7 small-file compaction under the gate (r6): the v1 store written
+    # FRAGMENTED (8 round-robin files), compacted to 1, read back — the
+    # content checksum must equal v1's (the oracle's sb relation) and the
+    # dir must actually hold one file, so both halves of "compaction is a
+    # content-identical rewrite" are driver-checked.
+    import os as _os
+
+    from vectorsearch_rbac_spark.sources import layouts as L
+
+    cdir = _STREAM_DROPS.get(("compact", sf_dir))
+    if cdir is None:
+        cdir = tempfile.mkdtemp(prefix="h7_compact_") + "/flat"
+        vs.read(1).select("block_id", "comb_role").repartition(8).write.mode(
+            "overwrite").parquet(cdir)
+        L.compact_partition_dir(spark, cdir, target_files=1)
+        _STREAM_DROPS[("compact", sf_dir)] = cdir
+    n_files = len([f for f in _os.listdir(cdir) if f.endswith(".parquet")])
+    ch = md5_long(F.concat(F.col("block_id").cast("string"), F.lit(":"), F.col("comb_role")))
+    crow = (
+        spark.read.parquet(cdir).select(ch.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("value"))
+        .select(F.lit("compaction").alias("section"), F.lit("content").alias("key"),
+                "n_rows", "value")
+    ).unionByName(
+        spark.range(1).select(
+            F.lit("compaction").alias("section"), F.lit("files").alias("key"),
+            F.lit(n_files).alias("n_rows"), F.lit(1).alias("value"),
+        )
+    )
+    # G8b streaming graph maintenance under the gate (r6): the same
+    # arriving drop replayed as micro-batches folded into the NSW
+    # adjacency via insert_into_graph (foreachBatch), then an ef >= n
+    # beam over the STREAMED graph + an exact JVM-side L2 rerank — the
+    # ring re-asserted per insert keeps the graph provably connected, so
+    # the top-k must equal brute force (the oracle), certifying the
+    # whole streamed-maintenance path, not just its shape.
+    from vectorsearch_rbac_spark.operators import graph_ann
+
+    gdir = _STREAM_DROPS.get(("streamgraph", sf_dir))
+    if gdir is None:
+        # run the stream ONCE per session and persist the maintained index
+        # (build-once-search-many, like any real index); warm calls read
+        # the parquet adjacency back and every checksum still recomputes
+        base_blocks = blocks.where(F.col("block_id") % 5 != 0)
+        g0 = graph_ann.build_nsw_graph(base_blocks, m=8, id_col="block_id", vec_col="vector")
+        fb0, fg0 = S.run_streaming_graph_inserts(
+            spark, drop, arriving.schema, base_blocks.select("block_id", "vector"), g0,
+            m=8, id_col="block_id", vec_col="vector",
+        )
+        gdir = tempfile.mkdtemp(prefix="g8b_graph_")
+        fg0.write.mode("overwrite").parquet(gdir + "/adj")
+        _STREAM_DROPS[("streamgraph", sf_dir)] = gdir
+    fb = blocks.select("block_id", "vector")
+    fg = spark.read.parquet(gdir + "/adj")
+    sg_short = graph_ann.nsw_search_indexed(
+        fb, fg, t["queries"], k=TOPK * 4, ef=1 << 30,
+        id_col="block_id", vec_col="vector",
+    ).select("query_id", "block_id")
+    sg_rescored = (
+        sg_short.join(blocks.select("block_id", "vector"), "block_id")
+        .join(F.broadcast(t["queries"].select("query_id", "query_vector")), "query_id")
+        .select(
+            "query_id", "block_id",
+            F.round(V.l2_distance("vector", "query_vector"), 6).alias("distance"),
+        )
+    )
+    sg_top = knn.topk_per_query(sg_rescored, TOPK, id_col="block_id")
+    sgh = md5_long(F.concat_ws(":", F.col("query_id").cast("string"),
+                               F.col("block_id").cast("string"),
+                               F.col("rank").cast("string")))
+    sgrow = (
+        sg_top.select(sgh.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("value"))
+        .select(F.lit("stream_graph").alias("section"), F.lit("topk").alias("key"),
+                "n_rows", "value")
+    )
     return _i(
         out.unionByName(hourly).unionByName(space).unionByName(rt)
-        .unionByName(partrt).unionByName(evrows).unionByName(mrow),
+        .unionByName(partrt).unionByName(evrows).unionByName(mrow)
+        .unionByName(crow).unionByName(sgrow),
         "n_rows", "value",
     )
 
@@ -4809,6 +4886,22 @@ FROM (
            CAST(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE -1 END AS VARCHAR)), 1, 15))::BIGINT) AS cks
   FROM documents
 ) e CROSS JOIN (SELECT unnest(['nulls', 'content']) AS key) k
+UNION ALL
+SELECT 'compaction' AS section, 'content' AS key, COUNT(*) AS n_rows, bit_xor(h) AS value FROM sb
+UNION ALL
+SELECT 'compaction' AS section, 'files' AS key, 1 AS n_rows, 1 AS value
+UNION ALL
+SELECT 'stream_graph' AS section, 'topk' AS key, COUNT(*) AS n_rows, bit_xor(h) AS value FROM (
+  SELECT ('0x' || substr(md5(CAST(query_id AS VARCHAR) || ':' ||
+           CAST(block_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT q.query_id, b.block_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6),
+                      b.block_id) AS rank
+    FROM blocks b CROSS JOIN qs q
+  ) WHERE rank <= 10
+)
 """
 
 # B2/B4: replay every md5-seeded generator draw row-for-row.

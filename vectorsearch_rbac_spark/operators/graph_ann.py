@@ -536,6 +536,10 @@ def insert_into_graph(
             for u in links:
                 adj[u].add(i)
                 _prune_neighbors(u, adj, vecs, norms, m, m_max)
+        # re-assert the ring over the partition's post-insert id order:
+        # keeps the connected-by-construction invariant under maintenance,
+        # so ef >= n beam exactness (graph_exact_topk) survives inserts
+        _ring_edges(adj)
         return pd.DataFrame(
             {
                 "part": part,

@@ -364,7 +364,9 @@ def run_streaming_graph_inserts(
     """
     from ..operators import graph_ann
 
-    state = {"blocks": initial_blocks.localCheckpoint(), "graph": initial_graph.localCheckpoint()}
+    # only the ITERATED state (the adjacency) needs lineage truncation;
+    # blocks is a cheap union chain over parquet scans
+    state = {"blocks": initial_blocks, "graph": initial_graph.localCheckpoint()}
 
     def on_batch(batch_df, batch_id):
         new = batch_df.select(id_col, vec_col)
@@ -373,7 +375,7 @@ def run_streaming_graph_inserts(
         state["graph"] = graph_ann.insert_into_graph(
             state["blocks"], state["graph"], new, m=m, id_col=id_col, vec_col=vec_col
         ).localCheckpoint()
-        state["blocks"] = state["blocks"].unionByName(new).localCheckpoint()
+        state["blocks"] = state["blocks"].unionByName(new)
 
     q = (
         spark.readStream.schema(schema)
