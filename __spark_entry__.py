@@ -448,7 +448,10 @@ def q_neardup_clusters(spark, sf_dir):
     max-centrality canonical flag per cluster (5 power iterations, 9 dp
     per-iteration rounding — exact-oracle vs the unrolled SQL replay)."""
     docs = load_table(spark, "documents", sf_dir)
-    pairs = dedup.minhash_candidates(docs, n=3, num_hashes=16, band_size=4)
+    # one materialization of the banding join: BOTH consumers (CC and
+    # PageRank) re-derive their symmetric edge lists from it, so without
+    # this the MinHash pipeline would run twice
+    pairs = dedup.minhash_candidates(docs, n=3, num_hashes=16, band_size=4).localCheckpoint()
     clusters = dedup.neardup_clusters(docs, pairs)
     pr = dedup.pagerank_scores(pairs, iters=PAGERANK_ITERS)
     out = dedup.canonical_by_pagerank(clusters, pr)
