@@ -1911,7 +1911,23 @@ def q_tuning_curve(spark, sf_dir):
     return _i(out, "nprobe")
 
 
+def store_lifecycle_sections(spark, sf_dir):
+    """The q_store_lifecycle sections as (name, DataFrame) pairs so the
+    bench can time each one separately — the entry had grown into the
+    single biggest bench line, and one union number hides member-level
+    drift. The union entry (the registry surface) is unchanged:
+    q_store_lifecycle just concatenates these."""
+    return _store_lifecycle_build(spark, sf_dir)
+
+
 def q_store_lifecycle(spark, sf_dir):
+    out = None
+    for _name, df in _store_lifecycle_build(spark, sf_dir):
+        out = df if out is None else out.unionByName(df)
+    return _i(out, "n_rows", "value")
+
+
+def _store_lifecycle_build(spark, sf_dir):
     """D8 + G4 + F7 + H4 + H2 + H3 in one driver-checked entry: the versioned store's
     full mutation lifecycle (commit v0 → insert v1 → delete v2 →
     RESTORE(1) = v3; parity: insertion_rolllback.py / deletion_rolllback.py
@@ -1975,7 +1991,7 @@ def q_store_lifecycle(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("value"))
         .select(F.lit("stream_insert").alias("section"), F.lit("arriving").alias("key"), "n_rows", "value")
     )
-    out = out.unionByName(stream_row)
+    versions_section = out
 
     # H4 space accounting (space_calculate.py:19 BYTES_PER_COMPONENT): exact
     # logical bytes per storage tier = Σ dim × tier width over the corpus.
@@ -2106,7 +2122,6 @@ def q_store_lifecycle(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(h)").alias("value"))
         .select(F.lit("dv").alias("section"), F.lit("live").alias("key"), "n_rows", "value")
     )
-    mrow = mrow.unionByName(dvrow)
     # H7 small-file compaction under the gate (r6): the v1 store written
     # FRAGMENTED (8 round-robin files), compacted to 1, read back — the
     # content checksum must equal v1's (the oracle's sb relation) and the
@@ -2183,12 +2198,19 @@ def q_store_lifecycle(spark, sf_dir):
         .select(F.lit("stream_graph").alias("section"), F.lit("topk").alias("key"),
                 "n_rows", "value")
     )
-    return _i(
-        out.unionByName(hourly).unionByName(space).unionByName(rt)
-        .unionByName(partrt).unionByName(evrows).unionByName(mrow)
-        .unionByName(crow).unionByName(sgrow),
-        "n_rows", "value",
-    )
+    return [
+        ("versions", versions_section),
+        ("stream_insert", stream_row),
+        ("hourly", hourly),
+        ("space", space),
+        ("roundtrip", rt),
+        ("partitioned", partrt),
+        ("evolution", evrows),
+        ("merge", mrow),
+        ("dv", dvrow),
+        ("compaction", crow),
+        ("stream_graph", sgrow),
+    ]
 
 
 def q_generator_relations(spark, sf_dir):

@@ -300,6 +300,21 @@ def main() -> None:
             "p95": round(s[1] + (s[2] - s[1]) * 0.9, 3),
         }
         print(f"# {name}: {n} rows in {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
+    # store_lifecycle is the biggest single bench line; time its sections
+    # once (warm — the dirs/stream artifacts are already cached from the 3
+    # registry runs) so member-level drift is visible round-over-round
+    # instead of hiding inside one union number.
+    sections: dict[str, float] = {}
+    try:
+        import __spark_entry__ as _E
+
+        for sname, sdf in _E.store_lifecycle_sections(spark, SF_DIR):
+            t0 = time.time()
+            sdf.collect()
+            sections[sname] = round(time.time() - t0, 3)
+        print(f"# store_lifecycle sections: {sections}", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - diagnostic only
+        print(f"# store_lifecycle sections failed: {exc}", file=sys.stderr)
     recalls = _strategy_recalls(spark)
     for s, v in recalls.items():
         print(f"# recall {s}: {v['recall_at_10']} in {v['sec']}s", file=sys.stderr)
@@ -318,6 +333,7 @@ def main() -> None:
                 "detail": "bench_full",
                 "queries_cold": cold,
                 "latency": lat,
+                "store_lifecycle_sections": sections,
                 "recall": recalls,
                 "tuning": tuning_info,
             },
