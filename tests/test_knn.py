@@ -438,3 +438,106 @@ def test_rbac_graph_search_over_rebalanced_store(spark, sf_dir):
     truth = dynamic.knn_dynamic(store, t["queries"], t["query_roles"], k=10)
     r = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
     assert r >= 0.9
+
+
+def test_incremental_adjacency_invariants_and_recall():
+    """r6 incremental (HNSW-insert) build: pure-kernel invariants — every
+    node keeps >= min(m, n-1) edges (degree floor), the ring backbone
+    makes the graph one connected component, adjacency is symmetric —
+    and the diverse-selection graph must beat a recall floor at a size
+    where the exact kNN graph is known to degrade."""
+    import numpy as np
+
+    from vectorsearch_rbac_spark.operators.graph_ann import (
+        _beam_search,
+        _incremental_adjacency,
+        _medoid,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 16))
+    a = rng.integers(0, 200, 6000)
+    b = rng.integers(0, 200, 6000)
+    w = rng.random((6000, 1))
+    vecs = base[a] * w + base[b] * (1 - w) + rng.standard_normal((6000, 16)) * 0.05
+    m = 8
+    adj = _incremental_adjacency(vecs, m)
+    n = len(adj)
+    # symmetry + no isolated nodes (the diversity heuristic may keep
+    # fewer than m links — same as hnswlib — but the ring guarantees
+    # every node at least its chain edges)
+    sets = [set(x) for x in adj]
+    for u in range(n):
+        assert len(sets[u]) >= 1
+        for v in sets[u]:
+            assert u in sets[v]
+    # ring ⇒ connected: BFS from 0 reaches everything
+    seen = {0}
+    stack = [0]
+    while stack:
+        u = stack.pop()
+        for v in sets[u]:
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    assert len(seen) == n
+    # recall floor at ef=64
+    norms = (vecs * vecs).sum(axis=1)
+    entry = _medoid(vecs)
+    hits = 0
+    qs = base[rng.integers(0, 200, 20)] + rng.standard_normal((20, 16)) * 0.05
+    for q in qs:
+        d2 = norms - 2 * (vecs @ q) + q @ q
+        truth = set(np.argsort(d2)[:10])
+        got = {u for _, u in _beam_search(vecs, adj, entry, q, 10, 64, norms=norms)}
+        hits += len(truth & got)
+    assert hits / 200 >= 0.9
+
+
+def test_graph_exact_topk_matches_bruteforce(spark, sf_dir):
+    """r6 certification invariant behind the quantized_topk graph_exact
+    tag: ef >= n beam over the ring-connected adjacency + exact rerank
+    must equal brute-force top-k EXACTLY (ids and ranks)."""
+    from vectorsearch_rbac_spark.functions import vector as V
+    from vectorsearch_rbac_spark.operators import graph_ann, knn
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = derive.derive_queries(emb, 100)
+    pred = graph_ann.graph_exact_topk(emb, qs, k=10)
+    scored = emb.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        F.col("vec_id").alias("block_id"),
+        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
+    )
+    truth = knn.topk_per_query(scored, 10, id_col="block_id")
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in pred.collect()}
+    want = {(r["query_id"], r["block_id"], r["rank"]) for r in truth.collect()}
+    assert got == want
+
+
+def test_insert_preserves_ring_connectivity(spark, sf_dir):
+    """r6: insert_into_graph re-asserts the ring, so a maintained graph
+    stays one connected component (the invariant graph_exact_topk's
+    exactness proof rests on)."""
+    from vectorsearch_rbac_spark.operators import graph_ann
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("block_id"), F.col("embedding").alias("vector")
+    )
+    old = emb.where(F.col("block_id") % 4 != 0)
+    new = emb.where(F.col("block_id") % 4 == 0)
+    g0 = graph_ann.build_nsw_graph(old, m=8, id_col="block_id", vec_col="vector")
+    g1 = graph_ann.insert_into_graph(old, g0, new, m=8, id_col="block_id", vec_col="vector")
+    rows = {r["id"]: set(r["neighbors"]) for r in g1.collect()}
+    ids = sorted(rows)
+    for i in range(len(ids) - 1):
+        assert ids[i + 1] in rows[ids[i]], "ring edge missing after insert"
+    seen = {ids[0]}
+    stack = [ids[0]]
+    while stack:
+        u = stack.pop()
+        for v in rows[u]:
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    assert len(seen) == len(ids)
