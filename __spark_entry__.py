@@ -1823,6 +1823,25 @@ def q_acorn_recall(spark, sf_dir):
     return knn.recall_at_k(pred, truth)
 
 
+def q_acorn_gamma_recall(spark, sf_dir):
+    """D5 ACORN-γ (r6) — the reference acorn_benchmark's denser-graph
+    variant: degree ≈ γ·m UNPRUNED nearest lists, search-time neighbor
+    truncation to the first m PASSING entries (no 2-hop detours, no
+    failing-node distance evals — ~2× faster per query than ACORN-1 at
+    slightly lower recall; holds down to selectivity ≈ 1/γ). Approximate
+    op → rows-only, pytest floors."""
+    from vectorsearch_rbac_spark.operators import graph_ann
+
+    t = _rbac(spark, sf_dir)
+    pred = graph_ann.acorn_search(
+        t["documentblocks"], t["queries"], t["query_roles"], k=TOPK, m=8,
+        ef=96, gamma=4,
+    )
+    truth = _cached(("truth_prefilter", sf_dir),
+                    lambda: q_rbac_prefilter_topk(spark, sf_dir).localCheckpoint())
+    return knn.recall_at_k(pred, truth)
+
+
 def q_rbac_graph_recall(spark, sf_dir):
     """D2×D4 capstone — the reference's headline architecture end-to-end:
     dynamic comb-role partitions, a graph index per partition, role-routed
@@ -1839,15 +1858,16 @@ def q_rbac_graph_recall(spark, sf_dir):
 
 
 def q_ann_recall(spark, sf_dir):
-    """All seven ANN recall checks in ONE entry (registry curation): per-
+    """All eight ANN recall checks in ONE entry (registry curation): per-
     query recall@10 vs exact ground truth for D1 IVF (nprobe=10/16), E8
     hyperplane LSH (5 planes × 8 tables), D6 PQ+refine (ksub=64, exp=8),
     D11 IVF-PQ residual (IVFADC: coarse route + residual ADC + refine),
     D2 graph NSW (partition-local kNN graph + ef-beam search), D2×D4
     role-routed per-partition graph search vs the exact dynamic answer,
-    and D5 ACORN-1 predicate-aware traversal vs the exact permitted
-    answer — approximate ops, so rows-only by design; pytest pins the
-    recall floors."""
+    D5 ACORN-1 predicate-aware traversal vs the exact permitted answer,
+    and (r6) D5 ACORN-γ dense-graph neighbor-truncation traversal —
+    approximate ops, so rows-only by design; pytest pins the recall
+    floors."""
     parts = [
         ("ivf", q_ivf_recall(spark, sf_dir)),
         ("lsh", q_lsh_recall(spark, sf_dir)),
@@ -1856,6 +1876,7 @@ def q_ann_recall(spark, sf_dir):
         ("graph", q_graph_recall(spark, sf_dir)),
         ("rbac_graph", q_rbac_graph_recall(spark, sf_dir)),
         ("acorn", q_acorn_recall(spark, sf_dir)),
+        ("acorn_gamma", q_acorn_gamma_recall(spark, sf_dir)),
     ]
     out = None
     for name, df in parts:
@@ -2335,7 +2356,7 @@ def q_quantized_topk(spark, sf_dir):
         # A11 (r5): per-dim affine SQ8 + asymmetric search — the rung
         # between fp16 and PQ; the oracle recomputes the per-dim min/max
         # relationally and replays encode → dequant → rank exactly
-        ("sq8", _i(curation.sq8_topk(t["embeddings"], t["queries"], k=TOPK), "query_id", "vec_id").select(
+        ("sq8", _i(ann.sq8_topk(t["embeddings"], t["queries"], k=TOPK), "query_id", "vec_id").select(
             "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
         # A12 (r5): median-threshold binary quantization — balanced bits
         # vs A9's sign bits; thresholds are the exact interpolated per-dim
@@ -2348,6 +2369,24 @@ def q_quantized_topk(spark, sf_dir):
         ("graph_exact", _i(graph_ann.graph_exact_topk(
                 t["embeddings"], t["queries"], k=TOPK), "query_id", "vec_id").select(
             "query_id", "vec_id", F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
+        # D5 (r6): ACORN exact-certified — max_hops >= n crosses every
+        # failing run (memoized BFS) and ef >= n never prunes, so the
+        # predicate-aware traversal is provably exhaustive over the
+        # allowed set; oracle = FILTERED brute force (prefilter shape)
+        ("acorn_exact", _i(graph_ann.acorn_exact_topk(
+                t["documentblocks"], t["queries"], t["query_roles"], k=TOPK),
+                "query_id", "block_id").select(
+            "query_id", F.col("block_id").alias("vec_id"),
+            F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
+        # D11 (r6): full IVFADC pipeline exact-certified — anchor coarse
+        # centroids + anchor RESIDUAL codebooks, micro-integer ADC over
+        # probed lists only; the oracle replays route/encode/LUT/sum/
+        # shortlist/refine value-for-value (k-means coarse+codebooks
+        # stay recall-checked in ann_recall ivfpq)
+        ("ivfpq_exact", _i(PQZ.ivfpq_anchor_topk(
+                t["embeddings"], t["queries"], k=TOPK), "query_id", "vec_id").select(
+            "query_id", "vec_id",
+            F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
     ]
     out = None
     for name, df in parts:
@@ -5194,6 +5233,110 @@ SELECT query_id, vec_id, distance, rank FROM (
 ) WHERE rank <= {TOPK}
 """
 
+# D11 certification (r6): the FULL IVFADC pipeline — coarse route →
+# residual encode → per-list residual LUTs → BIGINT ADC over probed lists
+# only → shortlist → refine — replayed relationally with anchor coarse
+# centroids (stride 53) and anchor RESIDUAL codebooks (stride-37 anchors
+# minus their own coarse centroid). Same micro-integer determinism
+# contract as _PQ_EXACT_SQL (pq.ivfpq_anchor_topk docstring).
+_IVFPQ_EXACT_SQL = f"""
+WITH coarse AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ccid, embedding AS c
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id, ccid, r FROM (
+    SELECT e.vec_id, co.ccid,
+           list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE - co.c[i]::DOUBLE) AS r,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(round(list_sum(list_transform(range(1, 65),
+               i -> (e.embedding[i]::DOUBLE - co.c[i]::DOUBLE)
+                  * (e.embedding[i]::DOUBLE - co.c[i]::DOUBLE))) * 1000000) AS BIGINT),
+             co.ccid) AS rn
+    FROM embeddings e CROSS JOIN coarse co
+  ) WHERE rn = 1
+),
+anchor_rows AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS aid
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16)
+),
+anchors AS (
+  SELECT ar.cid, a.r AS a FROM anchor_rows ar JOIN assign a ON a.vec_id = ar.aid
+),
+subs AS (SELECT unnest(range(0, 8)) AS j),
+ecand AS (
+  SELECT a.vec_id, a.ccid, s.j, an.cid,
+         CAST(round(list_sum(list_transform(range(1, 9),
+             i -> (list_slice(a.r, s.j*8+1, s.j*8+8)[i] - list_slice(an.a, s.j*8+1, s.j*8+8)[i])
+                * (list_slice(a.r, s.j*8+1, s.j*8+8)[i] - list_slice(an.a, s.j*8+1, s.j*8+8)[i])))
+             * 1000000) AS BIGINT) AS micro
+  FROM assign a CROSS JOIN anchors an CROSS JOIN subs s
+),
+codes AS (
+  SELECT vec_id, ccid, j, cid FROM (
+    SELECT vec_id, ccid, j, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY micro, cid) AS rn
+    FROM ecand
+  ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, embedding AS query_vector FROM embeddings WHERE vec_id % 100 = 0),
+routed AS (
+  SELECT query_id, ccid, rq FROM (
+    SELECT q.query_id, co.ccid,
+           list_transform(range(1, 65), i -> q.query_vector[i]::DOUBLE - co.c[i]::DOUBLE) AS rq,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             CAST(round(list_sum(list_transform(range(1, 65),
+               i -> (q.query_vector[i]::DOUBLE - co.c[i]::DOUBLE)
+                  * (q.query_vector[i]::DOUBLE - co.c[i]::DOUBLE))) * 1000000) AS BIGINT),
+             co.ccid) AS rn
+    FROM qs q CROSS JOIN coarse co
+  ) WHERE rn <= 4
+),
+luts AS (
+  SELECT r.query_id, r.ccid, s.j, an.cid,
+         CAST(round(list_sum(list_transform(range(1, 9),
+             i -> (list_slice(r.rq, s.j*8+1, s.j*8+8)[i] - list_slice(an.a, s.j*8+1, s.j*8+8)[i])
+                * (list_slice(r.rq, s.j*8+1, s.j*8+8)[i] - list_slice(an.a, s.j*8+1, s.j*8+8)[i])))
+             * 1000000) AS BIGINT) AS micro
+  FROM routed r CROSS JOIN anchors an CROSS JOIN subs s
+),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.micro) AS BIGINT) AS adc_micro
+  FROM codes c JOIN luts l ON c.ccid = l.ccid AND c.j = l.j AND c.cid = l.cid
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_micro, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {TOPK * 4}
+)
+SELECT query_id, vec_id, distance, rank FROM (
+  SELECT s.query_id, s.vec_id,
+         ROUND(list_distance(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6) + 0.0 AS distance,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id
+           ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], q.query_vector::DOUBLE[]), 6), s.vec_id) AS rank
+  FROM short s JOIN embeddings e USING (vec_id) JOIN qs q USING (query_id)
+) WHERE rank <= {TOPK}
+"""
+
+# D5 certification: with max_hops >= n the memoized failing-run BFS makes
+# the predicate-aware beam exhaustive over the allowed set (ring keeps the
+# full graph connected), so the oracle is the FILTERED brute force — the
+# prefilter CTE shape over the blocks/qdocs views
+# (graph_ann.acorn_exact_topk docstring).
+_ACORN_EXACT_SQL = _RBAC_CTE + f"""
+SELECT query_id, block_id AS vec_id, distance, rank FROM (
+  SELECT d.query_id, b.block_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+           ORDER BY ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6),
+                    b.block_id) AS rank
+  FROM qdocs d
+  JOIN blocks b USING (document_id)
+  JOIN qs q ON q.query_id = d.query_id
+) WHERE rank <= {TOPK}
+"""
+
 _QUANTIZED_SQL = f"""
 SELECT 'bit_median' AS method, query_id, vec_id,
        CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
@@ -5225,6 +5368,12 @@ FROM ({_INT8_TOPK_SQL})
 UNION ALL
 SELECT 'graph_exact', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT)
 FROM ({_GRAPH_EXACT_SQL})
+UNION ALL
+SELECT 'acorn_exact', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT)
+FROM ({_ACORN_EXACT_SQL})
+UNION ALL
+SELECT 'ivfpq_exact', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT)
+FROM ({_IVFPQ_EXACT_SQL})
 """
 
 

@@ -271,6 +271,42 @@ def test_ivfpq_residual_recall(spark, sf_dir):
     assert r2 >= 0.4  # half the lists probed on a near-isotropic corpus
 
 
+def test_ivfpq_anchor_exactness(spark, sf_dir):
+    """D11 certification invariant behind the quantized_topk ivfpq_exact
+    tag: at max knobs (nprobe = nlist, full-corpus shortlist) the anchor
+    IVFADC pipeline must EQUAL brute-force L2 top-k exactly — nothing in
+    route/residual-encode/ADC/refine loses a candidate; and the default-
+    knob run (nprobe=4/8 lists) still clears a recall floor."""
+    import pyspark.sql.functions as F
+    from vectorsearch_rbac_spark.sources import load_table
+    from vectorsearch_rbac_spark.rbac import derive
+    from vectorsearch_rbac_spark.operators import knn, pq
+    from vectorsearch_rbac_spark.functions import vector as V
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = derive.derive_queries(emb, 50)
+    n = emb.count()
+    scored = emb.join(F.broadcast(qs), how="cross").select(
+        "query_id", F.col("vec_id").alias("block_id"),
+        F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"))
+    truth = knn.topk_per_query(scored, 10).select("query_id", "block_id", "rank")
+
+    exact = pq.ivfpq_anchor_topk(
+        emb, qs, nlist=8, nprobe=8, k=10, expansion=(n // 10) + 1
+    )
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
+    want = {(r["query_id"], r["block_id"], r["rank"]) for r in truth.collect()}
+    assert got == want
+
+    pred = pq.ivfpq_anchor_topk(emb, qs, k=10).withColumnRenamed("vec_id", "block_id")
+    truth_d = knn.topk_per_query(scored, 10).select("query_id", "block_id", "distance", "rank")
+    r = knn.recall_at_k(pred, truth_d).agg(F.avg("recall")).first()[0]
+    # anchor coarse lists + anchor codebooks are the CERTIFICATION
+    # vehicle, not the recall vehicle (k-means is) — the floor only
+    # guards against a broken join/shortlist, not quantization quality
+    assert r >= 0.25
+
+
 def test_bit_rerank_recall(spark, sf_dir):
     """A9 binary-quantize + rerank: with a full-corpus shortlist the refine
     IS the exact L2 search (recall 1.0); a 4× shortlist still clears the
@@ -353,6 +389,49 @@ def test_acorn_filtered_traversal_recall_and_purity(spark, sf_dir):
         .count()
     )
     assert leaked == 0
+
+
+def test_acorn_gamma_and_exact(spark, sf_dir):
+    """D5 ACORN-γ (r6): the dense-graph neighbor-truncation variant must
+    hold a ≥0.8 recall floor vs the exact permitted answer AND stay pure
+    (predicate enforced in-traversal). acorn_exact_topk (max_hops ≥ n,
+    ef ≥ n) must EQUAL the exact prefilter answer row-for-row — the
+    exhaustiveness proof the oracle certification rests on."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from vectorsearch_rbac_spark.operators import graph_ann, knn
+
+    t = entry._rbac(spark, sf_dir)
+    pred = graph_ann.acorn_search(
+        t["documentblocks"], t["queries"], t["query_roles"], k=10, m=8,
+        ef=96, gamma=4,
+    )
+    truth = entry.q_rbac_prefilter_topk(spark, sf_dir)
+    r = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
+    assert r >= 0.8
+    permitted = (
+        t["query_roles"]
+        .join(t["permission_assignment"], "role_id")
+        .select("query_id", "document_id")
+        .distinct()
+    )
+    blocks_docs = t["documentblocks"].select("block_id", "document_id")
+    leaked = (
+        pred.join(blocks_docs, "block_id")
+        .join(permitted, ["query_id", "document_id"], "left_anti")
+        .count()
+    )
+    assert leaked == 0
+
+    exact = graph_ann.acorn_exact_topk(
+        t["documentblocks"], t["queries"], t["query_roles"], k=10
+    )
+    diff = (
+        exact.select("query_id", "block_id", "rank")
+        .exceptAll(truth.select("query_id", "block_id", "rank"))
+        .count()
+    )
+    assert diff == 0 and exact.count() == truth.count()
 
 
 def test_graph_index_lifecycle(spark, sf_dir):
@@ -492,6 +571,67 @@ def test_incremental_adjacency_invariants_and_recall():
         got = {u for _, u in _beam_search(vecs, adj, entry, q, 10, 64, norms=norms)}
         hits += len(truth & got)
     assert hits / 200 >= 0.9
+
+
+def test_acorn_beam_kernels():
+    """r6 ACORN kernels, numpy-level: (a) max_hops ≥ n + ef ≥ n beam is
+    EXHAUSTIVE over the allowed set (equals filtered brute force — the
+    acorn_exact oracle proof); (b) no duplicate ids ever enter the beam
+    (a passing node reachable through two failing detours); (c) the γ
+    truncation beam holds a recall floor on the unpruned nearest-γm
+    graph at selectivity 1/γ."""
+    import numpy as np
+
+    from vectorsearch_rbac_spark.operators.graph_ann import (
+        _acorn_beam,
+        _acorn_gamma_beam,
+        _build_adjacency,
+        _sorted_neighbors,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 900, 16
+    vecs = rng.standard_normal((n, d))
+    norms = (vecs * vecs).sum(axis=1)
+    adj = _build_adjacency(vecs, 8, method="exact")
+    for sel in (0.5, 0.2, 0.05, 0.01):
+        allowed = rng.random(n) < sel
+        if not allowed.any():
+            continue
+        q = rng.standard_normal(d)
+        kk = min(10, int(allowed.sum()))
+        res = _acorn_beam(
+            vecs, adj, q, kk, 1 << 30, allowed, norms=norms, max_hops=1 << 30
+        )
+        ids = [u for _, u in res]
+        assert len(ids) == len(set(ids))  # no duplicates in the beam
+        d2 = norms - 2 * (vecs @ q) + q @ q
+        idx = np.where(allowed)[0]
+        want = sorted(idx[np.argsort(d2[idx], kind="stable")][:kk].tolist())
+        assert sorted(ids) == want  # exhaustive ⇒ exact filtered top-k
+
+    # γ truncation beam on the unpruned nearest-γm graph
+    gamma, m = 4, 8
+    adj_g = _build_adjacency(vecs, m * gamma, method="exact")
+    adj_sorted = _sorted_neighbors(vecs, adj_g, norms)
+    hits = tot = 0
+    for _ in range(20):
+        allowed = rng.random(n) < 1.0 / gamma
+        if allowed.sum() < 10:
+            continue
+        q = rng.standard_normal(d)
+        d2 = norms - 2 * (vecs @ q) + q @ q
+        idx = np.where(allowed)[0]
+        truth = set(idx[np.argsort(d2[idx], kind="stable")][:10].tolist())
+        got = {
+            u for _, u in _acorn_gamma_beam(
+                vecs, adj_sorted, q, 10, 96, allowed, m, norms=norms
+            )
+        }
+        assert got <= set(idx.tolist())  # purity: passing nodes only
+        hits += len(got & truth)
+        tot += 10
+    assert hits / tot >= 0.8
 
 
 def test_graph_exact_topk_matches_bruteforce(spark, sf_dir):

@@ -1004,7 +1004,7 @@ def test_sq8_asymmetric_search_recall(spark, sf_dir):
     from vectorsearch_rbac_spark.operators import curation, knn, ann
 
     t = entry._rbac(spark, sf_dir)
-    pred = curation.sq8_topk(t["embeddings"], t["queries"], k=10)
+    pred = ann.sq8_topk(t["embeddings"], t["queries"], k=10)
     truth = ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=10)
     # exact L2 truth over the same table
     from vectorsearch_rbac_spark.functions import vector as V
@@ -1450,7 +1450,7 @@ def test_r5_operator_edge_cases(spark):
     (SQ8 span-0 guard), and a single source (temperature rate exactly 1)."""
     import datetime as dt
 
-    from vectorsearch_rbac_spark.operators import curation
+    from vectorsearch_rbac_spark.operators import ann, curation
     from vectorsearch_rbac_spark.plans import queries as PQ
 
     # gapfill: one event per type → 1-row spine, interp == own value
@@ -1468,7 +1468,7 @@ def test_r5_operator_edge_cases(spark):
         "vec_id long, embedding array<float>",
     )
     qs = spark.createDataFrame([(0, [1.5, 0.0, 0.0, 2.5])], "query_id long, query_vector array<float>")
-    out = curation.sq8_topk(emb, qs, k=3, dim=4).collect()
+    out = ann.sq8_topk(emb, qs, k=3, dim=4).collect()
     assert out[0]["vec_id"] == 0 and out[0]["distance"] == 0.0
 
     # temperature: one source → tempered share == input share → rate 1

@@ -840,11 +840,3 @@ def temperature_mixture_sample(
         .select(id_col, source_col, *extra_cols, "accept_rate")
     )
 
-
-def sq8_topk(*args, **kwargs):
-    """Moved to :func:`operators.ann.sq8_topk` (its siblings
-    median_bit_topk / hamming_rerank_topk live there); thin re-export kept
-    for source compatibility."""
-    from .ann import sq8_topk as _sq8
-
-    return _sq8(*args, **kwargs)

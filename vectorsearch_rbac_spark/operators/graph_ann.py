@@ -655,14 +655,111 @@ def knn_dynamic_graph(
 
 
 # ------------------------------------------------------------------ ACORN
-def _acorn_beam(vecs, adj, q, k, ef, allowed, expand_2hop=True, norms=None):
+def _acorn_beam(vecs, adj, q, k, ef, allowed, expand_2hop=True, norms=None,
+                max_hops=None):
     """Predicate-aware best-first beam (ACORN-1, Patel et al. 2024,
     arXiv:2403.04871 — the algorithm behind the reference's
     acorn_benchmark/): the beam and frontier hold only PASSING nodes, but
     expansion routes through failing neighbors to their neighbors (2-hop),
     preserving the connectivity the filtered subgraph loses when the
     predicate knocks out bridge nodes. Candidate distances are evaluated
-    batched, as in :func:`_beam_search`."""
+    batched, as in :func:`_beam_search`.
+
+    ``max_hops`` generalizes the expansion depth: ``None`` keeps the
+    ACORN-1 semantics (1 or 2 hops per ``expand_2hop``); an integer h
+    BFS-expands through failing runs up to h nodes deep, with a PER-QUERY
+    memo so every failing node is traversed at most once per query (total
+    expansion work O(E), not O(E·visits)). With h ≥ n and ef ≥ n this is
+    provably exhaustive over the allowed set: the ring keeps the full
+    graph connected, so every allowed node is separated from the entry
+    point by chains of ≤ n failing nodes, each of which the memoized BFS
+    crosses — the basis of the ``acorn_exact`` oracle certification."""
+    idx = np.where(allowed)[0]
+    if idx.size == 0:
+        return []
+    if norms is None:
+        norms = (vecs * vecs).sum(axis=1)
+    qn = float(q @ q)
+    mean = vecs[idx].mean(axis=0)
+    entry = int(idx[np.argmin(((vecs[idx] - mean) ** 2).sum(axis=1))])
+    d0 = max(float(norms[entry] - 2.0 * (vecs[entry] @ q) + qn), 0.0)
+    visited = {entry}
+    frontier = [(d0, entry)]
+    beam = [(-d0, entry)]
+    seen_fail: set[int] = set()  # per-query failing-node memo (max_hops mode)
+    while frontier:
+        d, u = heapq.heappop(frontier)
+        if len(beam) >= ef and d > -beam[0][0]:
+            break
+        cand = []
+        if max_hops is None:
+            for v in adj[u]:
+                if allowed[v]:
+                    cand.append(v)
+                elif expand_2hop:
+                    # 2-hop expansion THROUGH the failing node
+                    cand.extend(w for w in adj[v] if allowed[w])
+        else:
+            layer = list(adj[u])
+            depth = 1
+            while layer:
+                nxt = []
+                for v in layer:
+                    if allowed[v]:
+                        cand.append(v)
+                    elif depth < max_hops and v not in seen_fail:
+                        seen_fail.add(v)
+                        nxt.extend(adj[v])
+                layer = nxt
+                depth += 1
+        # dedupe WITHIN the expansion: a passing node reachable through
+        # two failing detours must enter the beam once (dict preserves
+        # discovery order → deterministic)
+        fresh = [v for v in dict.fromkeys(cand) if v not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        nv = np.asarray(fresh, dtype=np.int64)
+        dv = norms[nv] - 2.0 * (vecs[nv] @ q) + qn
+        for v, dvv in zip(fresh, dv):
+            dvv = max(float(dvv), 0.0)
+            if len(beam) < ef or dvv < -beam[0][0]:
+                heapq.heappush(frontier, (dvv, v))
+                heapq.heappush(beam, (-dvv, v))
+                if len(beam) > ef:
+                    heapq.heappop(beam)
+    return sorted(((-nd, u) for nd, u in beam))[:k]
+
+
+def _sorted_neighbors(vecs: np.ndarray, adj: list[list[int]],
+                      norms: np.ndarray) -> list[np.ndarray]:
+    """Each node's neighbor list ordered by distance to the node (ties by
+    id — deterministic). ACORN-γ's search-time truncation semantics need
+    this order: "keep the first M PASSING neighbors" only approximates the
+    filtered-graph edge set when the list is distance-sorted (§4.2 of the
+    paper; hnswlib stores lists in insert order, ACORN re-sorts). One
+    gathered GEMV per node — O(E) total, part of the build."""
+    out = []
+    for u, nb in enumerate(adj):
+        if not nb:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        nv = np.asarray(nb, dtype=np.int64)
+        d2 = norms[nv] - 2.0 * (vecs[nv] @ vecs[u]) + norms[u]
+        order = np.lexsort((nv, d2))
+        out.append(nv[order])
+    return out
+
+
+def _acorn_gamma_beam(vecs, adj_sorted, q, k, ef, allowed, m, norms=None):
+    """ACORN-γ traversal (Patel et al. 2024 §4.2): the graph was built
+    DENSER (degree ≈ γ·m) and expansion of a node keeps the first ``m``
+    PASSING entries of its distance-sorted neighbor list — predicate-
+    dependent neighbor-list truncation instead of ACORN-1's 2-hop
+    detours. Down to selectivity ≈ 1/γ the truncated lists have the same
+    expected degree the unfiltered graph would, so recall holds with NO
+    extra hops and no failing-node distance evaluations — the regime
+    where γ buys search time back at index-memory cost."""
     idx = np.where(allowed)[0]
     if idx.size == 0:
         return []
@@ -679,14 +776,9 @@ def _acorn_beam(vecs, adj, q, k, ef, allowed, expand_2hop=True, norms=None):
         d, u = heapq.heappop(frontier)
         if len(beam) >= ef and d > -beam[0][0]:
             break
-        cand = []
-        for v in adj[u]:
-            if allowed[v]:
-                cand.append(v)
-            elif expand_2hop:
-                # 2-hop expansion THROUGH the failing node
-                cand.extend(w for w in adj[v] if allowed[w])
-        fresh = [v for v in cand if v not in visited]
+        nb = adj_sorted[u]
+        passing = nb[allowed[nb]][:m] if nb.size else nb
+        fresh = [int(v) for v in passing if int(v) not in visited]
         if not fresh:
             continue
         visited.update(fresh)
@@ -714,6 +806,8 @@ def acorn_search(
     part_col: str | None = None,
     expand_2hop: bool = True,
     build_method: str = "auto",
+    gamma: int = 1,
+    max_hops: int | None = None,
 ) -> DataFrame:
     """D5 completed as REAL predicate-aware graph traversal: one graph
     over the (un-partitioned) corpus, the RBAC predicate evaluated per
@@ -729,6 +823,16 @@ def acorn_search(
     or (doc+3) % 10 ∈ roles) is evaluated vectorized per partition from
     each query's role array. Approximate op ⇒ recall-checked like the
     other graph members.
+
+    ``gamma`` > 1 switches to ACORN-γ (the reference's
+    acorn_benchmark/ denser-graph variant): the partition graph is built
+    with degree ≈ γ·m and each expansion keeps the first ``m`` passing
+    entries of the node's distance-sorted neighbor list — no 2-hop
+    detours, recall held by graph density instead (good down to
+    selectivity ≈ 1/γ). ``max_hops`` (γ=1 only) deepens the ACORN-1
+    expansion through failing runs; ``max_hops ≥ n`` with ``ef ≥ n`` is
+    provably exhaustive over the allowed set (see :func:`_acorn_beam`),
+    which :func:`acorn_exact_topk` uses for the oracle certification.
     """
     src = blocks.select(
         F.col(id_col).alias("_id"),
@@ -752,8 +856,26 @@ def acorn_search(
         vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
         ids = blocks_pdf["_id"].to_numpy()
         docs = blocks_pdf["_doc"].to_numpy()
-        adj = _build_adjacency(vecs, m, method=build_method)
         norms = (vecs * vecs).sum(axis=1)
+        if gamma > 1:
+            # ACORN-γ's index is the UNPRUNED nearest-γm list (the paper
+            # removes the RNG/diversity pruning precisely because it is
+            # predicate-agnostic: a pruned near neighbor may be the only
+            # passing one). The exact build IS that list, so γ-mode
+            # doubles the auto crossover; beyond it the heuristic
+            # incremental build at degree γm is the documented fallback
+            # (measured: −0.05..−0.15 recall at selectivity ≤ 0.2).
+            method = build_method
+            if method == "auto":
+                method = (
+                    "exact" if vecs.shape[0] <= 2 * EXACT_BUILD_MAX
+                    else "incremental"
+                )
+            adj = _build_adjacency(vecs, m * gamma, method=method)
+            adj_sorted = _sorted_neighbors(vecs, adj, norms)
+        else:
+            adj = _build_adjacency(vecs, m, method=build_method)
+            adj_sorted = None
         rows = []
         for r in range(len(q_pdf)):
             qi = int(q_pdf["query_id"].iloc[r])
@@ -761,9 +883,16 @@ def acorn_search(
             rl = q_pdf["_roles"].iloc[r]
             roles = [int(x) for x in rl] if rl is not None else []
             allowed = np.isin(docs % 10, roles) | np.isin((docs + 3) % 10, roles)
-            for d2, u in _acorn_beam(
-                vecs, adj, qv, k, ef, allowed, expand_2hop, norms=norms
-            ):
+            if gamma > 1:
+                found = _acorn_gamma_beam(
+                    vecs, adj_sorted, qv, k, ef, allowed, m, norms=norms
+                )
+            else:
+                found = _acorn_beam(
+                    vecs, adj, qv, k, ef, allowed, expand_2hop, norms=norms,
+                    max_hops=max_hops,
+                )
+            for d2, u in found:
                 rows.append((qi, int(ids[u]), float(np.sqrt(max(d2, 0.0)))))
         return pd.DataFrame(rows, columns=["query_id", "_id", "distance"])
 
@@ -773,3 +902,47 @@ def acorn_search(
         .applyInPandas(search_cogroup, schema="query_id long, _id long, distance double")
     )
     return _rank_topk(cand, k, id_col)
+
+
+def acorn_exact_topk(
+    blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    expansion: int = 4,
+    id_col: str = "block_id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """D5 EXACT certification — the predicate-aware traversal under the
+    hash gate, completing the r5/r6 certification ladder (LSH → PQ →
+    graph → ACORN): at ``ef`` ≥ n the beam cap never binds and at
+    ``max_hops`` ≥ n the memoized failing-run BFS crosses every failing
+    chain, so the traversal provably visits EVERY allowed node (ring ⇒
+    the full graph is connected; see :func:`_acorn_beam`) — the shortlist
+    is the exact permitted top-k·expansion. The JVM-side L2 rerank makes
+    distances bit-comparable (graph_exact_topk idiom), so the oracle is
+    the plain FILTERED brute force (prefilter SQL shape). What the match
+    certifies: predicate evaluation inside the traversal, failing-run
+    expansion, entry-point selection, and the rank — everything but the
+    approximation, which ``ann_recall``'s acorn members floor."""
+    from ..functions import vector as V
+    from .knn import topk_per_query
+
+    n_hint = 1 << 30
+    shortlist = acorn_search(
+        blocks, queries, query_roles, k=k * expansion, m=m, ef=n_hint,
+        id_col=id_col, vec_col=vec_col, build_method="exact",
+        max_hops=n_hint,
+    ).select("query_id", id_col)
+    rescored = (
+        shortlist.join(blocks.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("_bid"),
+            F.round(V.l2_distance(vec_col, "query_vector"), 6).alias("distance"),
+        )
+    )
+    w = topk_per_query(rescored, k, id_col="_bid")
+    return w.select("query_id", F.col("_bid").alias(id_col), "distance", "rank")

@@ -18,7 +18,7 @@ assignment computation (block → partition_id) that the writer consumes.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -86,8 +86,10 @@ def qdtree_assignment(
     splits. Implementation: iterative (per level) rather than recursive;
     each level is ONE distributed pass that, per current node, evaluates the
     chosen predicate and appends a bit to the partition path. Split choice
-    uses a driver-side sample per node (the reference's k-means also runs on
-    samples). Depth ≤ max_depth keeps driver state tiny (≤ 2^depth nodes).
+    uses driver-side samples (the reference's k-means also runs on samples),
+    gathered for ALL of a level's nodes in one grouped job — two jobs per
+    level total, never a job per node. Depth ≤ max_depth keeps driver state
+    tiny (≤ 2^depth nodes).
     """
     doc_roles = permission_assignment.groupBy("document_id").agg(
         F.collect_set("role_id").alias("_roles")
@@ -103,14 +105,50 @@ def qdtree_assignment(
         big = sorted(p for p, n in sizes.items() if n > max_leaf_size)
         if not big:
             break
+        # ONE distributed job per level computes every big node's split
+        # sample at once (grouped by pid) — not a per-node driver loop:
+        # at depth d there can be 2^d nodes, and a job per node would
+        # serialize 2^d scheduler round-trips for driver-side work that
+        # is one groupBy away.
+        samples_by_pid: dict[int, list] = {}
+        if depth % 2 == 0:
+            # role counts for ALL big nodes in one sampled aggregation
+            for row in (
+                cur.where(F.col("pid").isin(big))
+                .select("pid", F.explode("_roles").alias("r"))
+                .sample(role_sample_rate, seed=seed + depth)
+                .groupBy("pid", "r")
+                .count()
+                .collect()
+            ):
+                samples_by_pid.setdefault(row["pid"], []).append(row)
+        else:
+            # top-512-by-content-hash vectors per big node via ONE rank
+            # window (content-hash TakeOrdered: Bernoulli sample()
+            # membership depends on within-partition row order, which
+            # drifts run to run downstream of joins; hash order depends
+            # only on the data)
+            w_s = Window.partitionBy("pid").orderBy(
+                F.xxhash64(
+                    F.concat_ws(",", F.col(vec_col).cast("array<string>")),
+                    F.lit(seed + depth),
+                )
+            )
+            for row in (
+                cur.where(F.col("pid").isin(big))
+                .select("pid", vec_col)
+                .withColumn("_rn", F.row_number().over(w_s))
+                .where(F.col("_rn") <= 512)
+                .collect()
+            ):
+                samples_by_pid.setdefault(row["pid"], []).append(row[vec_col])
         split_exprs = None
         for pid in big:
-            node = cur.where(F.col("pid") == pid)
             if depth % 2 == 0:
                 # role split: pick the role closest to 50/50 membership —
                 # scale sampled counts back by the sample rate before
                 # comparing against the full node size
-                sample = node.select(F.explode("_roles").alias("r")).sample(role_sample_rate, seed=seed + depth).groupBy("r").count().collect()
+                sample = samples_by_pid.get(pid, [])
                 n_node = sizes[pid]
                 best = (
                     min(sample, key=lambda row: (abs(row["count"] / role_sample_rate / max(n_node, 1) - 0.5), row["r"]))
@@ -119,19 +157,9 @@ def qdtree_assignment(
                 )
                 cond = F.array_contains("_roles", int(best["r"])) if best is not None else F.lit(False)
             else:
-                # centroid split: 2-means on a sample of vectors
+                # centroid split: 2-means on the node's vector sample
                 rng = np.random.default_rng([seed, depth, pid])
-                # content-hash TakeOrdered: Bernoulli sample() membership
-                # depends on within-partition row order (drifts run to
-                # run downstream of joins); hash order depends only on
-                # the data
-                vecs = [
-                    r[0]
-                    for r in node.select(vec_col)
-                    .orderBy(F.xxhash64(F.concat_ws(",", F.col(vec_col).cast("array<string>")), F.lit(seed + depth)))
-                    .limit(512)
-                    .collect()
-                ]
+                vecs = samples_by_pid.get(pid, [])
                 if len(vecs) < 2:
                     cond = F.lit(False)
                 else:

@@ -525,3 +525,152 @@ def pq_anchor_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "distance", "rank")
     )
+
+
+def ivfpq_anchor_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    nlist: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    expansion: int = 4,
+    coarse_stride: int = 53,
+    anchor_stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVFADC pipeline — coarse route → residual encode → ADC
+    over probed lists → exact refine — with every step SQL-expressible,
+    completing the certification ladder over D11 the way
+    ``pq_anchor_topk`` certifies D6: k-means coarse centroids and
+    residual codebooks are float-iterative, so this variant swaps BOTH
+    for arithmetic anchors (coarse centroid c = the c-th
+    stride-``coarse_stride`` embedding; residual codeword c of subspace
+    j = the j-th subvector of the c-th stride-``anchor_stride``
+    embedding MINUS its own coarse centroid — a genuine residual
+    codebook). The DuckDB oracle replays coarse argmin, residual
+    encode argmin, nprobe routing, per-list residual LUTs, the BIGINT
+    ADC sum, shortlist, and refine value-for-value.
+
+    Same cross-engine determinism contract as ``pq_anchor_topk``: every
+    distance is micro-integerized (ROUND(d²·10⁶)) BEFORE any argmin or
+    sum, ties always break by id, and only the probed lists' codes are
+    ever scored (the join on the coarse assignment IS the partition
+    pruning the production path gets from centroid_id layout).
+
+    At max knobs (nprobe = nlist, expansion ≥ n/k) the shortlist is the
+    whole corpus and the result provably equals brute force — the pytest
+    exactness check."""
+    from ..functions import vector as V
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    dsub = dim // m
+
+    def micro(col: F.Column) -> F.Column:
+        return F.round(col * 1000000, 0).cast("long")
+
+    w_c = Window.orderBy(id_col)
+    coarse = (
+        embeddings.where(F.col(id_col) % coarse_stride == 0)
+        .orderBy(id_col).limit(nlist)
+        .select((F.row_number().over(w_c) - 1).alias("ccid"),
+                F.col(vec_col).alias("_c"))
+    )
+
+    def assign(df: DataFrame, idc: str, vcol: str) -> DataFrame:
+        """(id, ccid, residual): nearest coarse anchor by micro-L2, ties
+        by ccid; residual = v − c elementwise."""
+        w = Window.partitionBy(idc).orderBy(F.col("_cm").asc(), F.col("ccid").asc())
+        return (
+            df.select(idc, vcol).join(F.broadcast(coarse), how="cross")
+            .withColumn("_cm", micro(V.l2_squared(F.col(vcol), F.col("_c"))))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                idc, "ccid",
+                F.zip_with(vcol, "_c",
+                           lambda x, y: x.cast("double") - y.cast("double")).alias("_r"),
+            )
+        )
+
+    # residual codebook: the ksub anchor embeddings, each reduced by ITS
+    # OWN coarse centroid (so codewords live in residual space)
+    w_a = Window.orderBy(id_col)
+    anchor_rows = (
+        embeddings.where(F.col(id_col) % anchor_stride == 0)
+        .orderBy(id_col).limit(ksub)
+        .select((F.row_number().over(w_a) - 1).alias("cid"),
+                F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av"))
+    )
+    anchors = (
+        assign(anchor_rows, "_aid", "_av")
+        .join(anchor_rows.select("cid", "_aid"), "_aid")
+        .select("cid", F.col("_r").alias("_a"))
+    )
+
+    def sub_micro(vcol: str, acol: str, j: int) -> F.Column:
+        sv = F.slice(F.col(vcol), j * dsub + 1, dsub)
+        sa = F.slice(F.col(acol), j * dsub + 1, dsub)
+        return micro(F.aggregate(
+            F.zip_with(sv, sa, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
+
+    assigned = assign(embeddings, id_col, vec_col)
+    ecand = assigned.join(F.broadcast(anchors), how="cross").select(
+        id_col, "ccid", "cid",
+        F.posexplode(F.array(*[sub_micro("_r", "_a", j) for j in range(m)]))
+        .alias("j", "_micro"),
+    )
+    w_code = Window.partitionBy(id_col, "j").orderBy(F.col("_micro").asc(), F.col("cid").asc())
+    codes = (
+        ecand.withColumn("_rn", F.row_number().over(w_code))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "ccid", "j", "cid")
+    )
+
+    # query routing: nprobe nearest coarse anchors, residual per probed list
+    w_route = Window.partitionBy("query_id").orderBy(F.col("_cm").asc(), F.col("ccid").asc())
+    routed = (
+        queries.select("query_id", "query_vector").join(F.broadcast(coarse), how="cross")
+        .withColumn("_cm", micro(V.l2_squared(F.col("query_vector"), F.col("_c"))))
+        .withColumn("_rn", F.row_number().over(w_route))
+        .where(F.col("_rn") <= nprobe)
+        .select(
+            "query_id", "ccid",
+            F.zip_with("query_vector", "_c",
+                       lambda x, y: x.cast("double") - y.cast("double")).alias("_rq"),
+        )
+    )
+    luts = routed.join(F.broadcast(anchors), how="cross").select(
+        "query_id", "ccid", "cid",
+        F.posexplode(F.array(*[sub_micro("_rq", "_a", j) for j in range(m)]))
+        .alias("j", "_micro"),
+    )
+    adc = (
+        codes.join(F.broadcast(luts), ["ccid", "j", "cid"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_micro").alias("adc_micro"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.col("adc_micro").asc(), F.col(id_col).asc())
+    shortlist = (
+        adc.withColumn("_rn", F.row_number().over(w_short))
+        .where(F.col("_rn") <= k * expansion)
+        .select("query_id", id_col)
+    )
+    rescored = (
+        shortlist.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .select(
+            "query_id", id_col,
+            (F.round(V.l2_distance(vec_col, "query_vector"), 6) + F.lit(0.0)).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "distance", "rank")
+    )
