@@ -535,7 +535,10 @@ def q_text_stats(spark, sf_dir):
     """E9-E12 per-doc text metrics + E30 CCNet-style unigram-LM
     log-perplexity (corpus-trained add-1 unigram model) + E43 interpolated
     bigram-LM log-perplexity (λ·MLE-bigram + (1−λ)·unigram backoff — the
-    context-aware step toward CCNet's KenLM filter) in one entry."""
+    context-aware step toward CCNet's KenLM filter) + E46 (r6) trained
+    multinomial Naive Bayes classifier (the scalable fasttext-filter
+    stand-in: exact-count training, add-1 smoothing, argmax apply) in
+    one entry."""
     docs = load_table(spark, "documents", sf_dir)
     out = (
         docs.select(
@@ -551,6 +554,7 @@ def q_text_stats(spark, sf_dir):
         )
         .join(curation.unigram_logppl(docs), "doc_id")
         .join(curation.bigram_logppl(docs), "doc_id")
+        .join(curation.nb_classifier(docs).hint("SHUFFLE_HASH"), "doc_id")
     )
     return _i(out, "doc_id")
 
@@ -2893,6 +2897,37 @@ bppl AS (
   LEFT JOIN bgc ON s.prev = bgc.prev AND s.token = bgc.token
   CROSS JOIN tot
   GROUP BY 1
+),
+nbct AS (
+  SELECT d.lang AS y, t.token, COUNT(*) AS c
+  FROM tok2 t JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+nbnt AS (SELECT y, CAST(SUM(c) AS DOUBLE) AS n_y FROM nbct GROUP BY 1),
+nbv AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v FROM tok2),
+nbpri AS (SELECT lang AS y, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents GROUP BY 1),
+nbpri2 AS (
+  SELECT y, LN(n_docs / (SELECT SUM(n_docs) FROM nbpri)) AS log_prior FROM nbpri
+),
+nbsc AS (
+  SELECT t.doc_id, cl.y,
+         SUM(LN((COALESCE(ct.c, 0) + 1.0) / (cl.n_y + nbv.v))) AS ll
+  FROM tok2 t
+  CROSS JOIN nbnt cl
+  LEFT JOIN nbct ct ON ct.y = cl.y AND ct.token = t.token
+  CROSS JOIN nbv
+  GROUP BY 1, 2
+),
+nbbest AS (
+  SELECT doc_id, y AS nb_pred, ROUND(score, 6) AS nb_logscore FROM (
+    SELECT s2.doc_id, s2.y, s2.ll + p.log_prior AS score,
+           ROW_NUMBER() OVER (PARTITION BY s2.doc_id
+             ORDER BY s2.ll + p.log_prior DESC, s2.y) AS rn
+    FROM nbsc s2 JOIN nbpri2 p USING (y)
+  ) WHERE rn = 1
+),
+nbdefault AS (
+  SELECT y AS dy, ROUND(log_prior, 6) AS ds FROM nbpri2
+  ORDER BY log_prior DESC, y LIMIT 1
 )
 SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio, repetition_ratio, top_bigram_frac,
   ROUND(LEAST(stopword_ratio * 4, 1.0) * 0.3
@@ -2903,8 +2938,11 @@ SELECT doc_id, n_tokens, n_bpe_tokens, stopword_ratio, punct_ratio, repetition_r
        WHEN ascii_ratio >= 0.97 THEN 'latin'
        ELSE 'other' END AS lang_pred,
   COALESCE(unigram_logppl, 0.0) AS unigram_logppl,
-  COALESCE(bigram_logppl, 0.0) AS bigram_logppl
+  COALESCE(bigram_logppl, 0.0) AS bigram_logppl,
+  COALESCE(nb.nb_pred, (SELECT dy FROM nbdefault)) AS nb_pred,
+  COALESCE(nb.nb_logscore, (SELECT ds FROM nbdefault)) AS nb_logscore
 FROM s LEFT JOIN ppl USING (doc_id) LEFT JOIN bppl USING (doc_id)
+       LEFT JOIN nbbest nb USING (doc_id)
 """
 
 _MD5L = "('0x' || substr(md5({x}), 1, 15))::BIGINT"

@@ -53,6 +53,7 @@ EXTRA = {
     "graph_recall": entry.q_graph_recall,
     "rbac_graph_recall": entry.q_rbac_graph_recall,
     "acorn_recall": entry.q_acorn_recall,
+    "acorn_gamma_recall": entry.q_acorn_gamma_recall,
     # the registry entry unions three streaming members for the oracle;
     # bench times the hourly member alone so the timing stays comparable
     "streaming_hourly": entry.q_streaming_hourly_only,
@@ -153,6 +154,7 @@ HEADLINE = [
     "graph_recall",
     "rbac_graph_recall",
     "acorn_recall",
+    "acorn_gamma_recall",
 ]
 
 
@@ -195,6 +197,14 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
 
     out: dict[str, dict[str, float]] = {}
     truth = entry.q_rbac_prefilter_topk(spark, SF_DIR)
+    n_q = truth.select("query_id").distinct().count()
+
+    def _row(r: float, sec: float) -> dict[str, float]:
+        # qps over the batch: run_search_experiment reports it next to
+        # recall so throughput and accuracy are read together
+        return {"recall_at_10": r, "sec": round(sec, 3),
+                "qps": round(n_q / sec, 1) if sec > 0 else 0.0}
+
     for name, fn in (
         ("prefilter", entry.q_rbac_prefilter_topk),
         ("postfilter", entry.q_rbac_postfilter_topk),
@@ -202,7 +212,7 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
         t0 = time.time()
         pred = fn(spark, SF_DIR)
         r = _mean_recall(knn.recall_at_k(pred, truth))
-        out[name] = {"recall_at_10": r, "sec": round(time.time() - t0, 3)}
+        out[name] = _row(r, time.time() - t0)
     for name, fn in (
         ("ivf", entry.q_ivf_recall),
         ("lsh", entry.q_lsh_recall),
@@ -211,10 +221,11 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
         ("graph", entry.q_graph_recall),
         ("rbac_graph", entry.q_rbac_graph_recall),
         ("acorn", entry.q_acorn_recall),
+        ("acorn_gamma", entry.q_acorn_gamma_recall),
     ):
         t0 = time.time()
         r = _mean_recall(fn(spark, SF_DIR))
-        out[name] = {"recall_at_10": r, "sec": round(time.time() - t0, 3)}
+        out[name] = _row(r, time.time() - t0)
     return out
 
 

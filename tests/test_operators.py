@@ -1479,3 +1479,33 @@ def test_r5_operator_edge_cases(spark):
     kept = curation.temperature_mixture_sample(docs, tau=0.3)
     assert kept.count() == 50
     assert kept.select("accept_rate").distinct().first()[0] == 1.0
+
+
+def test_nb_classifier_contract_and_separable_accuracy(spark, sf_dir):
+    """E46 Naive Bayes: (a) contract on the real corpus — one row per
+    doc, log-scores strictly negative, predictions drawn from the label
+    set; (b) on a separable toy corpus (disjoint vocabularies per class)
+    in-corpus accuracy must be 1.0 — the exact-count trainer and the
+    argmax apply agree with the closed-form NB solution."""
+    import pyspark.sql.functions as F
+    from vectorsearch_rbac_spark.operators import curation
+    from vectorsearch_rbac_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = curation.nb_classifier(docs)
+    assert out.count() == docs.count()
+    assert out.where(F.col("nb_logscore") >= 0).count() == 0
+    labels = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert {r["nb_pred"] for r in out.collect()} <= labels
+
+    toy = spark.createDataFrame(
+        [(i, "apple banana cherry apple", "fruit") for i in range(6)]
+        + [(10 + i, "bolt nut wrench bolt", "tool") for i in range(4)]
+        + [(20, "", "fruit")],  # empty doc -> max-prior class
+        "doc_id long, text string, lang string",
+    )
+    pred = curation.nb_classifier(toy)
+    rows = {r["doc_id"]: r["nb_pred"] for r in pred.collect()}
+    assert all(rows[i] == "fruit" for i in range(6))
+    assert all(rows[10 + i] == "tool" for i in range(4))
+    assert rows[20] == "fruit"  # prior 7/11 beats 4/11

@@ -404,6 +404,95 @@ def unigram_logppl(
     )
 
 
+def nb_classifier(
+    documents: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E46: multinomial Naive Bayes document classifier — train AND apply
+    in one plan. This is the scalable stand-in for the fasttext-style
+    linear classifiers real CC pipelines gate quality/language on (CCNet,
+    LLaMA's quality filter): training IS two exact count aggregations
+    (token×class counts, class priors), so unlike SGD models it
+    parallelizes embarrassingly, is bit-deterministic, and retrains
+    incrementally by adding counts.
+
+    score(doc, y) = ln P(y) + Σ_t ln p(t|y),
+    p(t|y) = (c(t,y) + 1) / (n_y + |V|)  (add-1 smoothing);
+    prediction = argmax_y score (ties by label asc), emitted with the
+    winning log-score rounded 6 dp.
+
+    Shape at 100 TB: one explode over the fact table; the (token, class)
+    count table is Zipf-bounded ≪ corpus and broadcasts (top-K vocab
+    truncation + the smoothing default covers the tail at scale); the
+    doc×class score is a map-side-combinable SUM keyed by (doc, class)
+    — L (number of classes) is small, so the explode fan-out is ×L, not
+    ×|V|. No UDFs anywhere. Here it trains and applies on the same
+    corpus (in-corpus certification; the apply path generalizes by
+    left-joining unseen tokens to the smoothing default).
+    """
+    toks = (
+        documents.select(
+            id_col, F.col(label_col).alias("_y"), F.explode(T.tokens(text_col)).alias("token")
+        )
+        .where(F.col("token") != "")
+    )
+    cls_tok = toks.groupBy("_y", "token").agg(F.count(F.lit(1)).alias("c"))
+    cls_tot = cls_tok.groupBy("_y").agg(F.sum("c").cast("double").alias("n_y"))
+    vsize = toks.agg(F.countDistinct("token").cast("double").alias("v"))
+    pri = (
+        documents.groupBy(F.col(label_col).alias("_y"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    pri = pri.crossJoin(
+        F.broadcast(pri.agg(F.sum("n_docs").alias("n_all")))
+    ).select("_y", F.log(F.col("n_docs") / F.col("n_all")).alias("log_prior"))
+
+    classes = cls_tot.join(pri, "_y").crossJoin(F.broadcast(vsize))
+    scored = (
+        toks.select(id_col, "token")
+        .join(F.broadcast(classes.select("_y", "n_y", "v")), how="cross")
+        .join(F.broadcast(cls_tok), ["_y", "token"], "left")
+        .groupBy(id_col, "_y")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_y") + F.col("v"))
+                )
+            ).alias("_ll")
+        )
+        .join(F.broadcast(pri), "_y")
+        .select(id_col, "_y", (F.col("_ll") + F.col("log_prior")).alias("_score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col("_y").asc())
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, F.col("_y").alias("nb_pred"), F.round("_score", 6).alias("nb_logscore"))
+    )
+    # empty documents: no tokens → no scored rows; predict the max-prior
+    # class (ties by label) at its bare prior, the argmax over an empty sum
+    top_pri = (
+        pri.orderBy(F.col("log_prior").desc(), F.col("_y").asc()).limit(1)
+        .select(F.col("_y").alias("_py"), F.round("log_prior", 6).alias("_ps"))
+    )
+    # SHUFFLE_HASH: `best` is one row per non-empty doc — too big to
+    # broadcast at scale, and a sort buys nothing for a hash-equi join
+    # (registry no-SMJ contract; the merge_upsert idiom)
+    return (
+        documents.select(id_col)
+        .join(best.hint("SHUFFLE_HASH"), id_col, "left")
+        .crossJoin(F.broadcast(top_pri))
+        .select(
+            id_col,
+            F.coalesce("nb_pred", F.col("_py")).alias("nb_pred"),
+            F.coalesce("nb_logscore", F.col("_ps")).alias("nb_logscore"),
+        )
+    )
+
+
 def bigram_logppl(
     documents: DataFrame,
     text_col: str = "text",
