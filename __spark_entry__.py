@@ -2289,21 +2289,32 @@ def q_generator_relations(spark, sf_dir):
 
 
 def q_global_topk(spark, sf_dir):
-    """C6 global exact top-k, three execution paths in one tagged entry
+    """C6 global exact top-k, four execution paths in one tagged entry
     (registry curation): the two-phase numpy fast path (l2), the cosine
-    brute-force baseline, and — r5 — the E8 hyperplane-LSH search run as
-    an EXACT-oracle member ('lsh_exact', 5 planes × 2 tables, multiprobe
-    hamming-1): the planes are literal doubles shared with the SQL text
+    brute-force baseline, the E8 hyperplane-LSH search run as an
+    EXACT-oracle member ('lsh_exact', 5 planes × 2 tables, multiprobe
+    hamming-1: the planes are literal doubles shared with the SQL text
     and DuckDB's list_inner_product reproduces the left-to-right sum
-    bit-for-bit (verified: 0/500 bucket mismatches), so the oracle
-    replays bucketing → multiprobe → candidate min-distance → rank
-    value-for-value. The approximate op's SEARCH is thereby certified
-    exactly; only its recall remains a statistical property
-    (`ann_recall`)."""
+    bit-for-bit, so the oracle replays bucketing → multiprobe →
+    candidate min-distance → rank value-for-value; only recall stays
+    statistical, in `ann_recall`), and — r6 — 'text_embed' (E47): the
+    whole text → hashed-word-vector-embed → cosine-search INGESTION
+    pipeline (embedding_service.py parity) under the hash gate."""
     t = _rbac(spark, sf_dir)
     lsh = ann.cosine_topk_lsh(
         t["embeddings"], t["queries"], k=TOPK, n_planes=5, n_tables=2, seed=42,
         multiprobe_hamming=1,
+    )
+    # E47 (r6): the full text → hash-embed → cosine-search pipeline —
+    # embedding_service.py parity with a deterministic hashed word-vector
+    # table, so the oracle replays tokenize → component hash → mean-pool
+    # → cosine rank end-to-end
+    emb = curation.hash_embed(load_table(spark, "documents", sf_dir), dim=16)
+    eq = emb.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    te = ann.cosine_topk_bruteforce(
+        emb.withColumnRenamed("doc_id", "vec_id"), eq, k=TOPK
     )
     parts = [
         ("l2_fast", q_rbac_topk_fast(spark, sf_dir).select(
@@ -2313,6 +2324,10 @@ def q_global_topk(spark, sf_dir):
             "query_id", "vec_id",
             F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),
         ("lsh_exact", _i(lsh, "query_id", "vec_id", "rank").select(
+            "query_id", "vec_id",
+            (F.col("distance").cast("double") + F.lit(0.0)).alias("score"),
+            F.col("rank").cast("long").alias("rank"))),
+        ("text_embed", _i(te, "query_id", "vec_id", "rank").select(
             "query_id", "vec_id",
             (F.col("distance").cast("double") + F.lit(0.0)).alias("score"),
             F.col("rank").cast("long").alias("rank"))),
@@ -5112,6 +5127,33 @@ SELECT query_id, vec_id, distance, rank FROM (
 """
 
 
+# E47: text → hash-embed → cosine search replayed end-to-end — component
+# j of a token is an exact rational (60-bit md5 integer / 2^59 − 1, both
+# engines materialize identical doubles), the doc vector is the mean over
+# token instances, the search is the standard rounded cosine rank.
+_TEXT_EMBED_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok2 AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tok3 AS (SELECT doc_id, token FROM tok2 WHERE token <> ''),
+dims AS (SELECT unnest(range(0, 16)) AS j),
+comp AS (
+  SELECT doc_id, j,
+         ('0x' || substr(md5('he:' || j || ':' || token), 1, 15))::BIGINT
+           / 576460752303423488.0 - 1.0 AS c
+  FROM tok3 CROSS JOIN dims
+),
+vec AS (SELECT doc_id, j, AVG(c) AS m FROM comp GROUP BY 1, 2),
+emb AS (SELECT doc_id, list(m ORDER BY j) AS v FROM vec GROUP BY 1),
+eq AS (SELECT doc_id AS query_id, v AS qv FROM emb WHERE doc_id % 50 = 0)
+SELECT query_id, vec_id, distance, rank FROM (
+  SELECT q.query_id, e.doc_id AS vec_id,
+         ROUND(1.0 - list_cosine_similarity(e.v, q.qv), 6) + 0.0 AS distance,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY ROUND(1.0 - list_cosine_similarity(e.v, q.qv), 6) + 0.0, e.doc_id) AS rank
+  FROM emb e CROSS JOIN eq q
+) WHERE rank <= {TOPK}
+"""
+
 _GLOBAL_UNION_SQL = f"""
 SELECT 'l2_fast' AS method, query_id, block_id AS vec_id,
        CAST(distance AS DOUBLE) AS score, CAST(rank AS BIGINT) AS rank
@@ -5122,6 +5164,9 @@ FROM ({_COSINE_TOPK_SQL})
 UNION ALL
 SELECT 'lsh_exact', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT)
 FROM ({_lsh_exact_sql()})
+UNION ALL
+SELECT 'text_embed', query_id, vec_id, CAST(distance AS DOUBLE), CAST(rank AS BIGINT)
+FROM ({_TEXT_EMBED_SQL})
 """
 
 # A9 completion: binary-quantize scan shortlist (hamming, k·expansion) →

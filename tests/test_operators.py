@@ -1509,3 +1509,34 @@ def test_nb_classifier_contract_and_separable_accuracy(spark, sf_dir):
     assert all(rows[i] == "fruit" for i in range(6))
     assert all(rows[10 + i] == "tool" for i in range(4))
     assert rows[20] == "fruit"  # prior 7/11 beats 4/11
+
+
+def test_hash_embed_contract_and_self_retrieval(spark, sf_dir):
+    """E47 hashed word-vector embedding: fixed dim, values in [-1, 1),
+    deterministic across invocations, and the end-to-end
+    embed → cosine-search pipeline retrieves each query document as its
+    own top-1 at distance 0 (mean-pool + cosine is an exact self-match)."""
+    import pyspark.sql.functions as F
+    from vectorsearch_rbac_spark.operators import ann, curation
+    from vectorsearch_rbac_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = curation.hash_embed(docs, dim=16)
+    assert emb.where(F.size("embedding") != 16).count() == 0
+    bounds = emb.select(
+        F.array_min("embedding").alias("mn"), F.array_max("embedding").alias("mx")
+    ).agg(F.min("mn"), F.max("mx")).first()
+    assert bounds[0] >= -1.0 and bounds[1] < 1.0
+    again = curation.hash_embed(docs, dim=16)
+    assert (
+        emb.select("doc_id", F.col("embedding").cast("array<string>").alias("e"))
+        .exceptAll(again.select("doc_id", F.col("embedding").cast("array<string>").alias("e")))
+        .count() == 0
+    )
+
+    eq = emb.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    top = ann.cosine_topk_bruteforce(emb.withColumnRenamed("doc_id", "vec_id"), eq, k=3)
+    first = {r["query_id"]: (r["vec_id"], r["distance"]) for r in top.where("rank = 1").collect()}
+    assert all(qid == vid and d == 0.0 for qid, (vid, d) in first.items())

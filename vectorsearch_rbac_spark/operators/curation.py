@@ -404,6 +404,65 @@ def unigram_logppl(
     )
 
 
+def hash_embed(
+    documents: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E47: text → embedding by the feature-hashing trick — each token
+    deterministically hashes to a pseudo-random vector (component j =
+    md5-uniform in [-1, 1)), the document embedding is the MEAN over its
+    token instances. This is the reference's embedding service re-shaped
+    for the sandbox (``services/embedding_service.py``: spacy
+    ``en_core_web_md`` mean-of-word-vectors; the model is absent here by
+    design, and the hash table is the deterministic stand-in with the
+    same mean-pooling shape — swap ``_component`` for a real embedding
+    table lookup in production). Hashed word vectors are also legitimate
+    practice in their own right (fasttext's hashed n-gram buckets).
+
+    Every component is an exact rational (60-bit md5 integer / 2⁵⁹ − 1),
+    so both engines materialize identical doubles and the whole
+    text → embed → search pipeline sits under the hash gate
+    (``global_topk`` ``text_embed`` member).
+
+    Shape at 100 TB: one explode (doc × token × dim) of narrow rows, one
+    (doc, dim) mean aggregate with map-side combine, one array assembly
+    — no model broadcast, no UDF, embarrassingly parallel. Documents
+    with no tokens produce no row (a mean over nothing is undefined);
+    callers wanting a zero-vector fallback left-join it on.
+    """
+    from ..functions.vector import md5_long
+
+    toks = (
+        documents.select(id_col, F.explode(T.tokens(text_col)).alias("token"))
+        .where(F.col("token") != "")
+    )
+    comps = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: md5_long(
+                    F.concat(F.lit("he:"), j.cast("string"), F.lit(":"), F.col("token"))
+                )
+                / F.lit(float(1 << 59))
+                - F.lit(1.0),
+            )
+        ).alias("j", "c"),
+    )
+    vec = comps.groupBy(id_col, "j").agg(F.avg("c").alias("m"))
+    return (
+        vec.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("j").alias("j"), F.col("m").alias("m")))
+            ).alias("_s")
+        )
+        .select(id_col, F.transform("_s", lambda x: x["m"]).alias("embedding"))
+    )
+
+
 def nb_classifier(
     documents: DataFrame,
     label_col: str = "lang",
