@@ -1540,3 +1540,40 @@ def test_hash_embed_contract_and_self_retrieval(spark, sf_dir):
     top = ann.cosine_topk_bruteforce(emb.withColumnRenamed("doc_id", "vec_id"), eq, k=3)
     first = {r["query_id"]: (r["vec_id"], r["distance"]) for r in top.where("rank = 1").collect()}
     assert all(qid == vid and d == 0.0 for qid, (vid, d) in first.items())
+
+
+def test_r6_second_session_degenerate_inputs(spark):
+    """Degenerate-input pins for the r6 second-session operators:
+    ivfpq_anchor on a corpus smaller than nlist/ksub (single coarse
+    anchor, single codeword) still returns exact top-k after refine;
+    acorn search (all variants) emits NO rows for a query with an empty
+    permitted set; hash_embed drops token-less documents."""
+    import pyspark.sql.functions as F
+    from vectorsearch_rbac_spark.operators import curation, graph_ann, pq
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [0.0, 1.0, 0.0, 2.0])], "query_id long, query_vector array<float>"
+    )
+    out = pq.ivfpq_anchor_topk(emb, qs, nlist=8, m=2, ksub=16, nprobe=8,
+                               k=3, expansion=2).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]  # exact refine ranking
+
+    blocks = spark.createDataFrame(
+        [(i, i, [float(i), 0.0]) for i in range(8)],
+        "block_id long, document_id long, vector array<float>",
+    )
+    q2 = spark.createDataFrame([(1, [0.0, 0.0])], "query_id long, query_vector array<float>")
+    no_roles = spark.createDataFrame([], "query_id long, role_id long")
+    for kwargs in ({}, {"gamma": 4, "ef": 96}, {"max_hops": 1 << 30, "ef": 1 << 30}):
+        got = graph_ann.acorn_search(blocks, q2, no_roles, k=3, m=2, **kwargs).count()
+        assert got == 0  # empty permitted set -> no rows, never a crash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    e = curation.hash_embed(docs, dim=4)
+    assert {r["doc_id"] for r in e.collect()} == {1}
