@@ -109,11 +109,13 @@ def q_rbac_qdtree_topk(spark, sf_dir):
 
 
 def q_rbac_layouts_topk(spark, sf_dir):
-    """All four exact physical layouts in ONE driver-checked entry
-    (registry curation: each strategy must produce results identical to
-    prefilter, so one oracle covers four execution paths): C3 per-role
-    replication, C4 comb-role partitioning, C5 row-level-security filter,
-    D3 qd-tree leaf routing — tagged by ``strategy``."""
+    """All five exact layouts in ONE driver-checked entry (registry
+    curation: each strategy must produce results identical to prefilter,
+    so one oracle covers five execution paths): C3 per-role PHYSICAL
+    replication, C3-logical pointer lists over a shared vector table
+    (r6 — the reference's logical_partition_benchmark subject), C4
+    comb-role partitioning, C5 row-level-security filter, D3 qd-tree
+    leaf routing — tagged by ``strategy``."""
     t = _rbac(spark, sf_dir)
     args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
     assigned = partitioning.qdtree_assignment(
@@ -121,6 +123,11 @@ def q_rbac_layouts_topk(spark, sf_dir):
     )
     parts = [
         ("role_partition", knn.knn_role_partition(*args, k=TOPK)),
+        # r6: the POINTER variant of the same layout — membership lists
+        # over one shared vector table (logical_partition_benchmark
+        # pointer_hnsw_index/shared_vector_table parity); identical
+        # results, replication-free storage, one fetch join at search
+        ("logical_role", knn.knn_role_partition_logical(*args, k=TOPK)),
         ("comb_role", knn.knn_comb_role_partition(*args, k=TOPK)),
         ("rls", knn.knn_rls(*args, k=TOPK)),
         ("qdtree", knn.knn_qdtree(assigned, t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)),
@@ -2057,6 +2064,26 @@ def _store_lifecycle_build(spark, sf_dir):
             "n_rows", F.expr(r["expr"]).alias("value"),
         )
         space = row if space is None else space.unionByName(row)
+    # r6: the logical-vs-physical partition storage trade the reference's
+    # logical_partition_benchmark measures (pointer_hnsw_index vs
+    # independent_hnsw_index): physical per-role replication stores the
+    # vector bytes once PER membership; the pointer layout stores the
+    # corpus once plus 16-byte (role_id, block_id) pointer rows
+    rep = (
+        t["documentblocks"].select("document_id", F.size("vector").alias("_d"))
+        .join(F.broadcast(t["permission_assignment"]), "document_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("_d").alias("rep_comp"))
+        .crossJoin(F.broadcast(comp.select(F.col("comp").alias("base_comp"))))
+    )
+    for tier, expr in (
+        ("physical_role", "rep_comp * 4"),
+        ("logical_role", "n_rows * 16 + base_comp * 4"),
+    ):
+        row = rep.select(
+            F.lit("space").alias("section"), F.lit(tier).alias("key"),
+            "n_rows", F.expr(expr).alias("value"),
+        )
+        space = space.unionByName(row)
 
     # H2+H3 under the hash gate: what goes THROUGH the writers/readers
     # must hash-equal the source — csv and jsonl text-format roundtrips
@@ -4710,7 +4737,7 @@ FROM (SELECT unnest(['count', 'checksum']) AS key) k
 _LAYOUTS_SQL = f"""
 SELECT s.strategy, p.query_id, p.block_id, p.document_id, p.distance, p.rank
 FROM ({_PREFILTER_SQL}) p
-CROSS JOIN (SELECT unnest(['role_partition', 'comb_role', 'rls', 'qdtree']) AS strategy) s
+CROSS JOIN (SELECT unnest(['role_partition', 'logical_role', 'comb_role', 'rls', 'qdtree']) AS strategy) s
 """
 
 # E29 SemDeDup: deterministic anchor-grid clusters (same idiom as the
@@ -4982,6 +5009,23 @@ SELECT 'space' AS section, t.tier AS key, s.n_rows,
                         WHEN 'int8' THEN s.comp ELSE s.comp // 8 END AS BIGINT) AS value
 FROM (SELECT COUNT(*) AS n_rows, SUM(len(embedding)) AS comp FROM embeddings) s
 CROSS JOIN (SELECT unnest(['vector', 'halfvec', 'int8', 'bit']) AS tier) t
+UNION ALL
+SELECT 'space' AS section, t2.tier AS key, s2.n_ptr AS n_rows,
+       CAST(CASE t2.tier WHEN 'physical_role' THEN s2.rep_comp * 4
+                         ELSE s2.n_ptr * 16 + s2.base_comp * 4 END AS BIGINT) AS value
+FROM (
+  SELECT COUNT(*) AS n_ptr, SUM(len(b.vector)) AS rep_comp,
+         (SELECT SUM(len(embedding)) FROM embeddings) AS base_comp
+  FROM (SELECT vec_id AS block_id,
+               vec_id % (SELECT COUNT(*) FROM documents) AS document_id,
+               embedding AS vector
+        FROM embeddings) b
+  JOIN (SELECT doc_id AS document_id, doc_id % 10 AS role_id FROM documents
+        UNION
+        SELECT doc_id AS document_id, (doc_id + 3) % 10 AS role_id FROM documents) p
+    USING (document_id)
+) s2
+CROSS JOIN (SELECT unnest(['physical_role', 'logical_role']) AS tier) t2
 UNION ALL
 SELECT 'roundtrip' AS section, fmt AS key, n_rows, value FROM (
   SELECT COUNT(*) AS n_rows,

@@ -92,6 +92,16 @@ def test_qdtree_search_exact(t):
     assert got == truth
 
 
+def test_logical_role_partition_matches_physical(t):
+    """C3-logical (r6): pointer lists over a shared vector table must
+    return exactly what physical per-role replication returns — the
+    layouts differ only in storage, never in results."""
+    args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    phys = _ids(knn.knn_role_partition(*args, k=10))
+    logi = _ids(knn.knn_role_partition_logical(*args, k=10))
+    assert logi == phys
+
+
 def test_dynamic_store_lifecycle(t):
     """build → insert → search equals prefilter; delete removes exactly the
     deleted blocks from results."""

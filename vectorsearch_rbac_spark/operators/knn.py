@@ -163,6 +163,57 @@ def knn_role_partition(
     return topk_per_query(dedup, k).select("query_id", "block_id", "document_id", "distance", "rank")
 
 
+def knn_role_partition_logical(
+    blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """C3-LOGICAL: the reference's pointer-index variant
+    (``logical_partition_benchmark/benchmark/src/pointer_hnsw_index.cpp``
+    + ``shared_vector_table.cpp``, compared against the physical copies
+    of ``independent_hnsw_index.cpp``): per-role partitions exist ONLY
+    as membership pointer lists (role_id → block_id) over one shared
+    vector table — no vector is ever duplicated per role. Search routes
+    a query's roles to their pointer lists, fetches the pointed-at rows
+    from the shared table by id, then runs the identical per-role local
+    top-k → dedup → global merge, so results equal physical role
+    replication row-for-row (one oracle covers both).
+
+    The trade this materializes — the reference benchmark's subject —
+    is storage for a query-time fetch join: physical replication stores
+    ≈ avg-roles-per-doc × the corpus; logical stores the corpus once
+    plus 16-byte pointer rows, and pays one id-keyed join per search
+    (co-locatable by bucketing both sides on block_id at scale;
+    SHUFFLE_HASH here — two fact relations, nothing to sort).
+    ``sources.space.logical_vs_physical_report`` quantifies the bytes.
+    """
+    dist = _METRICS[metric]
+    # the pointer lists: ids only — the "index build" of the pointer
+    # variant (permission dim broadcasts; the blocks fact streams)
+    members = (
+        blocks.select("document_id", "block_id")
+        .join(F.broadcast(permission_assignment), "document_id")
+        .select("role_id", "block_id", "document_id")
+    )
+    routed = members.join(F.broadcast(query_roles), "role_id")
+    fetched = routed.join(
+        blocks.select("block_id", "vector").hint("SHUFFLE_HASH"), "block_id"
+    )
+    scored = fetched.join(
+        F.broadcast(queries.select("query_id", "query_vector")), "query_id"
+    ).select(
+        "query_id", "role_id", "block_id", "document_id",
+        F.round(dist("vector", "query_vector"), 6).alias("distance"),
+    )
+    w_local = Window.partitionBy("query_id", "role_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
+    local = scored.withColumn("lr", F.row_number().over(w_local)).where(F.col("lr") <= k)
+    dedup = local.groupBy("query_id", "block_id", "document_id").agg(F.min("distance").alias("distance"))
+    return topk_per_query(dedup, k).select("query_id", "block_id", "document_id", "distance", "rank")
+
+
 def knn_comb_role_partition(
     blocks: DataFrame,
     queries: DataFrame,

@@ -160,6 +160,26 @@ def space_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         "component": "vector",
     }
 
+    # C3-LOGICAL (logical_partition_benchmark pointer_hnsw_index /
+    # shared_vector_table parity): the per-role layout as membership
+    # POINTER lists over ONE shared vector copy — replication-free; the
+    # price moves from storage to a block_id fetch join at search time
+    # (knn.knn_role_partition_logical). physical/logical MB = pointer
+    # partition + the shared flat table.
+    ptrs = role_rows.select("role_id", "block_id")
+    ptr_rep = _write(
+        ptrs, os.path.join(out_dir, "logical_role_pointers"), partition_by="role_id"
+    )
+    n_ptr = ptrs.count()
+    report["logical_role"] = {
+        "physical_mb": round(ptr_rep["physical_mb"] + report["flat"]["physical_mb"], 3),
+        "files": ptr_rep["files"] + report["flat"]["files"],
+        "logical_mb": round(
+            n_ptr * 16 / MB + report["flat"]["logical_mb"], 3
+        ),
+        "component": "pointer+vector",
+    }
+
     half = emb.select("vec_id", fp16_pack(V.fp16_quantize("embedding")).alias("h"))
     report["halfvec"] = _write(half, os.path.join(out_dir, "halfvec")) | {
         "logical_mb": round(vector_logical_mb(emb, component="halfvec"), 3),
