@@ -1556,7 +1556,7 @@ def q_streaming_hourly_only(spark, sf_dir):
 
 
 def q_streaming_hourly_stats(spark, sf_dir):
-    """SEVEN real Structured Streaming executions under one exact oracle
+    """EIGHT streaming members under one exact oracle
     (registry curation; every member is an availableNow file-source stream
     into a memory sink — or, for 'cdc_merge', a foreachBatch MERGE loop —
     hash-matched against batch SQL):
@@ -1588,6 +1588,11 @@ def q_streaming_hourly_stats(spark, sf_dir):
       by a MERGE per micro-batch (foreachBatch + dynamic.merge_upsert);
       final state is batch-split independent, so the oracle computes it
       closed-form and the content checksum certifies the whole loop.
+
+    - 'observe' (G10, r6): the totals REPORTED by observe() metrics on
+      the admission stream (per-micro-batch driver-side rows) must equal
+      the oracle's batch aggregate — pipeline observability certified,
+      not just the sink.
 
     Unified (method, key, n, val) schema; complete+availableNow /
     append+availableNow are the bounded-replay harnesses, the watermark
@@ -1625,15 +1630,26 @@ def q_streaming_hourly_stats(spark, sf_dir):
         docs.where(F.col("doc_id") % 2 == 1).repartition(2).write.mode("overwrite").parquet(dn)
         _STREAM_DROPS[sf_dir + "#docs"] = dn
     static = docs.where(F.col("doc_id") % 2 == 0)
-    admitted = S.run_bounded_to_memory(
-        S.streaming_corpus_filter(spark, dn, static, quality_min=0.3),
-        output_mode="append",
+    admitted, obs_metrics = S.run_observed_admission(
+        spark, dn, static, quality_min=0.3
     )
     adm = admitted.select(
         F.lit("admission").alias("method"),
         F.col("doc_id").cast("string").alias("key"),
         F.col("n_tokens").cast("long").alias("n"),
         F.col("quality").alias("val"),
+    )
+    # G10 (r6) under the hash gate: the totals REPORTED BY observe()
+    # (driver-side per-micro-batch metric rows, the hook a production
+    # pipeline exports) must equal the oracle's batch-recomputed
+    # admission aggregate — certifying the metrics themselves, not just
+    # the sink contents (exact-int metrics only; per-batch mean_quality
+    # stays pytest-checked, it doesn't re-aggregate exactly)
+    n_adm = sum(int(m["n_admitted"] or 0) for m in obs_metrics)
+    tok_vol = sum(int(m["token_volume"] or 0) for m in obs_metrics)
+    obs = spark.createDataFrame(
+        [("observe", "totals", n_adm, float(tok_vol))],
+        "method string, key string, n long, val double",
     )
 
     drop = _STREAM_DROPS[sf_dir]  # created by q_streaming_hourly_only above
@@ -1719,8 +1735,9 @@ def q_streaming_hourly_stats(spark, sf_dir):
         F.lit("cdc_merge").alias("method"), F.lit("checksum").alias("key"),
         F.col("cks").alias("n"), F.lit(0.0).alias("val"),
     ))
-    return (hourly.unionByName(dedup_agg).unionByName(adm).unionByName(sess)
-            .unionByName(ssj).unionByName(ivr).unionByName(cdc_rows))
+    return (hourly.unionByName(dedup_agg).unionByName(adm).unionByName(obs)
+            .unionByName(sess).unionByName(ssj).unionByName(ivr)
+            .unionByName(cdc_rows))
 
 
 def q_ivf_recall(spark, sf_dir):
@@ -4679,6 +4696,13 @@ FROM events GROUP BY 2
 UNION ALL
 SELECT 'admission' AS method, CAST(ts.doc_id AS VARCHAR) AS key,
        ts.n_tokens AS n, ts.quality AS val
+FROM ({_TEXT_STATS_SQL}) ts
+JOIN (SELECT doc_id, md5({_NORM}) AS fp FROM documents) f USING (doc_id)
+WHERE ts.doc_id % 2 = 1 AND ts.quality >= 0.3
+  AND f.fp NOT IN (SELECT md5({_NORM}) FROM documents WHERE doc_id % 2 = 0)
+UNION ALL
+SELECT 'observe' AS method, 'totals' AS key,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ts.n_tokens) AS DOUBLE) AS val
 FROM ({_TEXT_STATS_SQL}) ts
 JOIN (SELECT doc_id, md5({_NORM}) AS fp FROM documents) f USING (doc_id)
 WHERE ts.doc_id % 2 = 1 AND ts.quality >= 0.3
