@@ -91,6 +91,15 @@ def q_rbac_comb_role_topk(spark, sf_dir):
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
+def q_rbac_logical_role_topk(spark, sf_dir):
+    """C3-logical standalone (bench granularity): pointer-list role
+    partitions over the shared vector table — the latency half of the
+    logical-vs-physical trade (space_report prices the storage half)."""
+    t = _rbac(spark, sf_dir)
+    out = knn.knn_role_partition_logical(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    return _i(out, "query_id", "block_id", "document_id", "rank")
+
+
 def q_rbac_rls_topk(spark, sf_dir):
     t = _rbac(spark, sf_dir)
     out = knn.knn_rls(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)

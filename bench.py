@@ -30,6 +30,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # their member functions instead so per-operator timings stay visible.
 EXTRA = {
     "rbac_comb_role_topk": entry.q_rbac_comb_role_topk,
+    "rbac_logical_role_topk": entry.q_rbac_logical_role_topk,
     "rbac_topk_fast": entry.q_rbac_topk_fast,
     "cosine_topk": entry.q_cosine_topk,
     "hamming_topk": entry.q_hamming_topk,
@@ -84,6 +85,7 @@ HEADLINE = [
     "rbac_prefilter_topk",
     "rbac_postfilter_topk",
     "rbac_comb_role_topk",
+    "rbac_logical_role_topk",
     "rbac_dynamic_topk",
     "rbac_dynamic_budget_topk",
     "rbac_topk_fast",
