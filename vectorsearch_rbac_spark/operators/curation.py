@@ -856,30 +856,46 @@ def bpe_train_and_encode(
         merged = f"{a}_{b}"
         rules.append((step, a, b, merged, n))
         la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
-        fold = F.aggregate(
-            F.sequence(F.lit(1), F.size("toks")),
-            F.struct(empty_out.alias("out"), F.lit(False).alias("skip")),
-            lambda st, i: F.when(
-                st["skip"],
-                F.struct(st["out"].alias("out"), F.lit(False).alias("skip")),
-            )
-            .when(
-                (i < F.size("toks"))
-                & (F.element_at("toks", i) == la)
-                & (F.element_at("toks", i + 1) == lb),
-                F.struct(F.concat(st["out"], F.array(lm)).alias("out"), F.lit(True).alias("skip")),
-            )
-            .otherwise(
-                F.struct(
-                    F.concat(st["out"], F.array(F.element_at("toks", i))).alias("out"),
-                    F.lit(False).alias("skip"),
-                )
-            ),
-            lambda st: st["out"],
+        # Greedy non-overlap merge WITHOUT the O(len²) accumulate-by-
+        # concat fold: (1) the match positions (tok[i]=a ∧ tok[i+1]=b)
+        # are a small array; (2) greedy overlap resolution (drop a match
+        # adjacent to the previously kept one — only possible when
+        # a = b runs overlap) folds over THAT array, O(matches²) worst
+        # case on pathological single-token docs but O(matches) copies
+        # in practice — never O(tokens²); (3) the output re-tokenizes
+        # with a transform + filter, O(tokens·|kept|) membership checks.
+        # Same left-to-right scanner the SQL oracle replays.
+        matches = F.filter(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: (F.element_at("toks", i) == la) & (F.element_at("toks", i + 1) == lb),
         )
-        toks = toks.select(
-            id_col, F.when(F.size("toks") > 0, fold).otherwise(empty_out).alias("toks")
-        ).localCheckpoint(eager=False)
+        kept = F.aggregate(
+            matches,
+            F.expr("CAST(array() AS array<int>)"),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == p - 1), acc
+            ).otherwise(F.concat(acc, F.array(p.cast("int")))),
+        )
+        rebuilt = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks")),
+                lambda i: F.when(F.array_contains(F.col("_kept"), i.cast("int")), lm)
+                .when(
+                    F.array_contains(F.col("_kept"), (i - 1).cast("int")),
+                    F.lit(None).cast("string"),
+                )
+                .otherwise(F.element_at("toks", i)),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        toks = (
+            toks.withColumn("_kept", F.when(F.size("toks") >= 2, kept).otherwise(F.expr("CAST(array() AS array<int>)")))
+            .select(
+                id_col,
+                F.when(F.size("toks") > 0, rebuilt).otherwise(empty_out).alias("toks"),
+            )
+            .localCheckpoint(eager=False)
+        )
     spark = documents.sparkSession
     rules_df = spark.createDataFrame(
         rules, "step long, sym_a string, sym_b string, merged string, n long"
