@@ -373,10 +373,13 @@ def main() -> None:
         # keep the slowest queries itemized, fold the rest into one key so
         # the line always fits the driver's tail window
         ranked = sorted(timings.items(), key=lambda kv: -kv[1])
-        keep = dict(sorted((k, round(v, 2)) for k, v in ranked[:45]))
-        keep["_other_sum"] = round(sum(v for _, v in ranked[45:]), 2)
-        final["queries"] = keep
-        line = json.dumps(final, separators=(",", ":"))
+        for keep_n in (60, 55, 50, 45, 40, 35):
+            keep = dict(sorted((k, round(v, 2)) for k, v in ranked[:keep_n]))
+            keep["_other_sum"] = round(sum(v for _, v in ranked[keep_n:]), 2)
+            final["queries"] = keep
+            line = json.dumps(final, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
     print(line)
 
 

@@ -307,7 +307,9 @@ def test_space_report_layouts(spark, sf_dir, tmp_path):
         assert [float(x) for x in r["q"]] == [float(x) for x in r["rt"]]
 
     rep = space.space_report(spark, sf_dir, str(tmp_path))
-    assert set(rep) == {"flat", "role_partition", "comb_role", "halfvec", "int8", "bit"}
+    assert set(rep) == {
+        "flat", "role_partition", "logical_role", "comb_role", "halfvec", "int8", "bit"
+    }
     for v in rep.values():
         assert v["physical_mb"] > 0 and v["files"] > 0 and v["logical_mb"] > 0
     # report values carry 3-dp rounding → bound the check by that error
@@ -316,6 +318,11 @@ def test_space_report_layouts(spark, sf_dir, tmp_path):
     # per-role replication stores shared blocks once per role
     assert rep["role_partition"]["physical_mb"] > rep["comb_role"]["physical_mb"]
     assert rep["role_partition"]["logical_mb"] > rep["flat"]["logical_mb"]
+    # the pointer layout trades that replication for a fetch join: its
+    # logical bytes are one shared vector copy + 16B/pointer, strictly
+    # below the replicated per-role layout
+    assert rep["logical_role"]["logical_mb"] < rep["role_partition"]["logical_mb"]
+    assert rep["logical_role"]["logical_mb"] > rep["flat"]["logical_mb"]
 
 
 def test_multimodal_plumbing(spark, sf_dir):
