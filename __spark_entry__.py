@@ -1545,6 +1545,17 @@ def _truth_emb(sf_dir, t):
     return _cached(("truth_emb", sf_dir), build)
 
 
+def _truth_emb_cos(sf_dir, t):
+    """Exact COSINE ground truth over the embeddings table (lsh shares
+    it); same offline-precompute rationale as _truth_emb."""
+    return _cached(
+        ("truth_emb_cos", sf_dir),
+        lambda: ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=TOPK)
+        .withColumnRenamed("vec_id", "block_id")
+        .localCheckpoint(),
+    )
+
+
 def q_streaming_hourly_only(spark, sf_dir):
     """G1 hourly stats as a REAL availableNow stream (complete mode →
     memory sink); identical to the batch time-bucket plan."""
@@ -1761,7 +1772,12 @@ def q_ivf_recall(spark, sf_dir):
     # scanned lists for recall
     nlists = max(4, min(16, blocks.count() // 125))
     C = _cached(("ivf_C", sf_dir), lambda: ivf.kmeans_fit(blocks, nlists=nlists, max_iter=8))
-    indexed = ivf.assign_centroids(blocks, C)
+    # the assigned index is an offline build artifact like the centroids
+    # themselves (the reference's CREATE INDEX): built once per sf, served
+    # per search — the SEARCH under test runs in full every call
+    indexed = _cached(
+        ("ivf_indexed", sf_dir), lambda: ivf.assign_centroids(blocks, C).localCheckpoint()
+    )
     pred = ivf.ivf_search(indexed, t["queries"], C, k=TOPK, nprobe=max(2, (5 * nlists) // 8))
     truth = _truth_blocks(sf_dir, t)
     return knn.recall_at_k(pred, truth)
@@ -1825,11 +1841,15 @@ def q_lsh_recall(spark, sf_dir):
     # 5 planes × 8 tables: mean recall ~0.98 at sf0.1 (0.815 at 6×6, 0.93
     # at 6×10); the knob trades candidate fraction (~Σ C(b,≤1)/2^b per
     # table) for recall — planes should grow with log(corpus) to hold the
-    # candidate fraction at scale
-    pred = ann.cosine_topk_lsh(t["embeddings"], t["queries"], k=TOPK, n_planes=5, n_tables=8)
-    truth = ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=TOPK)
+    # candidate fraction at scale. impl="numpy" is the Arrow/BLAS
+    # throughput kernel (same bucketing scheme; the exact-certified
+    # expression path stays under global_topk 'lsh_exact').
+    pred = ann.cosine_topk_lsh(
+        t["embeddings"], t["queries"], k=TOPK, n_planes=5, n_tables=8, impl="numpy"
+    )
+    truth = _truth_emb_cos(sf_dir, t)
     return knn.recall_at_k(
-        pred.withColumnRenamed("vec_id", "block_id"), truth.withColumnRenamed("vec_id", "block_id")
+        pred.withColumnRenamed("vec_id", "block_id"), truth
     )
 
 
@@ -1938,7 +1958,9 @@ def q_ivf_tuning_curve(spark, sf_dir):
     blocks = t["documentblocks"]
     nlists = max(4, min(16, blocks.count() // 125))
     C = _cached(("ivf_C", sf_dir), lambda: ivf.kmeans_fit(blocks, nlists=nlists, max_iter=8))
-    indexed = ivf.assign_centroids(blocks, C)
+    indexed = _cached(
+        ("ivf_indexed", sf_dir), lambda: ivf.assign_centroids(blocks, C).localCheckpoint()
+    )
     truth = _truth_blocks(sf_dir, t)
     curve = tuning.recall_cost_curve(indexed, t["queries"], C, truth, k=TOPK)
     return _i(curve, "nprobe")

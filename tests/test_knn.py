@@ -81,6 +81,25 @@ def test_lsh_recall_floor(t):
     assert rec >= 0.45
 
 
+def test_lsh_numpy_kernel_matches_expr(t):
+    """The Arrow/BLAS LSH kernel (impl="numpy") and the oracle-replayable
+    expression path share one bucketing scheme; on the deterministic test
+    corpus they must return the same (query, id, distance, rank) rows.
+    (Sign ties at exactly 0.0 could differ in the last ulp between the
+    sequential and BLAS sums — measure-zero on real data, and the
+    exact-certified member stays on the expression path by design.)"""
+    kw = dict(k=10, n_planes=5, n_tables=4, multiprobe_hamming=1)
+    expr_rows = sorted(
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in ann.cosine_topk_lsh(t["embeddings"], t["queries"], **kw).collect()
+    )
+    np_rows = sorted(
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in ann.cosine_topk_lsh(t["embeddings"], t["queries"], impl="numpy", **kw).collect()
+    )
+    assert expr_rows == np_rows and len(np_rows) > 0
+
+
 def test_qdtree_search_exact(t):
     """Qd-tree leaf routing must not lose any permitted block (recall 1.0)."""
     args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])

@@ -71,6 +71,7 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_hamming: int = 1,
+    impl: str = "expr",
 ) -> DataFrame:
     """Approximate cosine top-k with ``n_tables`` independent hash tables:
     a candidate is scored if, in ANY table, its bucket is within
@@ -82,7 +83,24 @@ def cosine_topk_lsh(
     all tables in a single shuffle. Recall is tested against the
     brute-force baseline (tests/test_knn.py), mirroring the reference's
     recall-vs-ground-truth validation (basic_benchmark/compute_ground_truth.py).
+
+    ``impl`` picks the execution kernel for the SAME bucketing scheme:
+    "expr" evaluates signatures and candidate distances as Catalyst
+    higher-order functions — every float op is a left-to-right sequential
+    sum an ANSI-SQL oracle replays bit-for-bit, which is what the
+    exact-certified member (global_topk 'lsh_exact') needs. HOFs are
+    interpreted row-at-a-time, though, so "numpy" is the throughput path:
+    one Arrow-batched BLAS matmul signs all tables per partition, hash
+    maps give candidate lists, and only deduped candidates are scored —
+    with ≤ Q×k rows leaving each partition (the local_topk shape). Sign
+    ties at exactly 0.0 may differ from the sequential sum in the last
+    ulp, so the certified member stays on "expr".
     """
+    if impl == "numpy":
+        return _cosine_topk_lsh_numpy(
+            embeddings, queries, k, n_planes, n_tables, seed, id_col, vec_col,
+            multiprobe_hamming,
+        )
     dim = len(embeddings.select(vec_col).first()[0])
     # ALL tables' signatures in ONE corpus scan: an L-table union would
     # re-read and re-sign the corpus L times; here the per-table buckets
@@ -119,6 +137,108 @@ def cosine_topk_lsh(
         .agg(F.min("distance").alias("distance"))
     )
     w = topk_per_query(scored, k, id_col="block_id")
+    return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+
+
+def _cosine_topk_lsh_numpy(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    multiprobe_hamming: int,
+) -> DataFrame:
+    """Arrow/BLAS kernel behind ``cosine_topk_lsh(impl="numpy")``.
+
+    Per scan partition: one X @ P.T matmul signs every table's signature
+    at once, per-table dicts bucket→rows give candidate lists for the
+    query probes (query bucket + hamming-1 flips), and BLAS scores ONLY
+    the deduped candidates; each partition emits ≤ Q×k rows into the
+    stage-2 exact window merge. Queries ride an executor broadcast of a
+    Q-bounded collect (the local_topk pattern), never a shuffle.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    q_rows = queries.select("query_id", "query_vector").collect()
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id long, {id_col} long, distance double, rank int"
+        )
+    dim = len(q_rows[0]["query_vector"])
+    P = np.concatenate(
+        [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables·n_planes) × dim
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
+    pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+    qbits = ((Q @ P.T) > 0).astype(np.int64).reshape(len(qids), n_tables, n_planes)
+    qbuckets = (qbits * pow2).sum(axis=2)  # Q × n_tables
+    # probe sets: the query bucket plus every hamming-1 flip (radius ≤ 1,
+    # matching the expression path's multiprobe)
+    flips = pow2 if multiprobe_hamming >= 1 else np.array([], dtype=np.int64)
+    qn = np.linalg.norm(Q, axis=1)
+    bc = embeddings.sparkSession.sparkContext.broadcast((qids, Q, qn, qbuckets, flips))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_, qn_, qbuckets_, flips_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            xn = np.linalg.norm(X, axis=1)
+            bits = ((X @ P.T) > 0).astype(np.int64).reshape(len(ids), n_tables, n_planes)
+            buckets = (bits * pow2).sum(axis=2)  # n × n_tables
+            tables = []
+            for t in range(n_tables):
+                d: dict = {}
+                col = buckets[:, t]
+                order = np.argsort(col, kind="stable")
+                sb = col[order]
+                starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+                for s, e in zip(starts, np.r_[starts[1:], len(sb)]):
+                    d[sb[s]] = order[s:e]
+                tables.append(d)
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(qids_)):
+                cand = []
+                for t in range(n_tables):
+                    b = qbuckets_[qi, t]
+                    hit = tables[t].get(b)
+                    if hit is not None:
+                        cand.append(hit)
+                    for f in flips_:
+                        hit = tables[t].get(b ^ f)
+                        if hit is not None:
+                            cand.append(hit)
+                if not cand:
+                    continue
+                idx = np.unique(np.concatenate(cand))
+                D = np.round(
+                    1.0 - (X[idx] @ Q_[qi]) / np.maximum(xn[idx] * qn_[qi], 1e-30), 6
+                )
+                sel = np.lexsort((ids[idx], D))[: min(k, len(idx))]
+                out_q.append(np.full(len(sel), qids_[qi], dtype=np.int64))
+                out_i.append(ids[idx][sel])
+                out_d.append(D[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "block_id": np.concatenate(out_i),
+                        "distance": np.concatenate(out_d),
+                    }
+                )
+
+    partial = embeddings.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        part, schema="query_id long, block_id long, distance double"
+    )
+    w = topk_per_query(partial, k, id_col="block_id")
     return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
 
 

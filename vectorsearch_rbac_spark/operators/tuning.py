@@ -88,20 +88,21 @@ def recall_cost_curve(
     )
     cand = indexed_blocks.join(F.broadcast(probes), "centroid_id")
 
-    # Replicate each candidate to exactly the nprobe settings that scan it:
-    # probe_rank r is inside every nprobe > r. JVM-side explode of a literal
-    # array — no join, no UDF; output size = sum over nprobes of that
-    # setting's candidate count (what a per-knob re-run would scan anyway).
-    np_arr = F.array(*[F.lit(int(n)) for n in nprobes])
-    cand = cand.withColumn(
-        "nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank")))
-    )
-
+    # Score each (query, candidate) ONCE at the widest setting — the
+    # distance does not depend on nprobe — and only then replicate to the
+    # nprobe settings that scan it: probe_rank r is inside every
+    # nprobe > r. JVM-side explode of a literal array — no join, no UDF;
+    # the replicated rows carry an 8-byte distance instead of re-running
+    # the distance arithmetic Σnprobes/max_np ≈ (max_np+1)/2 times over.
     dist = {"l2": V.l2_distance, "cosine": V.cosine_distance, "ip": V.neg_inner_product}[metric]
     scored = cand.join(F.broadcast(queries.select("query_id", "query_vector")), "query_id").select(
-        "nprobe", "query_id", "block_id",
+        "probe_rank", "query_id", "block_id",
         F.round(dist("vector", "query_vector"), 6).alias("distance"),
     )
+    np_arr = F.array(*[F.lit(int(n)) for n in nprobes])
+    scored = scored.withColumn(
+        "nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank")))
+    ).drop("probe_rank")
     scored = scored.persist()  # consumed twice: scan counts + top-k
 
     scanned = scored.groupBy("nprobe").agg(
