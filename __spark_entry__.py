@@ -1209,8 +1209,23 @@ def q_sketches(spark, sf_dir):
     from vectorsearch_rbac_spark.operators import sketches as SK
 
     ev = load_table(spark, "events", sf_dir)
-    hd = SK.hll_distinct(ev, ["event_type"], "user_id", p=8)
-    exact_d = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    # ONE per-(event_type, user_id) count feeds every frequency-shaped
+    # branch below — at 100 TB this single map-side-combined shuffle
+    # replaces seven raw scans, and the trial/depth explodes run over
+    # distinct keys (7.5k at sf0.1) instead of events (100k). Values are
+    # bit-identical: HLL registers see the same key set, AMS/CMS/F2 are
+    # integer sums weighted by cnt (sums commute), distinct counts are
+    # row counts of the pre-aggregate. Eager localCheckpoint, not a lazy
+    # persist: the union's branches schedule concurrently, and a lazy
+    # cache lets every branch race to recompute kc before it is
+    # populated — the synchronous materialize-once is faster here.
+    kc = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    hd = SK.hll_distinct(kc, ["event_type"], "user_id", p=8)
+    exact_d = kc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
     hll = hd.join(exact_d, "event_type").select(
         F.lit("hll").alias("method"), F.col("event_type").alias("key"),
         F.col("n_exact").cast("long").alias("n"), F.col("hll_est").cast("double").alias("est"),
@@ -1219,19 +1234,20 @@ def q_sketches(spark, sf_dir):
         F.lit("hll_state").alias("method"), F.col("event_type").alias("key"),
         F.col("s_scaled").alias("n"), F.col("v_zero").cast("double").alias("est"),
     )
-    hh = SK.cms_heavy_hitters(ev, "user_id", depth=4, width=256, num=6, den=5)
+    uc = kc.groupBy("user_id").agg(F.sum("cnt").alias("cnt"))
+    hh = SK.cms_heavy_hitters(ev, "user_id", depth=4, width=256, num=6, den=5, counts=uc)
     cms = hh.select(
         F.lit("cms").alias("method"), F.col("user_id").cast("string").alias("key"),
         F.col("exact_cnt").cast("long").alias("n"), F.col("cms_est").cast("double").alias("est"),
     )
-    totals = ev.agg(F.count("*").alias("n_rows"), F.countDistinct("user_id").alias("n_keys"))
+    totals = kc.agg(F.sum("cnt").alias("n_rows"), F.countDistinct("user_id").alias("n_keys"))
     thr_row = totals.select(
         F.lit("cms_thr").alias("method"), F.lit("ALL").alias("key"),
         (F.lit(1).cast("long") + F.floor((F.lit(6) * F.col("n_rows")) / (F.lit(5) * F.col("n_keys"))).cast("long")).alias("n"),
         F.lit(-1.0).alias("est"),
     )
-    a = SK.ams_f2(ev, ["event_type"], "user_id", trials=16)
-    e2 = SK.exact_f2(ev, ["event_type"], "user_id")
+    a = SK.ams_f2(kc, ["event_type"], "user_id", trials=16, weight_col="cnt")
+    e2 = SK.exact_f2(kc, ["event_type"], "user_id", weight_col="cnt")
     ams = a.join(e2, "event_type").select(
         F.lit("ams").alias("method"), F.col("event_type").alias("key"),
         F.col("f2_exact").cast("long").alias("n"), F.col("f2_est").cast("double").alias("est"),

@@ -1003,6 +1003,30 @@ def test_ams_f2_state_and_estimate(spark, sf_dir):
         assert 0.2 * x[t] < r["f2_est"] < 5.0 * x[t]
 
 
+def test_weighted_sketches_match_raw(spark, sf_dir):
+    """The pre-aggregated (key, cnt) feeding paths must be bit-identical
+    to the raw-row paths: AMS trial sums, exact F2, the CMS heavy-hitter
+    rows, and HLL registers over the distinct pairs — integer sums
+    commute and the signs/hashes depend only on the key."""
+    from vectorsearch_rbac_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kc = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    raw_ams = sorted(map(tuple, SK.ams_f2(ev, ["event_type"], "user_id", trials=16).collect()))
+    w_ams = sorted(map(tuple, SK.ams_f2(kc, ["event_type"], "user_id", trials=16, weight_col="cnt").collect()))
+    assert raw_ams == w_ams and len(w_ams) > 0
+    raw_f2 = sorted(map(tuple, SK.exact_f2(ev, ["event_type"], "user_id").collect()))
+    w_f2 = sorted(map(tuple, SK.exact_f2(kc, ["event_type"], "user_id", weight_col="cnt").collect()))
+    assert raw_f2 == w_f2
+    uc = kc.groupBy("user_id").agg(F.sum("cnt").alias("cnt"))
+    raw_hh = sorted((str(r[0]), *r[1:]) for r in SK.cms_heavy_hitters(ev, "user_id").collect())
+    w_hh = sorted((str(r[0]), *r[1:]) for r in SK.cms_heavy_hitters(ev, "user_id", counts=uc).collect())
+    assert raw_hh == w_hh
+    raw_hll = sorted(map(tuple, SK.hll_distinct(ev, ["event_type"], "user_id", p=8).collect()))
+    w_hll = sorted(map(tuple, SK.hll_distinct(kc, ["event_type"], "user_id", p=8).collect()))
+    assert raw_hll == w_hll
+
+
 def test_sq8_asymmetric_search_recall(spark, sf_dir):
     """A11: per-dim SQ8 with asymmetric search must track the exact L2
     ranking closely — 8-bit per-dim error is far below inter-point

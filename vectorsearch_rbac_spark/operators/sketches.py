@@ -109,20 +109,30 @@ def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str, p: int = 8)
     )
 
 
-def cms_sketch(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> DataFrame:
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Count-Min sketch: a (depth × width) counter grid as a DataFrame of
     (row, cell, cnt) — depth·width rows TOTAL however large the input,
     built by one map-side-combinable count. Row i hashes keys with salt
     ``cms:i`` so the d hash functions are independent md5 draws.
     Sketches merge by groupBy(row, cell).sum(cnt).
+
+    ``weight_col`` feeds the sketch from a PRE-COUNTED (key, weight)
+    table instead of raw rows: cell counters become Σ weight, which is
+    bit-identical to counting the raw rows (integer sums) while the
+    explode×depth runs over distinct keys, not events — the shape a
+    shared per-key aggregate buys at 100 TB.
     """
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
-    keyed = df.select(F.col(key_col).cast("string").alias("k")).select("k", rows)
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w")
+    keyed = df.select(F.col(key_col).cast("string").alias("k"), w).select("k", "w", rows)
     cell = F.pmod(_h60(F.concat_ws(":", F.lit("cms"), F.col("row").cast("string"), F.col("k"))), F.lit(width))
     return (
-        keyed.select("row", cell.cast("long").alias("cell"))
+        keyed.select("row", cell.cast("long").alias("cell"), "w")
         .groupBy("row", "cell")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("w").alias("cnt"))
     )
 
 
@@ -149,7 +159,8 @@ def cms_point_estimates(
 
 
 def cms_heavy_hitters(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 256, num: int = 6, den: int = 5
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256, num: int = 6, den: int = 5,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Heavy hitters via CMS: keys whose estimated count ≥ threshold,
     with the exact count joined in for the (est ≥ exact) guarantee.
@@ -158,13 +169,29 @@ def cms_heavy_hitters(
     1 + (num·N) div (den·U) for N rows / U distinct keys — i.e. keys
     ≥ ~(num/den)× the mean frequency. No false negatives: est ≥ exact,
     so every key with exact ≥ threshold survives the est-filter.
+
+    ``counts`` short-circuits the raw scan with a pre-counted
+    (key_col, cnt) table — one row per key: the sketch is fed weighted,
+    the exact side IS the table, and the totals are Σ cnt / row count.
+    Values are bit-identical to the raw path (integer sums commute).
     """
-    sketch = cms_sketch(df, key_col, depth, width)
-    exact = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(F.count("*").alias("exact_cnt"))
+    if counts is not None:
+        sketch = cms_sketch(counts, key_col, depth, width, weight_col="cnt")
+        exact = counts.select(
+            F.col(key_col).cast("string").alias("k"),
+            F.col("cnt").cast("long").alias("exact_cnt"),
+        )
+        totals = counts.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+    else:
+        sketch = cms_sketch(df, key_col, depth, width)
+        exact = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(F.count("*").alias("exact_cnt"))
+        totals = df.agg(
+            F.count("*").alias("n_rows"), F.countDistinct(F.col(key_col).cast("string")).alias("n_keys")
+        )
     est = cms_point_estimates(sketch, exact.select(F.col("k").alias(key_col)), key_col, depth, width)
-    totals = df.agg(
-        F.count("*").alias("n_rows"), F.countDistinct(F.col(key_col).cast("string")).alias("n_keys")
-    )
     # integer-exact threshold both engines: 1 + floor(num·N / (den·U))
     thr = F.lit(1).cast("long") + F.floor((F.lit(num) * F.col("n_rows")) / (F.lit(den) * F.col("n_keys"))).cast("long")
     return (
@@ -175,7 +202,10 @@ def cms_heavy_hitters(
     )
 
 
-def ams_f2(df: DataFrame, group_cols: list[str], key_col: str, trials: int = 16) -> DataFrame:
+def ams_f2(
+    df: DataFrame, group_cols: list[str], key_col: str, trials: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
     """AMS second-moment (F2 = Σ_key count²) estimator: per trial t, a
     ±1 sign per key (parity of md5_long with salt ``ams:t``); the trial
     statistic s_t = Σ_rows sign_t(key) and E[s_t²] = F2. Estimate =
@@ -186,16 +216,25 @@ def ams_f2(df: DataFrame, group_cols: list[str], key_col: str, trials: int = 16)
     strategies; the sketch is one groupBy carrying trials rows per
     group (map-side combined ±1 sums), vs the exact path's per-key
     shuffle.
+
+    ``weight_col`` feeds the trials from a PRE-COUNTED (group, key,
+    weight) table: s_t = Σ_key sign_t(key)·weight, identical to the raw
+    Σ_rows sign (the sign depends only on the key; integer sums
+    commute), while the explode×trials runs over distinct keys instead
+    of raw rows.
     """
     t_col = F.explode(F.array(*[F.lit(t) for t in range(trials)])).alias("t")
-    keyed = df.select(*group_cols, F.col(key_col).cast("string").alias("k")).select(*group_cols, "k", t_col)
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w")
+    keyed = df.select(*group_cols, F.col(key_col).cast("string").alias("k"), w).select(
+        *group_cols, "k", "w", t_col
+    )
     sign = (
         F.when(F.pmod(_h60(F.concat_ws(":", F.lit("ams"), F.col("t").cast("string"), F.col("k"))), F.lit(2)) == 0, 1)
         .otherwise(-1)
         .cast("long")
     )
     per_trial = (
-        keyed.select(*group_cols, "t", sign.alias("sign"))
+        keyed.select(*group_cols, "t", (sign * F.col("w")).alias("sign"))
         .groupBy(*group_cols, "t")
         .agg(F.sum("sign").alias("s_t"))
     )
@@ -205,8 +244,17 @@ def ams_f2(df: DataFrame, group_cols: list[str], key_col: str, trials: int = 16)
     )
 
 
-def exact_f2(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
-    """Exact F2 = Σ_key count² per group (the verification side)."""
+def exact_f2(
+    df: DataFrame, group_cols: list[str], key_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """Exact F2 = Σ_key count² per group (the verification side).
+    ``weight_col`` reads the per-key counts from a pre-aggregated
+    (group, key, weight) table — one row per (group, key) — skipping
+    the per-key shuffle."""
+    if weight_col is not None:
+        return df.groupBy(*group_cols).agg(
+            F.sum(F.col(weight_col).cast("long") * F.col(weight_col).cast("long")).alias("f2_exact")
+        )
     return (
         df.groupBy(*group_cols, F.col(key_col).cast("string").alias("k"))
         .agg(F.count("*").alias("cnt"))
