@@ -556,6 +556,17 @@ def q_text_stats(spark, sf_dir):
     stand-in: exact-count training, add-1 smoothing, argmax apply) in
     one entry."""
     docs = load_table(spark, "documents", sf_dir)
+    # ONE materialized tokenize feeds all three corpus-trained models —
+    # each model (and each of its internal consumers: vocab, bigram
+    # counts, class counts, scoring) would otherwise re-run the tokenize
+    # regex over the corpus; values are identical by construction (same
+    # token sequence, positions preserved). Eager localCheckpoint: the
+    # three models' branches schedule concurrently under the join.
+    toks = (
+        docs.select("doc_id", "lang", F.posexplode(T.tokens("text")).alias("pos", "token"))
+        .where(F.col("token") != "")
+        .localCheckpoint()
+    )
     out = (
         docs.select(
             "doc_id",
@@ -568,9 +579,9 @@ def q_text_stats(spark, sf_dir):
             T.quality_score("text").alias("quality"),
             T.lang_id("text").alias("lang_pred"),
         )
-        .join(curation.unigram_logppl(docs), "doc_id")
-        .join(curation.bigram_logppl(docs), "doc_id")
-        .join(curation.nb_classifier(docs).hint("SHUFFLE_HASH"), "doc_id")
+        .join(curation.unigram_logppl(docs, tokens=toks), "doc_id")
+        .join(curation.bigram_logppl(docs, tokens=toks), "doc_id")
+        .join(curation.nb_classifier(docs, tokens=toks).hint("SHUFFLE_HASH"), "doc_id")
     )
     return _i(out, "doc_id")
 

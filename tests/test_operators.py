@@ -1003,6 +1003,28 @@ def test_ams_f2_state_and_estimate(spark, sf_dir):
         assert 0.2 * x[t] < r["f2_est"] < 5.0 * x[t]
 
 
+def test_shared_tokens_match_raw_models(spark, sf_dir):
+    """The shared pre-tokenized frame must leave all three corpus-trained
+    models bit-identical to their own-tokenize paths (same token
+    sequence, positions preserved through the empty-token filter)."""
+    from vectorsearch_rbac_spark.functions import text as T
+    from vectorsearch_rbac_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        docs.select("doc_id", "lang", F.posexplode(T.tokens("text")).alias("pos", "token"))
+        .where(F.col("token") != "")
+    )
+    for fn, kw in [
+        (curation.unigram_logppl, {}),
+        (curation.bigram_logppl, {}),
+        (curation.nb_classifier, {}),
+    ]:
+        raw = sorted(map(tuple, fn(docs, **kw).collect()))
+        shared = sorted(map(tuple, fn(docs, tokens=toks, **kw).collect()))
+        assert raw == shared and len(shared) > 0, fn.__name__
+
+
 def test_weighted_sketches_match_raw(spark, sf_dir):
     """The pre-aggregated (key, cnt) feeding paths must be bit-identical
     to the raw-row paths: AMS trial sums, exact F2, the CMS heavy-hitter

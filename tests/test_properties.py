@@ -354,3 +354,28 @@ def test_merge_upsert_matches_dict_replay(spark, tgt, src):
     out = dynamic.merge_upsert(tdf, sdf, "id", update_cols=["val"], delete_col="is_del")
     got = {r["id"]: r["val"] for r in out.collect()}
     assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 9)),  # (group, key)
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_ams_f2_matches_raw_for_any_stream(spark, events):
+    """The weighted AMS path must equal the raw-row path for ANY event
+    stream, not just the fixture corpus: feeding per-key counts with
+    weight_col is the same sum in a different order (signs depend only
+    on the key, integer sums commute)."""
+    from vectorsearch_rbac_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(g, k) for g, k in events], "g int, k int")
+    kc = df.groupBy("g", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    raw = sorted(map(tuple, SK.ams_f2(df, ["g"], "k", trials=4).collect()))
+    wtd = sorted(map(tuple, SK.ams_f2(kc, ["g"], "k", trials=4, weight_col="cnt").collect()))
+    assert raw == wtd
+    raw2 = sorted(map(tuple, SK.exact_f2(df, ["g"], "k").collect()))
+    wtd2 = sorted(map(tuple, SK.exact_f2(kc, ["g"], "k", weight_col="cnt").collect()))
+    assert raw2 == wtd2

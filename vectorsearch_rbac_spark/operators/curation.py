@@ -360,6 +360,7 @@ def unigram_logppl(
     documents: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality signal (Wenzek et al. 2019,
     arXiv:1911.00359 — their Wikipedia-KenLM perplexity bucket filter):
@@ -377,9 +378,17 @@ def unigram_logppl(
     a broadcast after frequency truncation (top-K vocab + the smoothing
     default covers the tail — standard LM practice); everything is
     codegen'd, no UDFs. Empty documents emit 0.0.
+
+    ``tokens`` feeds a SHARED pre-tokenized (id_col, token) frame —
+    non-empty tokens of each doc — so one materialized explode can serve
+    this model, :func:`bigram_logppl`, and :func:`nb_classifier` in one
+    plan instead of each (and each of their internal consumers)
+    re-running the tokenize regex over the corpus. Values identical.
     """
     toks = (
-        documents.select(id_col, F.explode(T.tokens(text_col)).alias("token"))
+        tokens.select(id_col, "token")
+        if tokens is not None
+        else documents.select(id_col, F.explode(T.tokens(text_col)).alias("token"))
         .where(F.col("token") != "")
     )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
@@ -468,6 +477,7 @@ def nb_classifier(
     label_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """E46: multinomial Naive Bayes document classifier — train AND apply
     in one plan. This is the scalable stand-in for the fasttext-style
@@ -490,9 +500,14 @@ def nb_classifier(
     ×|V|. No UDFs anywhere. Here it trains and applies on the same
     corpus (in-corpus certification; the apply path generalizes by
     left-joining unseen tokens to the smoothing default).
+
+    ``tokens``: optional shared pre-tokenized frame carrying
+    (id_col, label_col, token) — see :func:`unigram_logppl`.
     """
     toks = (
-        documents.select(
+        tokens.select(id_col, F.col(label_col).alias("_y"), "token")
+        if tokens is not None
+        else documents.select(
             id_col, F.col(label_col).alias("_y"), F.explode(T.tokens(text_col)).alias("token")
         )
         .where(F.col("token") != "")
@@ -557,6 +572,7 @@ def bigram_logppl(
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = 0.5,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """E43: interpolated bigram-LM quality signal — the context-aware step
     up from :func:`unigram_logppl` (CCNet's production filter is a 5-gram
@@ -572,9 +588,16 @@ def bigram_logppl(
     (prev,w)-keyed count, one broadcastable vocab join. At 100 TB the
     bigram table gets frequency-truncated exactly like the vocab (tail
     transitions fall back to the unigram term — standard LM practice).
+
+    ``tokens``: optional shared pre-tokenized frame carrying
+    (id_col, pos, token) — see :func:`unigram_logppl`. ``pos`` must be
+    the token's position in the ORIGINAL token sequence (empty tokens
+    removed but positions kept) so the lag window sees the same order.
     """
     toks = (
-        documents.select(id_col, F.posexplode(T.tokens(text_col)).alias("pos", "token"))
+        tokens.select(id_col, "pos", "token")
+        if tokens is not None
+        else documents.select(id_col, F.posexplode(T.tokens(text_col)).alias("pos", "token"))
         .where(F.col("token") != "")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
