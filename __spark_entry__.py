@@ -567,6 +567,9 @@ def q_text_stats(spark, sf_dir):
         .where(F.col("token") != "")
         .localCheckpoint()
     )
+    # the (token, tf) vocab is the next-largest duplicated aggregate —
+    # unigram and bigram would each re-shuffle it; Zipf-bounded ≪ corpus
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     out = (
         docs.select(
             "doc_id",
@@ -579,8 +582,8 @@ def q_text_stats(spark, sf_dir):
             T.quality_score("text").alias("quality"),
             T.lang_id("text").alias("lang_pred"),
         )
-        .join(curation.unigram_logppl(docs, tokens=toks), "doc_id")
-        .join(curation.bigram_logppl(docs, tokens=toks), "doc_id")
+        .join(curation.unigram_logppl(docs, tokens=toks, vocab=vocab), "doc_id")
+        .join(curation.bigram_logppl(docs, tokens=toks, vocab=vocab), "doc_id")
         .join(curation.nb_classifier(docs, tokens=toks).hint("SHUFFLE_HASH"), "doc_id")
     )
     return _i(out, "doc_id")
@@ -1236,7 +1239,9 @@ def q_sketches(spark, sf_dir):
         .localCheckpoint()
     )
     hd = SK.hll_distinct(kc, ["event_type"], "user_id", p=8)
-    exact_d = kc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    # count(user_id), not count(*): a NULL-user group in kc must not count,
+    # mirroring countDistinct's distinct-NON-NULL semantics
+    exact_d = kc.groupBy("event_type").agg(F.count("user_id").alias("n_exact"))
     hll = hd.join(exact_d, "event_type").select(
         F.lit("hll").alias("method"), F.col("event_type").alias("key"),
         F.col("n_exact").cast("long").alias("n"), F.col("hll_est").cast("double").alias("est"),

@@ -1015,12 +1015,13 @@ def test_shared_tokens_match_raw_models(spark, sf_dir):
         docs.select("doc_id", "lang", F.posexplode(T.tokens("text")).alias("pos", "token"))
         .where(F.col("token") != "")
     )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     for fn, kw in [
-        (curation.unigram_logppl, {}),
-        (curation.bigram_logppl, {}),
+        (curation.unigram_logppl, {"vocab": vocab}),
+        (curation.bigram_logppl, {"vocab": vocab}),
         (curation.nb_classifier, {}),
     ]:
-        raw = sorted(map(tuple, fn(docs, **kw).collect()))
+        raw = sorted(map(tuple, fn(docs).collect()))
         shared = sorted(map(tuple, fn(docs, tokens=toks, **kw).collect()))
         assert raw == shared and len(shared) > 0, fn.__name__
 
@@ -1047,6 +1048,23 @@ def test_weighted_sketches_match_raw(spark, sf_dir):
     raw_hll = sorted(map(tuple, SK.hll_distinct(ev, ["event_type"], "user_id", p=8).collect()))
     w_hll = sorted(map(tuple, SK.hll_distinct(kc, ["event_type"], "user_id", p=8).collect()))
     assert raw_hll == w_hll
+
+
+def test_cms_counts_path_null_keys_match_raw(spark):
+    """NULL keys must not shift the heavy-hitter threshold on the counts
+    path: raw countDistinct excludes NULLs, so the pre-counted path's
+    n_keys must too (count(col), not a row count over groups)."""
+    from vectorsearch_rbac_spark.operators import sketches as SK
+
+    # N=13 rows, U=2 non-null keys -> thr = 1 + floor(6*13/(5*2)) = 8;
+    # key 1 (count 8) must survive on BOTH paths and with equal thr
+    df = spark.createDataFrame(
+        [(1,)] * 8 + [(2,)] * 2 + [(None,)] * 3, "uid int"
+    )
+    counts = df.groupBy("uid").agg(F.count(F.lit(1)).alias("cnt"))
+    raw = sorted(map(tuple, SK.cms_heavy_hitters(df, "uid").collect()))
+    wtd = sorted(map(tuple, SK.cms_heavy_hitters(df, "uid", counts=counts).collect()))
+    assert raw == wtd and len(wtd) > 0
 
 
 def test_sq8_asymmetric_search_recall(spark, sf_dir):

@@ -21,6 +21,7 @@ Usage: python tools/sketch_scale_probe.py [factors...]   (default: 1 5 10)
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -90,7 +91,7 @@ def main():
         ev = replicated_events(spark, SF_DIR, factor)
         n = ev.count()
         keys = ev.select("event_type", "user_id").distinct().count()
-        # warm both paths once at factor 1 to exclude JIT/codegen
+        # warm both paths once at the first factor to exclude JIT/codegen
         if factor == factors[0]:
             run(suite_raw, ev)
             run(suite_preagg, ev)
@@ -101,7 +102,13 @@ def main():
             f"raw={raw:7.2f}s preagg={pre:7.2f}s speedup={raw / pre:5.2f}x",
             flush=True,
         )
-        ev.unpersist()
+        # localCheckpoint blocks are owned by the checkpointed RDD (not the
+        # Dataset cache, so Dataset.unpersist() can't release them); drop
+        # the reference and force a GC so the ContextCleaner frees the
+        # blocks before the next factor measures
+        del ev
+        gc.collect()
+        spark._jvm.System.gc()
 
 
 if __name__ == "__main__":

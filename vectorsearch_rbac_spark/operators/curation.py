@@ -361,6 +361,7 @@ def unigram_logppl(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality signal (Wenzek et al. 2019,
     arXiv:1911.00359 — their Wikipedia-KenLM perplexity bucket filter):
@@ -383,15 +384,18 @@ def unigram_logppl(
     non-empty tokens of each doc — so one materialized explode can serve
     this model, :func:`bigram_logppl`, and :func:`nb_classifier` in one
     plan instead of each (and each of their internal consumers)
-    re-running the tokenize regex over the corpus. Values identical.
+    re-running the tokenize regex over the corpus. ``vocab`` likewise
+    shares the (token, tf) corpus term-frequency table this model and
+    :func:`bigram_logppl` would otherwise each re-aggregate. Values
+    identical either way.
     """
     toks = (
         tokens.select(id_col, "token")
         if tokens is not None
         else documents.select(id_col, F.explode(T.tokens(text_col)).alias("token"))
-        .where(F.col("token") != "")
-    )
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    ).where(F.col("token") != "")  # both branches: a pre-filtered frame passes through
+    if vocab is None:
+        vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     totals = vocab.agg(
         F.sum("tf").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("v"),
@@ -510,8 +514,7 @@ def nb_classifier(
         else documents.select(
             id_col, F.col(label_col).alias("_y"), F.explode(T.tokens(text_col)).alias("token")
         )
-        .where(F.col("token") != "")
-    )
+    ).where(F.col("token") != "")  # both branches: pre-filtered frames pass through
     cls_tok = toks.groupBy("_y", "token").agg(F.count(F.lit(1)).alias("c"))
     cls_tot = cls_tok.groupBy("_y").agg(F.sum("c").cast("double").alias("n_y"))
     vsize = toks.agg(F.countDistinct("token").cast("double").alias("v"))
@@ -573,6 +576,7 @@ def bigram_logppl(
     id_col: str = "doc_id",
     lam: float = 0.5,
     tokens: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """E43: interpolated bigram-LM quality signal — the context-aware step
     up from :func:`unigram_logppl` (CCNet's production filter is a 5-gram
@@ -593,16 +597,18 @@ def bigram_logppl(
     (id_col, pos, token) — see :func:`unigram_logppl`. ``pos`` must be
     the token's position in the ORIGINAL token sequence (empty tokens
     removed but positions kept) so the lag window sees the same order.
+    ``vocab``: optional shared (token, tf) table, as in
+    :func:`unigram_logppl`.
     """
     toks = (
         tokens.select(id_col, "pos", "token")
         if tokens is not None
         else documents.select(id_col, F.posexplode(T.tokens(text_col)).alias("pos", "token"))
-        .where(F.col("token") != "")
-    )
+    ).where(F.col("token") != "")  # both branches: pre-filtered frames pass through
     w = Window.partitionBy(id_col).orderBy("pos")
     seq = toks.withColumn("prev", F.lag("token").over(w))
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    if vocab is None:
+        vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     totals = vocab.agg(
         F.sum("tf").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("v"),

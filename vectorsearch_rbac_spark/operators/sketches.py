@@ -183,7 +183,9 @@ def cms_heavy_hitters(
         )
         totals = counts.agg(
             F.sum("cnt").cast("long").alias("n_rows"),
-            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            # count(col), not count(*): a NULL-key group must not count —
+            # mirrors the raw path's countDistinct (distinct NON-NULL keys)
+            F.count(F.col(key_col)).cast("long").alias("n_keys"),
         )
     else:
         sketch = cms_sketch(df, key_col, depth, width)
