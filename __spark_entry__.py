@@ -582,8 +582,12 @@ def q_text_stats(spark, sf_dir):
             T.quality_score("text").alias("quality"),
             T.lang_id("text").alias("lang_pred"),
         )
-        .join(curation.unigram_logppl(docs, tokens=toks, vocab=vocab), "doc_id")
-        .join(curation.bigram_logppl(docs, tokens=toks, vocab=vocab), "doc_id")
+        # SHUFFLE_HASH: model outputs derive from the checkpointed token
+        # frame (no size stats), so these doc-keyed joins would fall back
+        # to SortMergeJoin — a sort buys nothing for hash-equi joins
+        # (registry no-SMJ contract; the merge_upsert idiom)
+        .join(curation.unigram_logppl(docs, tokens=toks, vocab=vocab).hint("SHUFFLE_HASH"), "doc_id")
+        .join(curation.bigram_logppl(docs, tokens=toks, vocab=vocab).hint("SHUFFLE_HASH"), "doc_id")
         .join(curation.nb_classifier(docs, tokens=toks).hint("SHUFFLE_HASH"), "doc_id")
     )
     return _i(out, "doc_id")
@@ -5259,9 +5263,11 @@ SELECT query_id, vec_id, distance, rank FROM (
 
 
 # E47: text → hash-embed → cosine search replayed end-to-end — component
-# j of a token is an exact rational (60-bit md5 integer / 2^59 − 1, both
-# engines materialize identical doubles), the doc vector is the mean over
-# token instances, the search is the standard rounded cosine rank.
+# j of a token is an exact rational (60-bit md5 integer / 2^59 − 1); the
+# mean-pool sums the hash INTEGERS exactly (HUGEINT here, DECIMAL(38,0)
+# in Spark — no float accumulation order), then one double cast, one
+# exact n·2^59 product, one division, one subtraction: both engines
+# round once, identically. The search is the standard rounded cosine rank.
 _TEXT_EMBED_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tok2 AS (SELECT doc_id, unnest(toks) AS token FROM t),
@@ -5269,11 +5275,15 @@ tok3 AS (SELECT doc_id, token FROM tok2 WHERE token <> ''),
 dims AS (SELECT unnest(range(0, 16)) AS j),
 comp AS (
   SELECT doc_id, j,
-         ('0x' || substr(md5('he:' || j || ':' || token), 1, 15))::BIGINT
-           / 576460752303423488.0 - 1.0 AS c
+         ('0x' || substr(md5('he:' || j || ':' || token), 1, 15))::BIGINT AS h
   FROM tok3 CROSS JOIN dims
 ),
-vec AS (SELECT doc_id, j, AVG(c) AS m FROM comp GROUP BY 1, 2),
+vec AS (
+  SELECT doc_id, j,
+         CAST(SUM(h) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 576460752303423488.0) - 1.0 AS m
+  FROM comp GROUP BY 1, 2
+),
 emb AS (SELECT doc_id, list(m ORDER BY j) AS v FROM vec GROUP BY 1),
 eq AS (SELECT doc_id AS query_id, v AS qv FROM emb WHERE doc_id % 50 = 0)
 SELECT query_id, vec_id, distance, rank FROM (

@@ -211,10 +211,13 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
         ("prefilter", entry.q_rbac_prefilter_topk),
         ("postfilter", entry.q_rbac_postfilter_topk),
     ):
+        # time the SEARCH alone (materialized via localCheckpoint); the
+        # recall join/aggregation runs over the materialized result so
+        # qps measures query throughput, not the evaluation harness
         t0 = time.time()
-        pred = fn(spark, SF_DIR)
-        r = _mean_recall(knn.recall_at_k(pred, truth))
-        out[name] = _row(r, time.time() - t0)
+        pred = fn(spark, SF_DIR).localCheckpoint()
+        sec = time.time() - t0
+        out[name] = _row(_mean_recall(knn.recall_at_k(pred, truth)), sec)
     for name, fn in (
         ("ivf", entry.q_ivf_recall),
         ("lsh", entry.q_lsh_recall),
@@ -225,9 +228,14 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
         ("acorn", entry.q_acorn_recall),
         ("acorn_gamma", entry.q_acorn_gamma_recall),
     ):
+        # the q_*_recall entries fold search + truth-compare into one
+        # frame; the truth side is cached per sf, so the per-query recall
+        # rows' wall is still search-dominated — but charge the COMPARE
+        # to sec honestly by materializing the full recall frame
         t0 = time.time()
-        r = _mean_recall(fn(spark, SF_DIR))
-        out[name] = _row(r, time.time() - t0)
+        rec = fn(spark, SF_DIR).localCheckpoint()
+        sec = time.time() - t0
+        out[name] = _row(_mean_recall(rec), sec)
     return out
 
 
@@ -373,13 +381,19 @@ def main() -> None:
         # keep the slowest queries itemized, fold the rest into one key so
         # the line always fits the driver's tail window
         ranked = sorted(timings.items(), key=lambda kv: -kv[1])
-        for keep_n in (60, 55, 50, 45, 40, 35):
+        for keep_n in (60, 55, 50, 45, 40, 35, 25, 15, 5, 0):
             keep = dict(sorted((k, round(v, 2)) for k, v in ranked[:keep_n]))
             keep["_other_sum"] = round(sum(v for _, v in ranked[keep_n:]), 2)
             final["queries"] = keep
             line = json.dumps(final, separators=(",", ":"))
             if len(line) <= 1900:
                 break
+        else:
+            # last-resort clamp: the headline numbers alone ALWAYS fit —
+            # an oversized line truncates in the driver's 2000-char tail
+            # window and parses as null (the BENCH_r04 failure)
+            final["queries"] = {"_other_sum": round(sum(timings.values()), 2)}
+            line = json.dumps(final, separators=(",", ":"))
     print(line)
 
 

@@ -412,7 +412,9 @@ def unigram_logppl(
     )
     return (
         documents.select(id_col)
-        .join(ppl, id_col, "left")
+        # SHUFFLE_HASH: ppl is one row per non-empty doc — derived (no
+        # size stats), doc-keyed, hash-equi; a sort-merge buys nothing
+        .join(ppl.hint("SHUFFLE_HASH"), id_col, "left")
         .select(id_col, F.coalesce("unigram_logppl", F.lit(0.0)).alias("unigram_logppl"))
     )
 
@@ -435,9 +437,15 @@ def hash_embed(
     practice in their own right (fasttext's hashed n-gram buckets).
 
     Every component is an exact rational (60-bit md5 integer / 2⁵⁹ − 1),
-    so both engines materialize identical doubles and the whole
-    text → embed → search pipeline sits under the hash gate
-    (``global_topk`` ``text_embed`` member).
+    and the mean-pool is computed ORDER-INDEPENDENTLY: the 60-bit hash
+    integers sum exactly in DECIMAL(38,0) (no float accumulation order to
+    differ between engines or partition layouts), then ONE double cast,
+    one exact product n·2⁵⁹, one division, and one subtraction produce
+    the component — so both engines materialize identical doubles and
+    the whole text → embed → search pipeline sits under the hash gate
+    (``global_topk`` ``text_embed`` member). A float AVG here would be
+    summation-order-dependent — the one nondeterminism the §4 contract
+    bans from certified members.
 
     Shape at 100 TB: one explode (doc × token × dim) of narrow rows, one
     (doc, dim) mean aggregate with map-side combine, one array assembly
@@ -458,13 +466,25 @@ def hash_embed(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda j: md5_long(
                     F.concat(F.lit("he:"), j.cast("string"), F.lit(":"), F.col("token"))
-                )
-                / F.lit(float(1 << 59))
-                - F.lit(1.0),
+                ),
             )
-        ).alias("j", "c"),
+        ).alias("j", "h"),
     )
-    vec = comps.groupBy(id_col, "j").agg(F.avg("c").alias("m"))
+    # exact integer sum, then exactly one rounding per component:
+    # m = Σh / (n·2⁵⁹) − 1 — the cast of the exact decimal sum is the
+    # only rounded step, identical round-half-even in both engines
+    vec = comps.groupBy(id_col, "j").agg(
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    ).select(
+        id_col,
+        "j",
+        (
+            F.col("_s").cast("double")
+            / (F.col("_n").cast("double") * F.lit(float(1 << 59)))
+            - F.lit(1.0)
+        ).alias("m"),
+    )
     return (
         vec.groupBy(id_col)
         .agg(
@@ -526,7 +546,7 @@ def nb_classifier(
         F.broadcast(pri.agg(F.sum("n_docs").alias("n_all")))
     ).select("_y", F.log(F.col("n_docs") / F.col("n_all")).alias("log_prior"))
 
-    classes = cls_tot.join(pri, "_y").crossJoin(F.broadcast(vsize))
+    classes = cls_tot.crossJoin(F.broadcast(vsize))  # priors join at scoring
     scored = (
         toks.select(id_col, "token")
         .join(F.broadcast(classes.select("_y", "n_y", "v")), how="cross")
@@ -637,7 +657,8 @@ def bigram_logppl(
     )
     return (
         documents.select(id_col)
-        .join(ppl, id_col, "left")
+        # SHUFFLE_HASH: same rationale as unigram_logppl's final join
+        .join(ppl.hint("SHUFFLE_HASH"), id_col, "left")
         .select(id_col, F.coalesce("bigram_logppl", F.lit(0.0)).alias("bigram_logppl"))
     )
 

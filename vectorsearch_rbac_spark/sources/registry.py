@@ -43,6 +43,10 @@ def get_spark(app: str = "vectorsearch-rbac-spark", shuffle_partitions: int = 32
         # naive/UTC, so day/hour bucketing (date_trunc, unix_timestamp, year)
         # must not shift with the host JVM timezone
         .config("spark.sql.session.timeZone", "UTC")
+        # streaming progress is ring-buffered; observe()-metric rollups
+        # (G10) read per-batch observedMetrics from recentProgress and
+        # would silently undercount past the default 100-batch cap
+        .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -478,8 +478,21 @@ def run_observed_admission(
         .start()
     )
     q.awaitTermination(timeout_s)
+    # recentProgress is RING-BUFFERED (spark.sql.streaming.numRecentProgressUpdates,
+    # default 100): beyond the cap the earliest batches' metrics silently
+    # vanish and the totals undercount. Fail loudly instead — callers with
+    # more micro-batches than the cap must raise the session conf (the
+    # registry pins 10000) or aggregate via a StreamingQueryListener.
+    cap = int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100"))
+    progress = list(q.recentProgress)
+    if len(progress) >= cap:
+        raise RuntimeError(
+            f"observed admission ran {len(progress)}+ micro-batches — at or above "
+            f"the progress retention cap ({cap}); earliest observedMetrics may "
+            "have been dropped. Raise spark.sql.streaming.numRecentProgressUpdates."
+        )
     metrics = []
-    for p in q.recentProgress:
+    for p in progress:
         om = p.get("observedMetrics") if isinstance(p, dict) else p.observedMetrics
         if om and name in om:
             row = om[name]
