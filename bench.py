@@ -312,13 +312,15 @@ def main() -> None:
             runs.append(time.time() - t0)
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs[1:]), 3)
-        # per-query latency distribution over the 3 runs (run_search_experiment
-        # parity: the reference reports QPS + latency percentiles per query);
-        # p50 = median, p95 = interpolated between the two slowest
-        s = sorted(runs)
+        # warm-run latency spread (run_search_experiment parity: the
+        # reference reports latency distributions next to QPS). The cold
+        # run is EXCLUDED — with it, p95 would just re-report the plan-
+        # compile cost value_cold already carries; with two warm samples
+        # p50 = the faster warm run, p95 = the slower (the warm spread).
+        w = sorted(runs[1:])
         lat[name] = {
-            "p50": round(s[1], 3),
-            "p95": round(s[1] + (s[2] - s[1]) * 0.9, 3),
+            "p50": round(w[0], 3),
+            "p95": round(w[-1], 3),
         }
         print(f"# {name}: {n} rows in {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
     # store_lifecycle is the biggest single bench line; time its sections
@@ -329,7 +331,14 @@ def main() -> None:
     try:
         import __spark_entry__ as _E
 
-        for sname, sdf in _E.store_lifecycle_sections(spark, SF_DIR):
+        # the build phase (4 version commits, the availableNow streaming
+        # insert, DV writes) runs EAGERLY inside the generator call — time
+        # it as its own pseudo-section so a regression in the entry's
+        # dominant write paths is visible, not just the read-back cost
+        t0 = time.time()
+        section_dfs = list(_E.store_lifecycle_sections(spark, SF_DIR))
+        sections["_eager_build"] = round(time.time() - t0, 3)
+        for sname, sdf in section_dfs:
             t0 = time.time()
             sdf.collect()
             sections[sname] = round(time.time() - t0, 3)

@@ -549,11 +549,15 @@ def test_rbac_graph_search_over_rebalanced_store(spark, sf_dir):
 
 
 def test_incremental_adjacency_invariants_and_recall():
-    """r6 incremental (HNSW-insert) build: pure-kernel invariants — every
-    node keeps >= min(m, n-1) edges (degree floor), the ring backbone
-    makes the graph one connected component, adjacency is symmetric —
-    and the diverse-selection graph must beat a recall floor at a size
-    where the exact kNN graph is known to degrade."""
+    """r6 incremental (HNSW-insert) build: pure-kernel invariants — the
+    ring backbone is PRESENT edge-for-edge (i ↔ i+1; the guarantee the
+    ef≥n exactness proof rests on, strictly stronger than 'no isolated
+    nodes'), the graph is one connected component, adjacency is
+    symmetric, and the diversity heuristic keeps the mean degree near m
+    (it may keep fewer than m per node, as hnswlib does, so a per-node
+    m-floor is NOT an invariant) — and the diverse-selection graph must
+    beat a recall floor at a size where the exact kNN graph is known to
+    degrade."""
     import numpy as np
 
     from vectorsearch_rbac_spark.operators.graph_ann import (
@@ -571,14 +575,19 @@ def test_incremental_adjacency_invariants_and_recall():
     m = 8
     adj = _incremental_adjacency(vecs, m)
     n = len(adj)
-    # symmetry + no isolated nodes (the diversity heuristic may keep
-    # fewer than m links — same as hnswlib — but the ring guarantees
-    # every node at least its chain edges)
+    # symmetry + the ring edges THEMSELVES (i ↔ i+1): the exactness
+    # certification's connectivity argument needs the chain, not merely
+    # degree ≥ 1 — assert it edge-for-edge
     sets = [set(x) for x in adj]
     for u in range(n):
-        assert len(sets[u]) >= 1
         for v in sets[u]:
             assert u in sets[v]
+    for u in range(n - 1):
+        assert (u + 1) in sets[u] and u in sets[u + 1]
+    # the diversity heuristic prunes per node but must keep the graph
+    # dense enough to navigate: mean degree within [m/2, 2m]
+    mean_deg = sum(len(s) for s in sets) / n
+    assert m / 2 <= mean_deg <= 2 * m
     # ring ⇒ connected: BFS from 0 reaches everything
     seen = {0}
     stack = [0]

@@ -254,16 +254,34 @@ def _medoid(vecs: np.ndarray) -> int:
     return int(np.argmin(((vecs - vecs.mean(axis=0)) ** 2).sum(axis=1)))
 
 
-def _replicate_queries(src: DataFrame, queries: DataFrame) -> DataFrame:
+def _replicate_queries(
+    src: DataFrame, queries: DataFrame, parts_from: DataFrame | None = None
+) -> DataFrame:
     """Fan the query relation out to every graph partition (queries carry
     no routing key here — contrast knn_dynamic_graph, where roles route).
     The partition list is tiny (one row per graph partition) and
     broadcast; the replicated relation is Q×P rows that SHUFFLE to the
     cogroup — distributed, never driver-collected. The key is RENAMED so
     the cogroup's two sides don't share the source's _part attribute
-    (self-join ambiguity)."""
-    parts = src.select(F.col("_part").alias("_qpart")).distinct()
+    (self-join ambiguity).
+
+    ``parts_from`` supplies a CHEAPER relation carrying the same
+    partition values (``_part`` column): the single-partition literal
+    when there is no part_col (deriving it from src would full-scan the
+    corpus just to produce one row), or the dim-sized adjacency table in
+    the indexed search (src there is a corpus⋈adjacency join that
+    Catalyst would otherwise execute twice — exchanges aren't reused
+    across subplans)."""
+    parts = (parts_from if parts_from is not None else src).select(
+        F.col("_part").alias("_qpart")
+    ).distinct()
     return queries.crossJoin(F.broadcast(parts))
+
+
+def _single_part(spark) -> DataFrame:
+    """One-row (_part = 0) relation — the partition list when part_col is
+    None, without scanning anything."""
+    return spark.range(1).select(F.lit(0).cast("long").alias("_part"))
 
 
 def _rank_topk(cand: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -303,7 +321,11 @@ def nsw_search(
         F.col(vec_col).alias("_vec"),
         (F.col(part_col) if part_col else F.lit(0)).alias("_part"),
     )
-    rq = _replicate_queries(src, queries.select("query_id", "query_vector"))
+    parts_from = (
+        _single_part(blocks.sparkSession) if part_col is None
+        else blocks.select(F.col(part_col).alias("_part"))  # column-pruned scan
+    )
+    rq = _replicate_queries(src, queries.select("query_id", "query_vector"), parts_from)
 
     def search_cogroup(blocks_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(blocks_pdf) == 0 or len(q_pdf) == 0:
@@ -441,7 +463,13 @@ def nsw_search_indexed(
         ),
         ["_part", "_id"],
     )
-    rq = _replicate_queries(src, queries.select("query_id", "query_vector"))
+    # partition values from the adjacency table, not src: src is the
+    # corpus⋈adjacency join, which Catalyst would execute twice
+    rq = _replicate_queries(
+        src,
+        queries.select("query_id", "query_vector"),
+        adjacency.select(F.col("part").alias("_part")),
+    )
 
     def search_cogroup(blocks_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(blocks_pdf) == 0 or len(q_pdf) == 0:
@@ -847,7 +875,11 @@ def acorn_search(
         "query_id",
         "left",
     )
-    rq = _replicate_queries(src, q_with_roles)
+    parts_from = (
+        _single_part(blocks.sparkSession) if part_col is None
+        else blocks.select(F.col(part_col).alias("_part"))
+    )
+    rq = _replicate_queries(src, q_with_roles, parts_from)
 
     def search_cogroup(blocks_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(blocks_pdf) == 0 or len(q_pdf) == 0:

@@ -365,11 +365,15 @@ def run_streaming_graph_inserts(
     from ..operators import graph_ann
 
     # only the ITERATED state (the adjacency) needs lineage truncation;
-    # blocks is a cheap union chain over parquet scans
+    # blocks is a cheap union chain — but over CHECKPOINTED batch frames:
+    # re-executing a foreachBatch DataFrame outside its micro-batch is
+    # unsupported (it happens to work for file sources only while the
+    # source files persist), so each batch's rows are frozen eagerly
+    # before joining the state
     state = {"blocks": initial_blocks, "graph": initial_graph.localCheckpoint()}
 
     def on_batch(batch_df, batch_id):
-        new = batch_df.select(id_col, vec_col)
+        new = batch_df.select(id_col, vec_col).localCheckpoint()
         if new.isEmpty():
             return
         state["graph"] = graph_ann.insert_into_graph(
