@@ -124,11 +124,63 @@ def q_rbac_layouts_topk(spark, sf_dir):
     replication, C3-logical pointer lists over a shared vector table
     (r6 — the reference's logical_partition_benchmark subject), C4
     comb-role partitioning, C5 row-level-security filter, D3 qd-tree
-    leaf routing — tagged by ``strategy``."""
+    leaf routing — tagged by ``strategy``.
+
+    r6 adds ROLE CHURN (insertion.py insert_new_role / deletion.py
+    delete_role_and_related_data parity): partitions 0..4 host role
+    pairs {2p, 2p+1}; a NEW role 10 (docs d % 7 == 1, granted to queries
+    with user_id % 3 == 0) lands in the partition the reference's
+    ΔQueryTime/ΔStorage rule picks (the dedicated-new-partition option
+    competes), then role 3 is revoked — its partition drops the docs no
+    remaining role needs. 'role_churn' rows are the post-churn routed
+    search, whose oracle is plain prefilter over the CHURNED permission
+    set; 'role_churn_cost' rows pin the decision itself — one row per
+    candidate with (query_id := partition, block_id := chosen,
+    document_id := Δstorage, distance := 6-dp cost, rank := cost order)
+    replayed value-for-value by the SQL (the ln(1/(dv−k)−1) constant is
+    folded in Python and embedded in BOTH texts — the LSH plane idiom)."""
     t = _rbac(spark, sf_dir)
     args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
     assigned = partitioning.qdtree_assignment(
         t["documentblocks"], t["permission_assignment"], max_leaf_size=64, max_depth=4
+    )
+    blocks, pa, qs, qr = args[0], t["permission_assignment"], t["queries"], t["query_roles"]
+    pr = spark.createDataFrame(
+        [(p, r) for p in range(5) for r in (2 * p, 2 * p + 1)],
+        "partition_id long, role_id int",
+    )
+    churn_store = (
+        blocks.join(pa.hint("SHUFFLE_HASH"), "document_id")
+        .join(F.broadcast(pr), "role_id")
+        .select("partition_id", "block_id", "document_id", "vector")
+        .distinct()
+    )
+    rtype = pa.schema["role_id"].dataType.simpleString()
+    new_docs = t["documents"].where(F.col("doc_id") % 7 == 1).select(
+        F.col("doc_id").alias("document_id")
+    )
+    new_blocks = blocks.join(new_docs.hint("SHUFFLE_HASH"), "document_id").select(
+        "block_id", "document_id", "vector"
+    )
+    decision = dynamic.role_insert_decision(churn_store, pr, pa, new_blocks)
+    store2, pr2 = dynamic.insert_role(churn_store, pr, pa, 10, new_blocks, decision=decision)
+    # grant role 10 BEFORE the revoke so delete_role still sees role 3's
+    # docs (the pre-delete permission state drives the pruning)
+    pa_grant = pa.unionByName(new_docs.withColumn("role_id", F.lit(10).cast(rtype)))
+    store3, pr3 = dynamic.delete_role(store2, pr2, pa_grant, 3)
+    pa_after = pa_grant.where(F.col("role_id") != 3)
+    qr_after = qr.where(F.col("role_id") != 3).unionByName(
+        qs.where(F.col("user_id") % 3 == 0).select(
+            "query_id", F.lit(10).cast(rtype).alias("role_id")
+        )
+    )
+    churn_pred = dynamic.knn_role_routed(store3, pr3, qs, qr_after, pa_after, k=TOPK)
+    cost_rows = decision.select(
+        F.col("partition_id").alias("query_id"),
+        F.col("chosen").cast("long").alias("block_id"),
+        F.col("delta_storage").alias("document_id"),
+        F.coalesce(F.col("cost"), F.lit(-1.0)).alias("distance"),
+        F.col("rank"),
     )
     parts = [
         ("role_partition", knn.knn_role_partition(*args, k=TOPK)),
@@ -140,6 +192,8 @@ def q_rbac_layouts_topk(spark, sf_dir):
         ("comb_role", knn.knn_comb_role_partition(*args, k=TOPK)),
         ("rls", knn.knn_rls(*args, k=TOPK)),
         ("qdtree", knn.knn_qdtree(assigned, t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)),
+        ("role_churn", churn_pred),
+        ("role_churn_cost", cost_rows),
     ]
     out = None
     for name, df in parts:
@@ -4823,12 +4877,148 @@ SELECT 'cdc_merge' AS method, k.key,
 FROM (SELECT unnest(['count', 'checksum']) AS key) k
 """
 
+# role-churn cost-model constants — folded in PYTHON once and embedded in
+# BOTH the Spark plan (operators/dynamic.py role_insert_decision defaults)
+# and the SQL text below, so neither engine evaluates the ln(1/(dv−k)−1)
+# constant itself (the LSH plane-literal idiom)
+import math as _math
+
+_CH_K, _CH_BETA, _CH_A, _CH_B = 0.9, 0.5, 1.0, 8.0
+_CH_X = 3
+while (1 + _CH_X / 10) - _CH_K >= 1:
+    _CH_X -= 1
+_CH_DV = 1 + _CH_X / 10
+_CH_LN = _math.log(1.0 / (_CH_DV - _CH_K) - 1.0)
+_CH_N4B = -4.0 * _CH_BETA
+_CH_T = float(TOPK)
+_CH_KT = _CH_K * _CH_T
+_CH_EF1 = (_CH_LN / (_CH_N4B * 1.0)) * _CH_T + _CH_KT / 1.0
+_CH_AEFB = _CH_A * _CH_EF1 + _CH_B
+
+
+def _churn_ef_sql(sel: str) -> str:
+    """ef(sel) exactly as the Spark expression parenthesizes it:
+    ((LN / (N4B·sel)) · T) + (KT / sel)."""
+    return f"((({_CH_LN!r}) / (({_CH_N4B!r}) * ({sel}))) * {_CH_T!r} + ({_CH_KT!r}) / ({sel}))"
+
+
+# the post-churn permission state: role 3 revoked, role 10 (docs with
+# doc_id % 7 = 1, granted to users with user_id % 3 = 0) inserted
+_CHURN_SEARCH_SQL = _RBAC_CTE + """
+, perm2 AS (
+  SELECT document_id, role_id FROM perm WHERE role_id <> 3
+  UNION
+  SELECT DISTINCT doc_id AS document_id, 10 AS role_id FROM documents WHERE doc_id % 7 = 1
+),
+qroles2 AS (
+  SELECT query_id, role_id FROM qroles WHERE role_id <> 3
+  UNION
+  SELECT query_id, 10 AS role_id FROM qs WHERE user_id % 3 = 0
+),
+qdocs2 AS (
+  SELECT DISTINCT r.query_id, p.document_id FROM qroles2 r JOIN perm2 p USING (role_id)
+),
+scored AS (
+  SELECT d.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM qdocs2 d
+  JOIN blocks b USING (document_id)
+  JOIN qs q ON q.query_id = d.query_id
+)
+SELECT query_id, block_id, document_id, distance, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+# the insert_new_role decision table: statistics over BLOCK-BACKED docs
+# (mirroring the Spark store exactly — at sf where embeddings < documents
+# some docs have no blocks), then the reference's ΔQueryTime/ΔStorage
+# formula term-for-term, ranked (cost NULLS LAST, partition_id)
+_CHURN_COST_SQL = _RBAC_CTE + f"""
+, pr AS (
+  SELECT * FROM (VALUES (0,0),(0,1),(1,2),(1,3),(2,4),(2,5),(3,6),(3,7),(4,8),(4,9))
+    AS t(partition_id, role_id)
+),
+pdocs AS (
+  SELECT DISTINCT pr.partition_id, b.document_id
+  FROM blocks b JOIN perm pe USING (document_id) JOIN pr ON pr.role_id = pe.role_id
+),
+nd AS (SELECT partition_id, COUNT(*) AS n_docs FROM pdocs GROUP BY 1),
+si AS (
+  SELECT pd.partition_id, COUNT(*) AS sum_inter
+  FROM pdocs pd
+  JOIN pr ON pr.partition_id = pd.partition_id
+  JOIN perm pe ON pe.role_id = pr.role_id AND pe.document_id = pd.document_id
+  GROUP BY 1
+),
+nr AS (SELECT partition_id, COUNT(*) AS n_roles FROM pr GROUP BY 1),
+newd AS (SELECT DISTINCT document_id FROM blocks WHERE document_id % 7 = 1),
+nn AS (SELECT COUNT(*) AS n_new FROM newd),
+ni AS (
+  SELECT pd.partition_id, COUNT(*) AS new_int
+  FROM pdocs pd JOIN newd USING (document_id) GROUP BY 1
+),
+stats AS (
+  SELECT nd.partition_id, nd.n_docs,
+         COALESCE(si.sum_inter, 0) AS sum_inter,
+         COALESCE(nr.n_roles, 0) AS n_roles,
+         COALESCE(ni.new_int, 0) AS new_int,
+         nn.n_new
+  FROM nd
+  LEFT JOIN si USING (partition_id)
+  LEFT JOIN nr USING (partition_id)
+  LEFT JOIN ni USING (partition_id)
+  CROSS JOIN nn
+),
+sels AS (
+  SELECT *,
+    (CAST(sum_inter AS DOUBLE) / CAST(n_docs AS DOUBLE)) / CAST(n_roles AS DOUBLE) AS sel_b,
+    ((CAST(sum_inter AS DOUBLE) / CAST(n_docs AS DOUBLE))
+      + CAST(new_int AS DOUBLE) / CAST(n_docs AS DOUBLE))
+      / (CAST(n_roles AS DOUBLE) + 1.0) AS sel_a
+  FROM stats
+),
+costed AS (
+  SELECT partition_id,
+         CAST(n_new - new_int AS BIGINT) AS delta_storage,
+         CASE WHEN n_new - new_int > 0 THEN ROUND((
+             ln(CAST(n_docs + n_new AS DOUBLE)) * ({_CH_A!r} * {_churn_ef_sql("sel_a")} + {_CH_B!r})
+           - ln(CAST(n_docs AS DOUBLE)) * ({_CH_A!r} * {_churn_ef_sql("sel_b")} + {_CH_B!r})
+         ) / CAST(n_new - new_int AS DOUBLE), 6) END AS cost
+  FROM sels
+  UNION ALL
+  SELECT (SELECT MAX(partition_id) FROM pr) + 1,
+         CAST(n_new AS BIGINT),
+         CASE WHEN n_new > 0
+              THEN ROUND(ln(CAST(n_new AS DOUBLE)) * ({_CH_AEFB!r}) / CAST(n_new AS DOUBLE), 6)
+         END
+  FROM nn
+)
+SELECT partition_id AS query_id,
+       CASE WHEN rank = 1 THEN 1 ELSE 0 END AS block_id,
+       delta_storage AS document_id,
+       COALESCE(cost, -1.0) AS distance,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cost ASC NULLS LAST, partition_id) AS rank
+  FROM costed
+)
+"""
+
 # curated-union oracles: each merged entry unions its members' exact
 # formulations (DuckDB allows WITH-bearing subqueries inside parentheses)
 _LAYOUTS_SQL = f"""
 SELECT s.strategy, p.query_id, p.block_id, p.document_id, p.distance, p.rank
 FROM ({_PREFILTER_SQL}) p
 CROSS JOIN (SELECT unnest(['role_partition', 'logical_role', 'comb_role', 'rls', 'qdtree']) AS strategy) s
+UNION ALL
+SELECT 'role_churn', query_id, block_id, document_id, distance, rank
+FROM ({_CHURN_SEARCH_SQL})
+UNION ALL
+SELECT 'role_churn_cost', query_id, block_id, document_id, distance, rank
+FROM ({_CHURN_COST_SQL})
 """
 
 # E29 SemDeDup: deterministic anchor-grid clusters (same idiom as the

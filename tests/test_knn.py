@@ -719,3 +719,113 @@ def test_insert_preserves_ring_connectivity(spark, sf_dir):
                 seen.add(v)
                 stack.append(v)
     assert len(seen) == len(ids)
+
+
+def test_role_churn_decision_matches_python_replay(t, spark):
+    """insert_new_role parity: the Spark-expression cost table must equal
+    an independent pure-Python replay of insertion.py's
+    ΔQueryTime/ΔStorage formula over the same partition statistics, and
+    the chosen partition is the (cost, id)-argmin."""
+    import math
+
+    blocks, pa = t["documentblocks"], t["permission_assignment"]
+    pr = spark.createDataFrame(
+        [(p, r) for p in range(5) for r in (2 * p, 2 * p + 1)],
+        "partition_id long, role_id int",
+    )
+    store = (
+        blocks.join(pa, "document_id").join(F.broadcast(pr), "role_id")
+        .select("partition_id", "block_id", "document_id", "vector").distinct()
+    )
+    new_docs = blocks.where(F.col("document_id") % 7 == 1).select("document_id").distinct()
+    new_blocks = blocks.join(new_docs, "document_id").select("block_id", "document_id", "vector")
+    dec = {
+        r["partition_id"]: r
+        for r in dynamic.role_insert_decision(store, pr, pa, new_blocks).collect()
+    }
+
+    # ---- python replay over plain sets
+    pd_rows = store.select("partition_id", "document_id").distinct().collect()
+    pdocs: dict[int, set] = {}
+    for r in pd_rows:
+        pdocs.setdefault(r["partition_id"], set()).add(r["document_id"])
+    role_docs: dict[int, set] = {}
+    for r in pa.collect():
+        role_docs.setdefault(r["role_id"], set()).add(r["document_id"])
+    nd = {r["document_id"] for r in new_docs.collect()}
+    k, beta, a, b, T = 0.9, 0.5, 1.0, 8.0, 10
+    x = 3
+    while (1 + x / 10) - k >= 1:
+        x -= 1
+    dv = 1 + x / 10
+
+    def ef(s):
+        return math.log(1 / (dv - k) - 1) / (-4 * beta * s) * T + k * T / s
+
+    expect = {}
+    for p, docs in pdocs.items():
+        roles = [2 * p, 2 * p + 1]
+        sum_inter = sum(len(docs & role_docs.get(r, set())) for r in roles)
+        sel_sum = sum_inter / len(docs)
+        sel_b = sel_sum / len(roles)
+        sel_a = (sel_sum + len(nd & docs) / len(docs)) / (len(roles) + 1)
+        qt_b = math.log(len(docs)) * (a * ef(sel_b) + b)
+        qt_a = math.log(len(docs) + len(nd)) * (a * ef(sel_a) + b)
+        dst = len(nd) - len(nd & docs)
+        expect[p] = (dst, round((qt_a - qt_b) / dst, 6) if dst > 0 else None)
+    expect[5] = (len(nd), round(math.log(len(nd)) * (a * ef(1.0) + b) / len(nd), 6))
+
+    assert set(dec) == set(expect)
+    for p, (dst, cost) in expect.items():
+        assert dec[p]["delta_storage"] == dst, p
+        assert dec[p]["cost"] == pytest.approx(cost, abs=1.5e-6) if cost is not None else dec[p]["cost"] is None
+    best = min((c, p) for p, (_, c) in expect.items() if c is not None)[1]
+    assert dec[best]["chosen"] == 1 and dec[best]["rank"] == 1
+
+
+def test_role_churn_search_exact_and_delete_semantics(t, spark):
+    """Post-churn routed search must equal prefilter over the churned
+    permission set (grant role 10, revoke role 1 — a different role from
+    the entry's scenario), and delete_role must keep every doc a
+    remaining role of the partition still needs while dropping the
+    exclusive ones."""
+    blocks, pa, qs, qr = (
+        t["documentblocks"], t["permission_assignment"], t["queries"], t["query_roles"]
+    )
+    rtype = pa.schema["role_id"].dataType.simpleString()
+    pr = spark.createDataFrame(
+        [(p, r) for p in range(5) for r in (2 * p, 2 * p + 1)],
+        "partition_id long, role_id int",
+    )
+    store = (
+        blocks.join(pa, "document_id").join(F.broadcast(pr), "role_id")
+        .select("partition_id", "block_id", "document_id", "vector").distinct()
+    )
+    new_docs = blocks.where(F.col("document_id") % 7 == 1).select("document_id").distinct()
+    new_blocks = blocks.join(new_docs, "document_id").select("block_id", "document_id", "vector")
+    store2, pr2 = dynamic.insert_role(store, pr, pa, 10, new_blocks)
+    pa_grant = pa.unionByName(new_docs.withColumn("role_id", F.lit(10).cast(rtype)))
+    store3, pr3 = dynamic.delete_role(store2, pr2, pa_grant, 1)
+    # delete semantics on partition 0 (roles {0, 1}): docs of role 0 all
+    # survive; docs exclusive to role 1 are gone
+    p0 = {r["document_id"] for r in store3.where(F.col("partition_id") == 0)
+          .select("document_id").distinct().collect()}
+    d0 = {r["document_id"] for r in pa.where(F.col("role_id") == 0)
+          .select("document_id").collect()}
+    d1 = {r["document_id"] for r in pa.where(F.col("role_id") == 1)
+          .select("document_id").collect()}
+    blocked = {r["document_id"] for r in blocks.select("document_id").distinct().collect()}
+    assert (d0 & blocked) <= p0
+    assert not ((d1 - d0) & blocked & p0)
+    # post-churn search == prefilter over churned perms
+    pa_after = pa_grant.where(F.col("role_id") != 1)
+    qr_after = qr.where(F.col("role_id") != 1).unionByName(
+        qs.where(F.col("user_id") % 3 == 0).select(
+            "query_id", F.lit(10).cast(rtype).alias("role_id")
+        )
+    )
+    pred = dynamic.knn_role_routed(store3, pr3, qs, qr_after, pa_after, k=10)
+    truth = knn.knn_prefilter(blocks, qs, qr_after, pa_after, k=10)
+    assert pred.exceptAll(truth).count() == 0
+    assert truth.exceptAll(pred).count() == 0
+    assert pred.count() == truth.count() > 0

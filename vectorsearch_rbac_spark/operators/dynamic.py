@@ -343,3 +343,270 @@ def knn_dynamic(
         )
     )
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
+
+
+# ------------------------------------------------------------- role churn
+# Parity: dynamic_partition/hnsw/insertion.py (insert_new_role — choose the
+# partition minimizing ΔQueryTime/ΔStorage, including a dedicated new
+# partition as a candidate, then add the role's missing documents to it)
+# and deletion.py (delete_role_and_related_data — drop the role's mapping
+# and remove its documents from affected partitions unless another role
+# there still needs them). The reference mutates Postgres partition tables
+# role-by-role; here the store is a partition_id-keyed DataFrame and every
+# mutation is set algebra, with the COST MODEL evaluated as a Spark
+# expression over dim-sized partition statistics so the DuckDB oracle can
+# replay the decision value-for-value.
+
+
+def _dynamic_value(k: float) -> float:
+    """insertion.py:188's dv loop: largest 1 + x/10 (x ≤ 3) with
+    (1 + x/10) − k < 1 — pure tenths arithmetic, no float drift."""
+    x = 3
+    while (1 + x / 10) - k >= 1:
+        x -= 1
+    return 1 + x / 10
+
+
+def role_insert_decision(
+    store: DataFrame,
+    partition_roles: DataFrame,
+    permission_assignment: DataFrame,
+    new_role_blocks: DataFrame,
+    topk: int = 10,
+    k: float = 0.9,
+    beta: float = 0.5,
+    a: float = 1.0,
+    b: float = 8.0,
+) -> DataFrame:
+    """The insert_new_role cost table: one row per candidate partition
+    (every existing partition plus the dedicated-new option, whose id is
+    max+1) with ``delta_storage``, 6-dp ``cost`` = ΔQueryTime/ΔStorage,
+    ``rank`` ordered by (cost, partition_id), and ``chosen`` = rank 1.
+
+    Determinism (so the decision sits under the hash gate): the only
+    libm-at-build constant ln(1/(dv−k)−1) is folded in PYTHON and embedded
+    as the same literal in this plan and the oracle SQL (the LSH plane
+    idiom); selectivity sums run over exact INTEGER intersection counts
+    divided once (Σ|docs_r ∩ P| / |P| — the same estimator as the
+    reference's Σ of per-role ratios, reordered to avoid float-sum order
+    dependence); the remaining ln() calls take data-dependent arguments
+    evaluated identically by both engines. Candidates the reference marks
+    unusable (Δstorage = 0 → cost ∞) are ranked last by a NULL cost.
+
+    Scale: the statistics are |partitions| + |partitions × roles| rows —
+    aggregates with map-side combine over the store's (partition, doc)
+    projection; the store itself is never collected.
+    """
+    import math
+
+    dv = _dynamic_value(k)
+    ln_const = math.log(1.0 / (dv - k) - 1.0)
+    neg4b = -4.0 * beta
+    kt = k * float(topk)
+    t = float(topk)
+
+    pd_ = store.select("partition_id", "document_id").distinct()
+    ndocs = pd_.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    # Σ over the partition's roles of |docs_role ∩ partition_docs| — the
+    # intersection counts stay integers until the single division
+    pa2 = permission_assignment.select(
+        F.col("role_id").alias("_pr"), F.col("document_id").alias("_pd")
+    )
+    # SHUFFLE_HASH: both sides are derived (no size stats) doc-keyed
+    # relations — hash-equi, a sort buys nothing (registry no-SMJ contract)
+    inter = (
+        pd_.join(F.broadcast(partition_roles), "partition_id")
+        .join(
+            pa2.hint("SHUFFLE_HASH"),
+            (F.col("_pr") == F.col("role_id")) & (F.col("_pd") == F.col("document_id")),
+        )
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("sum_inter"))
+    )
+    nroles = partition_roles.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_roles")
+    )
+    new_docs = new_role_blocks.select("document_id").distinct()
+    n_new = new_docs.agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    new_int = (
+        pd_.join(F.broadcast(new_docs), "document_id")
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("new_int"))
+    )
+    # the statistics frames are one row per partition — broadcast them all
+    stats = (
+        ndocs.join(F.broadcast(inter), "partition_id", "left")
+        .join(F.broadcast(nroles), "partition_id", "left")
+        .join(F.broadcast(new_int), "partition_id", "left")
+        .crossJoin(F.broadcast(n_new))
+        .select(
+            "partition_id",
+            "n_docs",
+            F.coalesce("sum_inter", F.lit(0)).alias("sum_inter"),
+            F.coalesce("n_roles", F.lit(0)).alias("n_roles"),
+            F.coalesce("new_int", F.lit(0)).alias("new_int"),
+            "n_new",
+        )
+    )
+
+    def ef(s):
+        return (F.lit(ln_const) / (F.lit(neg4b) * s)) * F.lit(t) + F.lit(kt) / s
+
+    sel_sum = F.col("sum_inter").cast("double") / F.col("n_docs").cast("double")
+    sel_b = sel_sum / F.col("n_roles").cast("double")
+    new_sel = F.col("new_int").cast("double") / F.col("n_docs").cast("double")
+    sel_a = (sel_sum + new_sel) / (F.col("n_roles").cast("double") + F.lit(1.0))
+    qt_b = F.log(F.col("n_docs").cast("double")) * (F.lit(a) * ef(sel_b) + F.lit(b))
+    qt_a = F.log((F.col("n_docs") + F.col("n_new")).cast("double")) * (
+        F.lit(a) * ef(sel_a) + F.lit(b)
+    )
+    dst = (F.col("n_new") - F.col("new_int")).cast("long")
+    existing = stats.select(
+        "partition_id",
+        dst.alias("delta_storage"),
+        F.when(dst > 0, F.round((qt_a - qt_b) / dst.cast("double"), 6)).alias("cost"),
+    )
+    # dedicated-new-partition candidate (insertion.py step 4): sel = 1
+    ef1 = (ln_const / (neg4b * 1.0)) * t + kt / 1.0  # python fold — pure literals
+    max_pid = store.agg(F.max("partition_id").cast("long").alias("mp"))
+    new_cand = n_new.crossJoin(F.broadcast(max_pid)).select(
+        (F.col("mp") + 1).alias("partition_id"),
+        F.col("n_new").cast("long").alias("delta_storage"),
+        F.when(
+            F.col("n_new") > 0,
+            F.round(
+                F.log(F.col("n_new").cast("double"))
+                * F.lit(a * ef1 + b)
+                / F.col("n_new").cast("double"),
+                6,
+            ),
+        ).alias("cost"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cost").asc_nulls_last(), F.col("partition_id").asc())
+    return (
+        existing.unionByName(new_cand)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("chosen", (F.col("rank") == 1).cast("int"))
+    )
+
+
+def insert_role(
+    store: DataFrame,
+    partition_roles: DataFrame,
+    permission_assignment: DataFrame,
+    new_role_id: int,
+    new_role_blocks: DataFrame,
+    decision: DataFrame | None = None,
+    **cost_params,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply insert_new_role: route the new role to the decision's chosen
+    partition and add only its MISSING documents' blocks there (the
+    reference's partition_docs ∪ new_role_documents update); returns the
+    updated (store, partition_roles). The decision collect is ONE row."""
+    if decision is None:
+        decision = role_insert_decision(
+            store, partition_roles, permission_assignment, new_role_blocks, **cost_params
+        )
+    chosen = decision.where(F.col("chosen") == 1).select("partition_id").first()[0]
+    existing_docs = store.where(F.col("partition_id") == chosen).select("document_id").distinct()
+    added = (
+        new_role_blocks.join(existing_docs.hint("SHUFFLE_HASH"), "document_id", "left_anti")
+        .withColumn("partition_id", F.lit(int(chosen)).cast("long"))
+        .select(*store.columns)
+    )
+    spark = store.sparkSession
+    pr_new = spark.createDataFrame(
+        [(int(chosen), int(new_role_id))], "partition_id long, role_id int"
+    )
+    return store.unionByName(added), partition_roles.select(
+        F.col("partition_id").cast("long"), F.col("role_id").cast("int")
+    ).unionByName(pr_new)
+
+
+def delete_role(
+    store: DataFrame,
+    partition_roles: DataFrame,
+    permission_assignment: DataFrame,
+    role_id: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply delete_role_and_related_data: drop the role's partition
+    mapping and remove its documents from each affected partition UNLESS
+    a remaining role of that partition still needs them (deletion.py
+    step 8's role_documents − other_role_documents). All set algebra —
+    anti-joins on (partition, document); untouched partitions stream
+    through unchanged."""
+    role_docs = permission_assignment.where(F.col("role_id") == role_id).select("document_id").distinct()
+    affected = partition_roles.where(F.col("role_id") == role_id).select("partition_id").distinct()
+    remaining = partition_roles.where(F.col("role_id") != role_id)
+    needed = (
+        remaining.join(F.broadcast(affected), "partition_id")
+        .join(permission_assignment, "role_id")
+        .select("partition_id", "document_id")
+        .distinct()
+    )
+    doomed = (
+        store.join(F.broadcast(affected), "partition_id", "left_semi")
+        .join(F.broadcast(role_docs), "document_id", "left_semi")
+        .join(needed.hint("SHUFFLE_HASH"), ["partition_id", "document_id"], "left_anti")
+        .select("partition_id", "block_id")
+    )
+    pruned = store.join(
+        doomed.hint("SHUFFLE_HASH"), ["partition_id", "block_id"], "left_anti"
+    )
+    return pruned, partition_roles.where(F.col("role_id") != role_id)
+
+
+def knn_role_routed(
+    store: DataFrame,
+    partition_roles: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Search the role-churned store: each query scans only the partitions
+    whose role set intersects its roles, applies the row-level permission
+    check (multi-role partitions over-approximate), takes per-partition
+    local top-k, dedups blocks reachable through several partitions (min
+    distance — the knn_role_partition merge idiom), and ranks globally.
+    Exact vs prefilter by construction: every permitted doc of every
+    query role lives in at least one routed partition (insert adds the
+    new role's docs to its routed partition; delete only removes docs no
+    remaining role of that partition needs)."""
+    from pyspark.sql import Window
+
+    dist = _METRICS[metric]
+    routed = (
+        F.broadcast(query_roles)
+        .join(F.broadcast(partition_roles), "role_id")
+        .select("query_id", "partition_id")
+        .distinct()
+    )
+    qdocs = (
+        F.broadcast(query_roles)
+        .join(permission_assignment, "role_id")
+        .select("query_id", "document_id")
+        .distinct()
+    )
+    scored = (
+        store.join(F.broadcast(routed), "partition_id")
+        .join(qdocs.hint("SHUFFLE_HASH"), ["query_id", "document_id"], "left_semi")
+        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+        .select(
+            "query_id", "partition_id", "block_id", "document_id",
+            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+        )
+    )
+    w_local = Window.partitionBy("query_id", "partition_id").orderBy(
+        F.col("distance").asc(), F.col("block_id").asc()
+    )
+    local = scored.withColumn("lr", F.row_number().over(w_local)).where(F.col("lr") <= k)
+    dedup = local.groupBy("query_id", "block_id", "document_id").agg(
+        F.min("distance").alias("distance")
+    )
+    return topk_per_query(dedup, k).select(
+        "query_id", "block_id", "document_id", "distance", "rank"
+    )
