@@ -314,13 +314,15 @@ def main() -> None:
         timings[name] = round(min(runs[1:]), 3)
         # warm-run latency spread (run_search_experiment parity: the
         # reference reports latency distributions next to QPS). The cold
-        # run is EXCLUDED — with it, p95 would just re-report the plan-
-        # compile cost value_cold already carries; with two warm samples
-        # p50 = the faster warm run, p95 = the slower (the warm spread).
+        # run is EXCLUDED — with it, the max would just re-report the
+        # plan-compile cost value_cold already carries. With two warm
+        # samples these are honestly the MIN and MAX of the spread, not
+        # percentiles — labeled as such so round-over-round comparisons
+        # don't mistake them for distribution statistics.
         w = sorted(runs[1:])
         lat[name] = {
-            "p50": round(w[0], 3),
-            "p95": round(w[-1], 3),
+            "warm_min": round(w[0], 3),
+            "warm_max": round(w[-1], 3),
         }
         print(f"# {name}: {n} rows in {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
     # store_lifecycle is the biggest single bench line; time its sections
@@ -376,11 +378,11 @@ def main() -> None:
         "unit": "sec",
         "value_cold": round(sum(cold.values()), 3),
         "value_r2_subset": round(sum(timings[k] for k in R2_KEYS if k in timings), 3),
-        # aggregate latency profile (sums of per-query p50/p95 over the 3
-        # runs); the per-query breakdown rides the detail line above
+        # aggregate latency profile (sums of per-query warm min/max over
+        # the 2 warm runs); the per-query breakdown rides the detail line
         "latency": {
-            "p50_total": round(sum(v["p50"] for v in lat.values()), 2),
-            "p95_total": round(sum(v["p95"] for v in lat.values()), 2),
+            "warm_min_total": round(sum(v["warm_min"] for v in lat.values()), 2),
+            "warm_max_total": round(sum(v["warm_max"] for v in lat.values()), 2),
         },
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,

@@ -184,7 +184,11 @@ def ivf_search(
                 D = -np.einsum("ij,ij->i", X, Qr)
             else:
                 raise ValueError(metric)
-            D = np.round(D, 6) + 0.0
+            # HALF-UP 6-dp rounding (Spark ROUND semantics, sign-aware) so
+            # the default path's emitted distances bit-match the impl="expr"
+            # formulation the SQL oracle replays — np.round is half-EVEN and
+            # diverges on exact .5 ties at the 6th decimal
+            D = np.sign(D) * np.floor(np.abs(D) * 1e6 + 0.5) / 1e6 + 0.0
             qid = pdf["query_id"].to_numpy()
             bid = pdf["block_id"].to_numpy()
             did = pdf["document_id"].to_numpy()

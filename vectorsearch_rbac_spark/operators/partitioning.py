@@ -139,6 +139,11 @@ def qdtree_assignment(
                 .select("pid", vec_col)
                 .withColumn("_rn", F.row_number().over(w_s))
                 .where(F.col("_rn") <= 512)
+                # explicit sort: the 2-means init is order-sensitive, and
+                # relying on the window's internal (pid, hash) order
+                # surviving the filter+collect is plan-dependent (AQE or
+                # optimizer changes could legally reorder the rows)
+                .orderBy("pid", "_rn")
                 .collect()
             ):
                 samples_by_pid.setdefault(row["pid"], []).append(row[vec_col])
