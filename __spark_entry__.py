@@ -1963,7 +1963,8 @@ def q_acorn_recall(spark, sf_dir):
 
     t = _rbac(spark, sf_dir)
     pred = graph_ann.acorn_search(
-        t["documentblocks"], t["queries"], t["query_roles"], k=TOPK, m=8, ef=48
+        t["documentblocks"], t["queries"], t["query_roles"], k=TOPK, m=8, ef=48,
+        permissions=t["permission_assignment"],  # predicate supplied AS DATA
     )
     truth = _cached(("truth_prefilter", sf_dir),
                     lambda: q_rbac_prefilter_topk(spark, sf_dir).localCheckpoint())
@@ -1983,6 +1984,7 @@ def q_acorn_gamma_recall(spark, sf_dir):
     pred = graph_ann.acorn_search(
         t["documentblocks"], t["queries"], t["query_roles"], k=TOPK, m=8,
         ef=96, gamma=4,
+        permissions=t["permission_assignment"],  # predicate supplied AS DATA
     )
     truth = _cached(("truth_prefilter", sf_dir),
                     lambda: q_rbac_prefilter_topk(spark, sf_dir).localCheckpoint())
@@ -2558,7 +2560,8 @@ def q_quantized_topk(spark, sf_dir):
         # predicate-aware traversal is provably exhaustive over the
         # allowed set; oracle = FILTERED brute force (prefilter shape)
         ("acorn_exact", _i(graph_ann.acorn_exact_topk(
-                t["documentblocks"], t["queries"], t["query_roles"], k=TOPK),
+                t["documentblocks"], t["queries"], t["query_roles"], k=TOPK,
+                permissions=t["permission_assignment"]),
                 "query_id", "block_id").select(
             "query_id", F.col("block_id").alias("vec_id"),
             F.col("distance").cast("double").alias("score"), F.col("rank").cast("long").alias("rank"))),

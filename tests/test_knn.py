@@ -611,6 +611,130 @@ def test_incremental_adjacency_invariants_and_recall():
     assert hits / 200 >= 0.9
 
 
+def test_acorn_over_generated_rbac(spark, t):
+    """D5 generality (r7): ACORN must serve a REAL permission relation,
+    not just the testdata's arithmetic rule — the reference's
+    acorn_benchmark evaluates predicates from actual permission metadata.
+    Tree-generator (B3) permissions — a hierarchy closure, nothing
+    arithmetic about it — flow in as the ``permissions`` relation:
+    (a) the exhaustive traversal (acorn_exact_topk) must EQUAL the exact
+    prefilter answer row-for-row, and (b) the recall-mode beam must stay
+    PURE (only permitted docs) and clear a 0.85 floor."""
+    from vectorsearch_rbac_spark.operators import graph_ann
+    from vectorsearch_rbac_spark.rbac import generators
+
+    n_docs = int(t["documentblocks"].agg(F.max("document_id")).first()[0]) + 1
+    g = generators.tree_rbac(
+        spark, num_users=100, num_documents=int(n_docs), height=3, branching=3
+    )
+    queries = t["queries"].withColumn("user_id", F.col("query_id") % 100 + 1)
+    qroles = (
+        queries.select("query_id", "user_id")
+        .join(g["user_roles"], "user_id")
+        .select("query_id", "role_id")
+        .distinct()
+    )
+    pa = g["permission_assignment"]
+    truth = knn.knn_prefilter(t["documentblocks"], queries, qroles, pa, k=10)
+    exact = graph_ann.acorn_exact_topk(
+        t["documentblocks"], queries, qroles, k=10, permissions=pa
+    )
+    diff = (
+        exact.select("query_id", "block_id", "rank")
+        .exceptAll(truth.select("query_id", "block_id", "rank"))
+        .count()
+    )
+    assert diff == 0 and exact.count() == truth.count()
+
+    pred = graph_ann.acorn_search(
+        t["documentblocks"], queries, qroles, k=10, m=8, ef=64, permissions=pa
+    )
+    r = knn.recall_at_k(pred, truth).agg(F.avg("recall")).first()[0]
+    assert r >= 0.85
+    permitted = qroles.join(pa, "role_id").select("query_id", "document_id").distinct()
+    blocks_docs = t["documentblocks"].select("block_id", "document_id")
+    leaked = (
+        pred.join(blocks_docs, "block_id")
+        .join(permitted, ["query_id", "document_id"], "left_anti")
+        .count()
+    )
+    assert leaked == 0
+
+
+def test_batched_beams_match_sequential_kernels():
+    """r7 lockstep driver: _batched_beams (one gathered einsum per
+    superstep across all queries) must return the SAME nodes in the SAME
+    order as the per-query reference kernels — _beam_search for plain
+    NSW, _acorn_beam for ACORN-1 (2-hop), _acorn_gamma_beam for the
+    dense-graph truncation — since per query its pop/push sequence is
+    identical by construction."""
+    import numpy as np
+    from vectorsearch_rbac_spark.operators.graph_ann import (
+        _acorn_beam, _acorn_gamma_beam, _batched_beams, _beam_search,
+        _build_adjacency, _medoid, _sorted_neighbors)
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 16))
+    norms = (vecs * vecs).sum(axis=1)
+    adj = _build_adjacency(vecs, 6)
+    adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
+    qs = rng.normal(size=(25, 16))
+    k, ef = 10, 32
+
+    # plain NSW
+    entry = _medoid(vecs)
+    seq = [_beam_search(vecs, adj, entry, q, k, ef, norms=norms) for q in qs]
+    bat = _batched_beams(
+        vecs, norms, qs, np.full(len(qs), entry, dtype=np.int64), k, ef,
+        lambda i, u: adjarr[u],
+    )
+    for s, b in zip(seq, bat):
+        assert [u for _, u in s] == [u for _, u in b]
+        assert np.allclose([d for d, _ in s], [d for d, _ in b], atol=1e-9)
+
+    # ACORN-1 (2-hop) and ACORN-γ against per-query random masks
+    masks = [rng.random(len(vecs)) < 0.3 for _ in range(len(qs))]
+    entries = []
+    for al in masks:
+        idx = np.flatnonzero(al)
+        mean = vecs[idx].mean(axis=0)
+        entries.append(int(idx[np.argmin(((vecs[idx] - mean) ** 2).sum(axis=1))]))
+    entries = np.asarray(entries, dtype=np.int64)
+
+    # canonical ACORN-1 order: passing 1-hop first, then 2-hop (the
+    # vectorized closure acorn_search ships)
+    def expand1(i, u):
+        al = masks[i]
+        nb = adjarr[u]
+        pm = al[nb]
+        passing, failing = nb[pm], nb[~pm]
+        if not failing.size:
+            return passing
+        two = np.concatenate([adjarr[int(v)] for v in failing])
+        return np.concatenate([passing, two[al[two]]])
+
+    seq = [_acorn_beam(vecs, adj, q, k, ef, al, True, norms=norms)
+           for q, al in zip(qs, masks)]
+    bat = _batched_beams(vecs, norms, qs, entries, k, ef, expand1, dedupe=True)
+    for s, b in zip(seq, bat):
+        assert [u for _, u in s] == [u for _, u in b]
+
+    m_trunc = 6
+    adj_sorted = _sorted_neighbors(vecs, adj, norms)
+
+    def expand_g(i, u):
+        nb = adj_sorted[u]
+        if not nb.size:
+            return nb
+        return nb[masks[i][nb]][:m_trunc]
+
+    seq = [_acorn_gamma_beam(vecs, adj_sorted, q, k, ef, al, m_trunc, norms=norms)
+           for q, al in zip(qs, masks)]
+    bat = _batched_beams(vecs, norms, qs, entries, k, ef, expand_g)
+    for s, b in zip(seq, bat):
+        assert [u for _, u in s] == [u for _, u in b]
+
+
 def test_acorn_beam_kernels():
     """r6 ACORN kernels, numpy-level: (a) max_hops ≥ n + ef ≥ n beam is
     EXHAUSTIVE over the allowed set (equals filtered brute force — the

@@ -89,7 +89,137 @@ def partsize_main(sizes: list[int]) -> None:
         print(f"{n:>7} {tb:>7.1f}s {rec[48]:>7.3f} {rec[128]:>8.3f}")
 
 
+def queries_main(n_rows: int, n_queries: int) -> None:
+    """Per-query wall of the r7 LOCKSTEP batched beam vs the sequential
+    reference kernel at a 1k-query batch (the r6 verdict's done-bar:
+    ≥ current recall at ≤ half the per-query wall). Pure-kernel, no
+    Spark — the cogroup plumbing is identical either way."""
+    import numpy as np
+
+    from vectorsearch_rbac_spark.operators.graph_ann import (
+        _acorn_beam,
+        _batched_beams,
+        _beam_search,
+        _build_adjacency,
+        _medoid,
+    )
+
+    try:
+        import duckdb
+
+        rows = duckdb.sql(
+            f"select embedding from '{SF_DIR}/embeddings.parquet' order by vec_id"
+        ).fetchall()
+        base = np.array([r[0] for r in rows], dtype=np.float64)
+    except Exception:
+        base = np.random.default_rng(0).standard_normal((2000, 64))
+    rng = np.random.default_rng(3)
+
+    def corpus(n: int) -> np.ndarray:
+        a = rng.integers(0, len(base), n)
+        b = rng.integers(0, len(base), n)
+        w = rng.random((n, 1))
+        return base[a] * w + base[b] * (1 - w) + rng.standard_normal(
+            (n, base.shape[1])
+        ) * 0.05 * base.std()
+
+    vecs = corpus(n_rows)
+    norms = (vecs * vecs).sum(axis=1)
+    adj = _build_adjacency(vecs, 8)
+    adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
+    entry = _medoid(vecs)
+    qs = corpus(n_queries)
+    k, ef = 10, 48
+    truth = []
+    for q in qs:
+        truth.append(set(np.argsort(norms - 2 * (vecs @ q) + q @ q)[:k]))
+
+    t0 = time.time()
+    seq = [_beam_search(vecs, adj, entry, q, k, ef, norms=norms) for q in qs]
+    t_seq = time.time() - t0
+    t0 = time.time()
+    bat = _batched_beams(
+        vecs, norms, qs, np.full(n_queries, entry, dtype=np.int64), k, ef,
+        lambda i, u: adjarr[u],
+    )
+    t_bat = time.time() - t0
+    r_seq = sum(len(truth[i] & {u for _, u in s}) for i, s in enumerate(seq)) / (k * n_queries)
+    r_bat = sum(len(truth[i] & {u for _, u in s}) for i, s in enumerate(bat)) / (k * n_queries)
+    print(f"nsw   n={n_rows} q={n_queries}: seq {t_seq:.2f}s "
+          f"({1e3 * t_seq / n_queries:.2f} ms/q, r={r_seq:.3f})  "
+          f"batched {t_bat:.2f}s ({1e3 * t_bat / n_queries:.2f} ms/q, "
+          f"r={r_bat:.3f})  speedup {t_seq / t_bat:.2f}x")
+
+    # ACORN-1 with 30%-selectivity masks. Role-sets dedupe heavily in
+    # RBAC (a few dozen combinations serve thousands of users), so the
+    # batch carries 64 UNIQUE masks assigned round-robin — and the
+    # production operator computes masks/entries once per unique set.
+    n_uniq = min(64, n_queries)
+    u_masks = [rng.random(n_rows) < 0.3 for _ in range(n_uniq)]
+    uix = [i % n_uniq for i in range(n_queries)]
+    masks = [u_masks[j] for j in uix]
+
+    # padded 2-D adjacency (the production acorn_search build): one
+    # fancy gather per expansion instead of a per-failing-node listcomp
+    dmax = max(len(a) for a in adj)
+    adj2d = np.empty((len(adj), dmax), dtype=np.int64)
+    for v, a in enumerate(adj):
+        adj2d[v, : len(a)] = a
+        adj2d[v, len(a):] = v
+
+    def expand1(i, u):
+        al = masks[i]
+        nb = adj2d[u]
+        pm = al[nb]
+        passing, failing = nb[pm], nb[~pm]
+        if not failing.size:
+            return passing
+        two = adj2d[failing].ravel()
+        return np.concatenate([passing, two[al[two]]])
+
+    t0 = time.time()
+    seq = [_acorn_beam(vecs, adj, q, k, ef, al, True, norms=norms)
+           for q, al in zip(qs, masks)]
+    t_seq = time.time() - t0
+    # batched timing INCLUDES entry-point selection (the sequential
+    # kernel computes its entry internally), done the production way:
+    # once per unique mask
+    t0 = time.time()
+    u_entries = np.empty(n_uniq, dtype=np.int64)
+    for j, al in enumerate(u_masks):
+        idx = np.flatnonzero(al)
+        sub = vecs[idx]
+        mean = sub.mean(axis=0)
+        u_entries[j] = idx[np.argmin(((sub - mean) ** 2).sum(axis=1))]
+    entries = u_entries[np.asarray(uix, dtype=np.int64)]
+    bat = _batched_beams(
+        vecs, norms, qs, entries, k, ef, expand1,
+        dedupe=True,
+    )
+    t_bat = time.time() - t0
+    ft = []
+    for al in masks:
+        d2 = np.where(al, 0.0, np.inf)
+        ft.append(d2)
+    r_seq = r_bat = 0.0
+    for i, q in enumerate(qs):
+        d2 = norms - 2 * (vecs @ q) + q @ q + ft[i]
+        tr = set(np.argsort(d2)[:k])
+        r_seq += len(tr & {u for _, u in seq[i]})
+        r_bat += len(tr & {u for _, u in bat[i]})
+    r_seq /= k * n_queries
+    r_bat /= k * n_queries
+    print(f"acorn n={n_rows} q={n_queries}: seq {t_seq:.2f}s "
+          f"({1e3 * t_seq / n_queries:.2f} ms/q, r={r_seq:.3f})  "
+          f"batched {t_bat:.2f}s ({1e3 * t_bat / n_queries:.2f} ms/q, "
+          f"r={r_bat:.3f})  speedup {t_seq / t_bat:.2f}x")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "queries":
+        args = [int(a) for a in sys.argv[2:]]
+        queries_main(args[0] if args else 16000, args[1] if len(args) > 1 else 1000)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "partsize":
         partsize_main([int(a) for a in sys.argv[2:]] or [8000, 16000, 32000, 64000])
         return

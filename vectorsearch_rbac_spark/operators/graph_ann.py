@@ -65,6 +65,7 @@ recomputes relationally.
 from __future__ import annotations
 
 import heapq
+import math
 
 import numpy as np
 import pandas as pd
@@ -217,6 +218,22 @@ def _build_adjacency(
     raise ValueError(f"unknown build method {method!r}")
 
 
+def _beam_cut(beam, k):
+    """Cut a (−d², node) max-heap beam down to k by the SAME ordering the
+    global rank window applies — 6-dp-rounded L2 distance (half-up, Spark
+    ROUND semantics) with position/id tie-break — so rounding ties that
+    straddle the cut keep exactly the rows the oracle ranks first. Node
+    positions are id-sorted in every caller, so position order == id
+    order. Without this, an unrounded cut could drop a row the oracle
+    places inside the top-k when ~(expansion−1)·k near-duplicate
+    distances collide at the 6th decimal."""
+    out = [(-nd, u) for nd, u in beam]
+    out.sort(key=lambda t: (
+        math.floor(math.sqrt(t[0] if t[0] > 0.0 else 0.0) * 1e6 + 0.5), t[1]
+    ))
+    return out[:k]
+
+
 def _beam_search(vecs, adj, entry, q, k, ef, norms=None):
     """Best-first beam over one partition graph. Distances to the popped
     node's unvisited neighbors are evaluated in ONE gathered numpy op
@@ -246,8 +263,136 @@ def _beam_search(vecs, adj, entry, q, k, ef, norms=None):
                 heapq.heappush(beam, (-dvv, v))
                 if len(beam) > ef:
                     heapq.heappop(beam)
-    out = sorted(((-nd, u) for nd, u in beam))
-    return out[:k]
+    return _beam_cut(beam, k)
+
+
+def _first_unique(a: np.ndarray) -> np.ndarray:
+    """Order-preserving dedupe (dict.fromkeys semantics) in pure numpy:
+    stable argsort groups duplicates with the earliest original position
+    first, so the group heads ARE the first occurrences. ~10× cheaper
+    than pd.unique's per-call hashtable setup on the small arrays a beam
+    expansion yields."""
+    if a.size <= 1:
+        return a
+    order = np.argsort(a, kind="stable")
+    s = a[order]
+    head = np.empty(a.size, dtype=bool)
+    head[0] = True
+    head[1:] = s[1:] != s[:-1]
+    pos = order[head]
+    pos.sort()
+    return a[pos]
+
+
+def _batched_beams(vecs, norms, qmat, entries, k, ef, expand, dedupe=False):
+    """All queries of one partition beam-search in LOCKSTEP supersteps:
+    per superstep each active query pops one frontier node and enumerates
+    its expansion (Python index math), then EVERY query's candidate
+    distances are evaluated in ONE gathered einsum over the concatenated
+    (node, query) pairs — numpy call count is O(max hops), not
+    O(queries × hops), so a thousand-query batch stays BLAS-bound instead
+    of interpreter-bound. Per query the pop/push sequence is exactly
+    :func:`_beam_search`'s (each query's heaps are private and updated
+    before its next pop), so results match the sequential kernel —
+    pytest-pinned.
+
+    ``expand(i, u)`` returns the candidate nodes for query ``i`` popping
+    node ``u`` as an int64 ndarray, possibly with duplicates (plain
+    adjacency for NSW; predicate-aware 1/2-hop or sorted-truncation
+    closures for ACORN). With ``dedupe=True`` duplicates are removed
+    order-preservingly here (needed only when one expansion can reach a
+    node twice — ACORN's multi-hop detours; plain adjacency and sorted
+    truncation are duplicate-free by construction). Visited filtering is
+    vectorized (visited is a bool array per query, not a set). Candidates that can't beat the
+    superstep-start beam threshold are dropped VECTORIZED before the
+    Python push loop — conservative-correct, since pushes only tighten
+    the threshold, and the exact check still guards each push. Returns
+    one :func:`_beam_cut`-cut candidate list per query."""
+    n = vecs.shape[0]
+    nq = qmat.shape[0]
+    qn = np.einsum("ij,ij->i", qmat, qmat)
+    d0 = norms[entries] - 2.0 * np.einsum("ij,ij->i", vecs[entries], qmat) + qn
+    visited = np.zeros((nq, n), dtype=bool)
+    frontier: list[list[tuple[float, int]]] = []
+    beams: list[list[tuple[float, int]]] = []
+    for i in range(nq):
+        e = int(entries[i])
+        di = max(float(d0[i]), 0.0)
+        visited[i, e] = True
+        frontier.append([(di, e)])
+        beams.append([(-di, e)])
+    active = list(range(nq))
+    thr = np.empty(nq)
+    heappush, heappop = heapq.heappush, heapq.heappop
+    while active:
+        req: list[np.ndarray] = []
+        req_q: list[int] = []
+        bounds: list[tuple[int, int, int]] = []
+        pos = 0
+        for i in active:
+            f, b = frontier[i], beams[i]
+            vis = visited[i]
+            fresh = None
+            while f:
+                d, u = heappop(f)
+                if len(b) >= ef and d > -b[0][0]:
+                    f.clear()  # beam can't improve — this query is done
+                    break
+                cand = expand(i, u)
+                if cand.size:
+                    if dedupe:
+                        cand = _first_unique(cand)
+                    fr = cand[~vis[cand]]
+                    if fr.size:
+                        fresh = fr
+                        break
+            if fresh is None:
+                continue
+            vis[fresh] = True
+            req.append(fresh)
+            req_q.append(i)
+            bounds.append((i, pos, pos + fresh.size))
+            pos += fresh.size
+            thr[i] = -b[0][0] if len(b) >= ef else np.inf
+        if req:
+            nodes = np.concatenate(req)
+            qidx = np.repeat(
+                np.asarray(req_q, dtype=np.int64),
+                np.asarray([r.size for r in req], dtype=np.int64),
+            )
+            dv = (
+                norms[nodes]
+                - 2.0 * np.einsum("ij,ij->i", vecs[nodes], qmat[qidx])
+                + qn[qidx]
+            )
+            np.maximum(dv, 0.0, out=dv)
+            # stale-threshold prefilter (superset of the exact check —
+            # pushes only tighten the threshold); ONE flatnonzero per
+            # superstep, consumed by a pointer sweep over the ascending
+            # bounds windows
+            hits_all = np.flatnonzero(dv < thr[qidx])
+            nh = hits_all.size
+            hp = 0
+            for i, s, e in bounds:
+                if hp >= nh:
+                    break
+                if hits_all[hp] >= e:
+                    continue
+                f, b = frontier[i], beams[i]
+                while hp < nh:
+                    p = hits_all[hp]
+                    if p >= e:
+                        break
+                    hp += 1
+                    dvv = float(dv[p])
+                    if len(b) < ef or dvv < -b[0][0]:
+                        v = int(nodes[p])
+                        heappush(f, (dvv, v))
+                        heappush(b, (-dvv, v))
+                        if len(b) > ef:
+                            heappop(b)
+        active = [i for i in active if frontier[i]]
+    return [_beam_cut(b, k) for b in beams]
 
 
 def _medoid(vecs: np.ndarray) -> int:
@@ -319,7 +464,10 @@ def nsw_search(
     src = blocks.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        (F.col(part_col) if part_col else F.lit(0)).alias("_part"),
+        # literal cast to long: _single_part's key is long, and the
+        # cogroup's two grouping keys must agree in type (implicit
+        # int→long coercion is version-fragile)
+        (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("_part"),
     )
     parts_from = (
         _single_part(blocks.sparkSession) if part_col is None
@@ -334,14 +482,22 @@ def nsw_search(
         vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
         ids = blocks_pdf["_id"].to_numpy()
         adj = _build_adjacency(vecs, m, method=build_method)
+        adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
         norms = (vecs * vecs).sum(axis=1)
         entry = _medoid(vecs)
-        rows = []
-        for r in range(len(q_pdf)):
-            qi = int(q_pdf["query_id"].iloc[r])
-            qv = np.asarray(q_pdf["query_vector"].iloc[r], dtype=np.float64)
-            for d2, u in _beam_search(vecs, adj, entry, qv, k, ef, norms=norms):
-                rows.append((qi, int(ids[u]), float(np.sqrt(max(d2, 0.0)))))
+        qids = q_pdf["query_id"].to_numpy()
+        qmat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in q_pdf["query_vector"].values]
+        )
+        entries = np.full(len(qids), entry, dtype=np.int64)
+        found = _batched_beams(
+            vecs, norms, qmat, entries, k, ef, lambda i, u: adjarr[u]
+        )
+        rows = [
+            (int(qids[i]), int(ids[u]), float(np.sqrt(max(d2, 0.0))))
+            for i, res in enumerate(found)
+            for d2, u in res
+        ]
         return pd.DataFrame(rows, columns=["query_id", "_id", "distance"])
 
     cand = (
@@ -417,7 +573,7 @@ def build_nsw_graph(
     src = blocks.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        (F.col(part_col) if part_col else F.lit(0)).alias("part"),
+        (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("part"),
     )
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -456,7 +612,10 @@ def nsw_search_indexed(
     src = blocks.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        (F.col(part_col) if part_col else F.lit(0)).alias("_part"),
+        # literal cast to long: _single_part's key is long, and the
+        # cogroup's two grouping keys must agree in type (implicit
+        # int→long coercion is version-fragile)
+        (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("_part"),
     ).join(
         adjacency.select(
             F.col("part").alias("_part"), F.col("id").alias("_id"), "neighbors"
@@ -482,14 +641,22 @@ def nsw_search_indexed(
             [pos[int(v)] for v in nbrs if int(v) in pos]
             for nbrs in blocks_pdf["neighbors"].values
         ]
+        adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
         norms = (vecs * vecs).sum(axis=1)
         entry = _medoid(vecs)
-        rows = []
-        for r in range(len(q_pdf)):
-            qi = int(q_pdf["query_id"].iloc[r])
-            qv = np.asarray(q_pdf["query_vector"].iloc[r], dtype=np.float64)
-            for d2, u in _beam_search(vecs, adj, entry, qv, k, ef, norms=norms):
-                rows.append((qi, int(ids[u]), float(np.sqrt(max(d2, 0.0)))))
+        qids = q_pdf["query_id"].to_numpy()
+        qmat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in q_pdf["query_vector"].values]
+        )
+        entries = np.full(len(qids), entry, dtype=np.int64)
+        found = _batched_beams(
+            vecs, norms, qmat, entries, k, ef, lambda i, u: adjarr[u]
+        )
+        rows = [
+            (int(qids[i]), int(ids[u]), float(np.sqrt(max(d2, 0.0))))
+            for i, res in enumerate(found)
+            for d2, u in res
+        ]
         return pd.DataFrame(rows, columns=["query_id", "_id", "distance"])
 
     cand = (
@@ -522,12 +689,12 @@ def insert_into_graph(
     ef_c = ef_construction or max(2 * m, 32)
     src_old = blocks.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"),
-        (F.col(part_col) if part_col else F.lit(0)).alias("part"),
+        (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("part"),
         F.lit(False).alias("_new"),
     )
     src_new = new_blocks.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"),
-        (F.col(part_col) if part_col else F.lit(0)).alias("part"),
+        (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("part"),
         F.lit(True).alias("_new"),
     )
     touched = src_new.select("part").distinct()
@@ -652,14 +819,22 @@ def knn_dynamic_graph(
         ids = blocks_pdf["block_id"].to_numpy()
         docs = blocks_pdf["document_id"].to_numpy()
         adj = _build_adjacency(vecs, m, method=build_method)
+        adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
         norms = (vecs * vecs).sum(axis=1)
         entry = _medoid(vecs)
-        rows = []
-        for r in range(len(q_pdf)):
-            qi = int(q_pdf["query_id"].iloc[r])
-            qv = np.asarray(q_pdf["query_vector"].iloc[r], dtype=np.float64)
-            for d2, u in _beam_search(vecs, adj, entry, qv, k, ef, norms=norms):
-                rows.append((qi, int(ids[u]), int(docs[u]), float(np.sqrt(max(d2, 0.0)))))
+        qids = q_pdf["query_id"].to_numpy()
+        qmat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in q_pdf["query_vector"].values]
+        )
+        entries = np.full(len(qids), entry, dtype=np.int64)
+        found = _batched_beams(
+            vecs, norms, qmat, entries, k, ef, lambda i, u: adjarr[u]
+        )
+        rows = [
+            (int(qids[i]), int(ids[u]), int(docs[u]), float(np.sqrt(max(d2, 0.0))))
+            for i, res in enumerate(found)
+            for d2, u in res
+        ]
         return pd.DataFrame(rows, columns=["query_id", "block_id", "document_id", "distance"])
 
     cand = (
@@ -701,7 +876,12 @@ def _acorn_beam(vecs, adj, q, k, ef, allowed, expand_2hop=True, norms=None,
     provably exhaustive over the allowed set: the ring keeps the full
     graph connected, so every allowed node is separated from the entry
     point by chains of ≤ n failing nodes, each of which the memoized BFS
-    crosses — the basis of the ``acorn_exact`` oracle certification."""
+    crosses — the basis of the ``acorn_exact`` oracle certification.
+
+    REFERENCE KERNEL: production searches run the same expansion through
+    the lockstep :func:`_batched_beams` driver (r7 — one gathered einsum
+    per superstep across all queries); this per-query form is kept as the
+    readable spec, pinned ≡ the batched form by pytest."""
     idx = np.where(allowed)[0]
     if idx.size == 0:
         return []
@@ -721,12 +901,17 @@ def _acorn_beam(vecs, adj, q, k, ef, allowed, expand_2hop=True, norms=None,
             break
         cand = []
         if max_hops is None:
+            # canonical candidate order: passing 1-hop neighbors first
+            # (adjacency order), then passing 2-hop candidates reached
+            # THROUGH failing neighbors — matches the vectorized closure
+            # in acorn_search so the lockstep driver is pin-equal
+            two: list[int] = []
             for v in adj[u]:
                 if allowed[v]:
                     cand.append(v)
                 elif expand_2hop:
-                    # 2-hop expansion THROUGH the failing node
-                    cand.extend(w for w in adj[v] if allowed[w])
+                    two.extend(w for w in adj[v] if allowed[w])
+            cand.extend(two)
         else:
             layer = list(adj[u])
             depth = 1
@@ -756,7 +941,7 @@ def _acorn_beam(vecs, adj, q, k, ef, allowed, expand_2hop=True, norms=None,
                 heapq.heappush(beam, (-dvv, v))
                 if len(beam) > ef:
                     heapq.heappop(beam)
-    return sorted(((-nd, u) for nd, u in beam))[:k]
+    return _beam_cut(beam, k)
 
 
 def _sorted_neighbors(vecs: np.ndarray, adj: list[list[int]],
@@ -787,7 +972,10 @@ def _acorn_gamma_beam(vecs, adj_sorted, q, k, ef, allowed, m, norms=None):
     detours. Down to selectivity ≈ 1/γ the truncated lists have the same
     expected degree the unfiltered graph would, so recall holds with NO
     extra hops and no failing-node distance evaluations — the regime
-    where γ buys search time back at index-memory cost."""
+    where γ buys search time back at index-memory cost.
+
+    REFERENCE KERNEL: production searches run the same truncation through
+    :func:`_batched_beams`; kept as the readable spec, pytest-pinned."""
     idx = np.where(allowed)[0]
     if idx.size == 0:
         return []
@@ -819,7 +1007,7 @@ def _acorn_gamma_beam(vecs, adj_sorted, q, k, ef, allowed, m, norms=None):
                 heapq.heappush(beam, (-dvv, v))
                 if len(beam) > ef:
                     heapq.heappop(beam)
-    return sorted(((-nd, u) for nd, u in beam))[:k]
+    return _beam_cut(beam, k)
 
 
 def acorn_search(
@@ -836,6 +1024,7 @@ def acorn_search(
     build_method: str = "auto",
     gamma: int = 1,
     max_hops: int | None = None,
+    permissions: DataFrame | None = None,
 ) -> DataFrame:
     """D5 completed as REAL predicate-aware graph traversal: one graph
     over the (un-partitioned) corpus, the RBAC predicate evaluated per
@@ -847,9 +1036,18 @@ def acorn_search(
 
     Queries and their role sets flow as ONE relation (roles folded to an
     array column, replicated per partition, cogrouped) — no driver
-    collect. The arithmetic RBAC predicate (SURVEY §4: doc % 10 ∈ roles
-    or (doc+3) % 10 ∈ roles) is evaluated vectorized per partition from
-    each query's role array. Approximate op ⇒ recall-checked like the
+    collect. The predicate is evaluated FROM METADATA, the way the
+    reference's acorn_benchmark/ evaluates predicates from actual
+    permission tables: each block carries the role set of its document
+    as an array column, and a node passes for a query iff the two role
+    sets intersect. ``permissions`` supplies that metadata as a
+    relation — any ``(role_id, document_id)`` PermissionAssignment
+    table, grouped per document and joined to the blocks (SHUFFLE_HASH;
+    co-locatable by bucketing both sides on document_id at scale).
+    With ``permissions=None`` the SAME metadata is built by the
+    testdata's arithmetic rule (SURVEY §4: doc % 10 and (doc+3) % 10) —
+    a default builder, not a baked-in predicate: the traversal itself
+    never sees the rule. Approximate op ⇒ recall-checked like the
     other graph members.
 
     ``gamma`` > 1 switches to ACORN-γ (the reference's
@@ -862,11 +1060,31 @@ def acorn_search(
     provably exhaustive over the allowed set (see :func:`_acorn_beam`),
     which :func:`acorn_exact_topk` uses for the oracle certification.
     """
-    src = blocks.select(
+    if permissions is not None:
+        # predicate AS DATA: per-document role sets from the permission
+        # relation, one doc-keyed hash join (derived frames lose size
+        # stats → hint off SortMergeJoin; bucket both sides on
+        # document_id at scale for a co-located join)
+        doc_roles = permissions.groupBy("document_id").agg(
+            F.collect_set(F.col("role_id").cast("long")).alias("_droles")
+        )
+        with_roles = blocks.join(doc_roles.hint("SHUFFLE_HASH"), "document_id", "left")
+        droles_col = F.coalesce("_droles", F.array().cast("array<long>"))
+    else:
+        # default builder: the testdata's arithmetic assignment expressed
+        # as the same per-block metadata — zero joins, still predicate-
+        # as-data from the traversal's point of view
+        with_roles = blocks
+        d = F.col("document_id")
+        droles_col = F.array((d % 10).cast("long"), ((d + 3) % 10).cast("long"))
+    src = with_roles.select(
         F.col(id_col).alias("_id"),
-        F.col("document_id").alias("_doc"),
+        droles_col.alias("_droles"),
         F.col(vec_col).alias("_vec"),
-        (F.col(part_col) if part_col else F.lit(0)).alias("_part"),
+        # literal cast to long: _single_part's key is long, and the
+        # cogroup's two grouping keys must agree in type (implicit
+        # int→long coercion is version-fragile)
+        (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("_part"),
     )
     q_with_roles = queries.select("query_id", "query_vector").join(
         query_roles.groupBy("query_id").agg(
@@ -887,7 +1105,22 @@ def acorn_search(
         blocks_pdf = blocks_pdf.sort_values("_id").reset_index(drop=True)
         vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
         ids = blocks_pdf["_id"].to_numpy()
-        docs = blocks_pdf["_doc"].to_numpy()
+        # flatten the per-node role arrays once per partition; each
+        # query's allowed mask is then one vectorized membership test
+        # over the flat (node, role) pairs — O(E) per query, no Python
+        # loop over nodes
+        droles = blocks_pdf["_droles"].values
+        rlens = np.asarray(
+            [0 if x is None else len(x) for x in droles], dtype=np.int64
+        )
+        if int(rlens.sum()):
+            rflat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in droles
+                 if x is not None and len(x) > 0]
+            )
+        else:
+            rflat = np.empty(0, dtype=np.int64)
+        rnode = np.repeat(np.arange(len(droles)), rlens)
         norms = (vecs * vecs).sum(axis=1)
         if gamma > 1:
             # ACORN-γ's index is the UNPRUNED nearest-γm list (the paper
@@ -908,24 +1141,125 @@ def acorn_search(
         else:
             adj = _build_adjacency(vecs, m, method=build_method)
             adj_sorted = None
-        rows = []
-        for r in range(len(q_pdf)):
-            qi = int(q_pdf["query_id"].iloc[r])
-            qv = np.asarray(q_pdf["query_vector"].iloc[r], dtype=np.float64)
-            rl = q_pdf["_roles"].iloc[r]
-            roles = [int(x) for x in rl] if rl is not None else []
-            allowed = np.isin(docs % 10, roles) | np.isin((docs + 3) % 10, roles)
-            if gamma > 1:
-                found = _acorn_gamma_beam(
-                    vecs, adj_sorted, qv, k, ef, allowed, m, norms=norms
-                )
-            else:
-                found = _acorn_beam(
-                    vecs, adj, qv, k, ef, allowed, expand_2hop, norms=norms,
-                    max_hops=max_hops,
-                )
-            for d2, u in found:
-                rows.append((qi, int(ids[u]), float(np.sqrt(max(d2, 0.0)))))
+        # per-query allowed masks + allowed-medoid entry points; queries
+        # whose permitted set is empty in this partition emit nothing
+        qids = q_pdf["query_id"].to_numpy()
+        qmat_full = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in q_pdf["query_vector"].values]
+        )
+        n_nodes = len(ids)
+        roles_list = [
+            [int(x) for x in rl] if rl is not None else []
+            for rl in q_pdf["_roles"].values
+        ]
+        # RBAC role-sets dedupe heavily (a handful of role combinations
+        # serve thousands of users), so the allowed mask and its medoid
+        # entry point are computed once per UNIQUE role set, never per
+        # query — queries sharing a role set share the mask row (a view)
+        key_to_u: dict[tuple[int, ...], int] = {}
+        uix = np.empty(len(roles_list), dtype=np.int64)
+        u_roles: list[list[int]] = []
+        for r, rls in enumerate(roles_list):
+            kk = tuple(sorted(set(rls)))
+            j = key_to_u.get(kk)
+            if j is None:
+                j = len(u_roles)
+                key_to_u[kk] = j
+                u_roles.append(list(kk))
+            uix[r] = j
+        u_mat = np.zeros((len(u_roles), n_nodes), dtype=bool)
+        for j, rls in enumerate(u_roles):
+            if rls and rflat.size:
+                hit = np.isin(rflat, np.asarray(rls, dtype=np.int64))
+                u_mat[j, rnode[hit]] = True
+        u_entries = np.full(len(u_roles), -1, dtype=np.int64)
+        for j in range(len(u_roles)):
+            idx = np.flatnonzero(u_mat[j])
+            if idx.size == 0:
+                continue
+            sub = vecs[idx]
+            mean = sub.mean(axis=0)
+            u_entries[j] = idx[np.argmin(((sub - mean) ** 2).sum(axis=1))]
+        live = np.flatnonzero(u_entries[uix] >= 0)
+        if not live.size:
+            return pd.DataFrame(columns=["query_id", "_id", "distance"])
+        allowed_by_q = [u_mat[uix[r]] for r in live]
+        entries = u_entries[uix[live]]
+        empty = np.empty(0, dtype=np.int64)
+        if gamma > 1:
+            # ACORN-γ expansion: first m PASSING entries of the node's
+            # distance-sorted neighbor list (see _sorted_neighbors)
+            def expand(i, u):
+                nb = adj_sorted[u]
+                if not nb.size:
+                    return nb
+                return nb[allowed_by_q[i][nb]][:m]
+        elif max_hops is None:
+            # padded 2-D adjacency: row v = v's neighbors padded with v
+            # itself, so one fancy gather + ravel yields ALL 2-hop
+            # candidates (pads self-filter: a pad is its own failing
+            # node, so the allowed mask drops it; the popped node's own
+            # pads are visited). Row-major order == the canonical
+            # passing-then-2hop order _acorn_beam documents.
+            dmax = max((len(a) for a in adj), default=0) or 1
+            adj2d = np.empty((len(adj), dmax), dtype=np.int64)
+            for v, a in enumerate(adj):
+                adj2d[v, : len(a)] = a
+                adj2d[v, len(a):] = v
+
+            def expand(i, u):
+                al = allowed_by_q[i]
+                nb = adj2d[u]
+                pm = al[nb]
+                passing = nb[pm]
+                if not expand_2hop:
+                    return passing
+                failing = nb[~pm]
+                if not failing.size:
+                    return passing
+                two = adj2d[failing].ravel()
+                return np.concatenate([passing, two[al[two]]])
+        else:
+            adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
+            # deep expansion through failing runs with a PER-QUERY memo
+            # (bool array): every failing node traversed at most once per
+            # query (total expansion work O(E)); max_hops >= n + ef >= n
+            # => provably exhaustive over the allowed set (acorn_exact)
+            seen_fail = np.zeros((len(live), len(ids)), dtype=bool)
+
+            def expand(i, u):
+                al = allowed_by_q[i]
+                sf = seen_fail[i]
+                out = []
+                layer = adjarr[u]
+                depth = 1
+                while layer.size:
+                    pm = al[layer]
+                    out.append(layer[pm])
+                    if depth >= max_hops:
+                        break
+                    failing = layer[~pm]
+                    failing = failing[~sf[failing]]
+                    if not failing.size:
+                        break
+                    failing = _first_unique(failing)
+                    sf[failing] = True
+                    layer = np.concatenate([adjarr[int(v)] for v in failing])
+                    depth += 1
+                return np.concatenate(out) if out else empty
+
+        found = _batched_beams(
+            vecs, norms, qmat_full[live], np.asarray(entries, dtype=np.int64),
+            k, ef, expand,
+            # only multi-hop detours can reach a node twice in one
+            # expansion; γ's truncated sorted lists are duplicate-free
+            dedupe=(gamma <= 1),
+        )
+        rows = [
+            (int(qids[live[i]]), int(ids[u]), float(np.sqrt(max(d2, 0.0))))
+            for i, res in enumerate(found)
+            for d2, u in res
+        ]
         return pd.DataFrame(rows, columns=["query_id", "_id", "distance"])
 
     cand = (
@@ -945,6 +1279,7 @@ def acorn_exact_topk(
     expansion: int = 4,
     id_col: str = "block_id",
     vec_col: str = "vector",
+    permissions: DataFrame | None = None,
 ) -> DataFrame:
     """D5 EXACT certification — the predicate-aware traversal under the
     hash gate, completing the r5/r6 certification ladder (LSH → PQ →
@@ -965,7 +1300,7 @@ def acorn_exact_topk(
     shortlist = acorn_search(
         blocks, queries, query_roles, k=k * expansion, m=m, ef=n_hint,
         id_col=id_col, vec_col=vec_col, build_method="exact",
-        max_hops=n_hint,
+        max_hops=n_hint, permissions=permissions,
     ).select("query_id", id_col)
     rescored = (
         shortlist.join(blocks.select(id_col, vec_col), id_col)
