@@ -1946,11 +1946,25 @@ def q_lsh_recall(spark, sf_dir):
 def q_graph_recall(spark, sf_dir):
     """D2 graph ANN (partition-local NSW + beam search, the hnswlib
     re-expression) vs exact ground truth: per-query recall@k. Approximate
-    op → rows-only, like ivf/lsh/pq."""
+    op → rows-only, like ivf/lsh/pq.
+
+    Runs the PRODUCTION build-once/search-many path (r7): the adjacency
+    is materialized once per sf via build_nsw_graph (the reference builds
+    its hnswlib indexes offline too) and every search rides
+    nsw_search_indexed — the fused nsw_search stays certified through
+    quantized_topk's graph_exact tag."""
     from vectorsearch_rbac_spark.operators import graph_ann
 
     t = _rbac(spark, sf_dir)
-    pred = graph_ann.nsw_search(t["documentblocks"], t["queries"], k=TOPK, m=8, ef=48)
+    g = _cached(
+        ("nsw_graph", sf_dir),
+        lambda: graph_ann.build_nsw_graph(
+            t["documentblocks"], m=8
+        ).localCheckpoint(),
+    )
+    pred = graph_ann.nsw_search_indexed(
+        t["documentblocks"], g, t["queries"], k=TOPK, ef=48
+    )
     truth = _truth_blocks(sf_dir, t)
     return knn.recall_at_k(pred, truth)
 
@@ -2429,10 +2443,14 @@ def _store_lifecycle_build(spark, sf_dir):
 
 
 def q_generator_relations(spark, sf_dir):
-    """B2 + B4 exact-oracle rows: the FULL generated relations of the random
-    RBAC generator (random_rbac_data_generator.py parity) and the two-level
-    ERBAC generator (erbac_data_generator.py parity) — every md5-seeded draw
-    replayed row-for-row by the DuckDB oracle (not a shape summary)."""
+    """B2 + B4 + (r7) B9 exact-oracle rows: the FULL generated relations of
+    the random RBAC generator (random_rbac_data_generator.py parity), the
+    two-level ERBAC generator (erbac_data_generator.py parity), and the
+    arXiv-style business-role generator
+    (arxiv_generator_business.py parity: roles derived from multi-label
+    document categories, business roles inherit category doc-unions,
+    users fill roles positionally) — every md5-seeded draw replayed
+    row-for-row by the DuckDB oracle (not a shape summary)."""
     from vectorsearch_rbac_spark.rbac import generators
 
     n_docs = load_table(spark, "documents", sf_dir).count()
@@ -2440,7 +2458,16 @@ def q_generator_relations(spark, sf_dir):
                                 m_roles=3, m_perms=20, seed=42)
     g2 = generators.erbac(spark, num_users=200, n_froles=20, n_broles=6, num_documents=n_docs,
                           m_perms=10, m_froles=4, m_broles=2, seed=42)
+    g3 = generators.arxiv_business_rbac(
+        spark, num_users=200, num_documents=n_docs, n_categories=24,
+        max_cats_per_doc=3, max_business_roles=8, max_froles_per_brole=3,
+        seed=60,
+    )
     parts = [
+        ("arxiv", "doc_cats", g3["doc_categories"].select(F.col("document_id").alias("a"), F.col("category_id").alias("b"))),
+        ("arxiv", "brole_cat", g3["brole_to_category"].select(F.col("brole_id").alias("a"), F.col("category_id").alias("b"))),
+        ("arxiv", "user_brole", g3["user_roles"].select(F.col("user_id").alias("a"), F.col("role_id").alias("b"))),
+        ("arxiv", "permission", g3["permission_assignment"].select(F.col("role_id").alias("a"), F.col("document_id").alias("b"))),
         ("random", "user_roles", g1["user_roles"].select(F.col("user_id").alias("a"), F.col("role_id").alias("b"))),
         ("random", "permission", g1["permission_assignment"].select(F.col("role_id").alias("a"), F.col("document_id").alias("b"))),
         ("erbac", "user_brole", g2["business_roles"].select(F.col("user_id").alias("a"), F.col("brole_id").alias("b"))),
@@ -5396,8 +5423,24 @@ e_ur AS (SELECT DISTINCT ub.a, bf.b FROM e_ub ub JOIN e_bf bf ON ub.b = bf.a),
 e_pak AS (SELECT role_id, 1 + {_H.format(s=46, x='role_id', m=10)} AS k FROM ro),
 e_paj AS (SELECT role_id, unnest(range(1, k + 1)) AS j FROM e_pak),
 e_pa AS (SELECT DISTINCT role_id AS a,
-                1 + {_H.format(s=47, x='role_id * 100000 + j', m='(SELECT n FROM nd)')} AS b FROM e_paj)
-SELECT 'random' AS gen, 'user_roles' AS rel, a, b FROM r_ur
+                1 + {_H.format(s=47, x='role_id * 100000 + j', m='(SELECT n FROM nd)')} AS b FROM e_paj),
+a_d AS (SELECT unnest(range(0, n)) AS document_id FROM nd),
+a_dk AS (SELECT document_id, 1 + {_H.format(s=60, x='document_id', m=3)} AS k FROM a_d),
+a_dj AS (SELECT document_id, unnest(range(1, k + 1)) AS j FROM a_dk),
+a_dc AS (SELECT DISTINCT document_id AS a,
+                {_H.format(s=61, x='document_id * 100 + j', m=24)} AS b FROM a_dj),
+a_bk AS (SELECT brole_id, 1 + {_H.format(s=62, x='brole_id', m=3)} AS k
+         FROM (SELECT unnest(range(1, 9)) AS brole_id)),
+a_bj AS (SELECT brole_id, unnest(range(1, k + 1)) AS j FROM a_bk),
+a_bc AS (SELECT DISTINCT brole_id AS a,
+                {_H.format(s=63, x='brole_id * 100 + j', m=24)} AS b FROM a_bj),
+a_ub AS (SELECT user_id AS a, (user_id - 1) // 25 + 1 AS b FROM u WHERE user_id <= 200),
+a_pa AS (SELECT DISTINCT bc.a, dc.a AS b FROM a_bc bc JOIN a_dc dc ON bc.b = dc.b)
+SELECT 'arxiv' AS gen, 'doc_cats' AS rel, a, b FROM a_dc
+UNION ALL SELECT 'arxiv', 'brole_cat', a, b FROM a_bc
+UNION ALL SELECT 'arxiv', 'user_brole', a, b FROM a_ub
+UNION ALL SELECT 'arxiv', 'permission', a, b FROM a_pa
+UNION ALL SELECT 'random' AS gen, 'user_roles' AS rel, a, b FROM r_ur
 UNION ALL SELECT 'random', 'permission', a, b FROM r_pa
 UNION ALL SELECT 'erbac', 'user_brole', a, b FROM e_ub
 UNION ALL SELECT 'erbac', 'brole_frole', a, b FROM e_bf

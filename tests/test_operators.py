@@ -252,6 +252,31 @@ def test_generators_shapes(spark):
     assert e["permission_assignment"].count() > 0
 
 
+def test_arxiv_business_generator(spark):
+    """B9: business-role permissions must be EXACTLY the union of the
+    documents of the role's categories (the inheritance invariant), every
+    document must carry >= 1 category, and users fill business roles
+    positionally (users_per_brole each, in id order)."""
+    g = generators.arxiv_business_rbac(
+        spark, num_users=40, num_documents=60, n_categories=12,
+        max_cats_per_doc=3, max_business_roles=4, max_froles_per_brole=2,
+        seed=9,
+    )
+    assert g["doc_categories"].select("document_id").distinct().count() == 60
+    expected = (
+        g["brole_to_category"].join(g["doc_categories"], "category_id")
+        .select(F.col("brole_id").alias("role_id"), "document_id")
+        .distinct()
+    )
+    diff = expected.exceptAll(g["permission_assignment"]).count() + \
+        g["permission_assignment"].exceptAll(expected).count()
+    assert diff == 0
+    # positional fill: 40 users / 4 broles = 10 per role, contiguous ids
+    ur = {r["user_id"]: r["role_id"] for r in g["user_roles"].collect()}
+    assert len(ur) == 40
+    assert all(ur[u] == (u - 1) // 10 + 1 for u in ur)
+
+
 def test_sharing_tree_generator_closure(spark):
     g = generators.sharing_tree_rbac(spark, num_users=50, num_roles=13, num_documents=60, branching=3)
     pa = g["permission_assignment"]

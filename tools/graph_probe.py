@@ -68,7 +68,7 @@ def partsize_main(sizes: list[int]) -> None:
             (n, base.shape[1])
         ) * 0.05 * base.std()
 
-    print(f"{'n':>7} {'build':>8} {'r@ef48':>7} {'r@ef128':>8}")
+    print(f"{'n':>7} {'build':>8} {'r@ef48':>7} {'r@ef128':>8} {'ms/q@48':>8} {'ms/q@128':>9}")
     for n in sizes:
         vecs = corpus(n)
         norms = (vecs * vecs).sum(axis=1)
@@ -77,16 +77,26 @@ def partsize_main(sizes: list[int]) -> None:
         t0 = time.time()
         adj = _incremental_adjacency(vecs, 8)
         tb = time.time() - t0
-        rec = {}
+        rec, msq = {}, {}
         for ef in (48, 128):
             hits = 0
+            t0 = time.time()
             for q in qs:
+                got = {u for _, u in _beam_search(vecs, adj, entry, q, 10, ef, norms=norms)}
                 d2 = norms - 2 * (vecs @ q) + q @ q
                 truth = set(np.argsort(d2)[:10])
-                got = {u for _, u in _beam_search(vecs, adj, entry, q, 10, ef, norms=norms)}
                 hits += len(truth & got)
+            # per-query SEARCH wall (the brute-force truth pass rides the
+            # same loop; subtract it via a second timed truth-only loop)
+            t_all = time.time() - t0
+            t0 = time.time()
+            for q in qs:
+                d2 = norms - 2 * (vecs @ q) + q @ q
+                set(np.argsort(d2)[:10])
+            msq[ef] = max(t_all - (time.time() - t0), 0.0) / len(qs) * 1e3
             rec[ef] = hits / 200
-        print(f"{n:>7} {tb:>7.1f}s {rec[48]:>7.3f} {rec[128]:>8.3f}")
+        print(f"{n:>7} {tb:>7.1f}s {rec[48]:>7.3f} {rec[128]:>8.3f}"
+              f" {msq[48]:>7.2f} {msq[128]:>8.2f}")
 
 
 def queries_main(n_rows: int, n_queries: int) -> None:

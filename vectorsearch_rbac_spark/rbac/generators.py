@@ -227,6 +227,94 @@ def sharing_tree_rbac(
     }
 
 
+def arxiv_business_rbac(
+    spark: SparkSession,
+    num_users: int,
+    num_documents: int,
+    n_categories: int = 24,
+    max_cats_per_doc: int = 3,
+    max_business_roles: int = 8,
+    max_froles_per_brole: int = 3,
+    users_per_brole: int | None = None,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """arXiv-style business-role RBAC (B9): functional roles derive from
+    DOCUMENT ATTRIBUTES — each document carries 1..max_cats_per_doc
+    category labels (multi-label, like arXiv's ``categories`` field),
+    every category IS a functional role, each business role inherits the
+    document UNION of its sampled functional roles, and users fill
+    business roles round-robin in id order (not by random draw — the one
+    generator in the reference family whose user assignment is
+    positional).
+
+    Parity: ``services/rbac_generator/arxiv_generator_business.py:21`` —
+    ``load_data`` groups documents by category (the sandbox has no arXiv
+    JSON, so labels are md5-synthesized from document ids; swap
+    ``doc_categories`` for a real attribute table to run over actual
+    metadata), ``generate_functional_roles`` maps category → role,
+    ``generate_business_roles`` samples 1..max functional roles per
+    business role and unions their documents,
+    ``generate_users`` assigns ``users_per_business_role`` users to each
+    business role sequentially. md5-deterministic throughout → exact
+    DuckDB oracle.
+    """
+    docs = spark.range(num_documents).select(F.col("id").alias("document_id"))
+    doc_categories = (
+        docs.select(
+            "document_id",
+            (F.lit(1) + _h(F.col("document_id"), seed, max_cats_per_doc)).alias("k"),
+        )
+        .select("document_id", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("j"))
+        .select(
+            "document_id",
+            _h(F.col("document_id") * 100 + F.col("j"), seed + 1, n_categories).alias(
+                "category_id"
+            ),
+        )
+        .distinct()
+    )
+    brole_to_category = (
+        spark.range(1, max_business_roles + 1)
+        .select(
+            F.col("id").alias("brole_id"),
+            (F.lit(1) + _h(F.col("id"), seed + 2, max_froles_per_brole)).alias("k"),
+        )
+        .select("brole_id", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("j"))
+        .select(
+            "brole_id",
+            _h(F.col("brole_id") * 100 + F.col("j"), seed + 3, n_categories).alias(
+                "category_id"
+            ),
+        )
+        .distinct()
+    )
+    # business role inherits every document of its categories (the union
+    # the reference materializes as role_permissions)
+    permission_assignment = (
+        brole_to_category.join(doc_categories, "category_id")
+        .select(F.col("brole_id").alias("role_id"), "document_id")
+        .distinct()
+    )
+    upb = users_per_brole or max(1, num_users // max_business_roles)
+    users = spark.range(1, num_users + 1).select(F.col("id").alias("user_id"))
+    # positional fill: business role b takes users ((b-1)*upb, b*upb];
+    # users beyond B*upb get no role (the reference's early break)
+    user_roles = users.where(F.col("user_id") <= upb * max_business_roles).select(
+        "user_id",
+        (F.expr(f"(user_id - 1) DIV {upb}") + 1).cast("long").alias("role_id"),
+    )
+    return {
+        "users": users,
+        "roles": spark.range(1, max_business_roles + 1).select(
+            F.col("id").alias("role_id")
+        ),
+        "doc_categories": doc_categories,
+        "brole_to_category": brole_to_category,
+        "user_roles": user_roles,
+        "permission_assignment": permission_assignment,
+    }
+
+
 def erbac(
     spark: SparkSession,
     num_users: int,
