@@ -44,9 +44,9 @@ def partsize_main(sizes: list[int]) -> None:
     import numpy as np
 
     from vectorsearch_rbac_spark.operators.graph_ann import (
+        _batched_entries,
         _beam_search,
         _incremental_adjacency,
-        _medoid,
     )
 
     try:
@@ -72,17 +72,19 @@ def partsize_main(sizes: list[int]) -> None:
     for n in sizes:
         vecs = corpus(n)
         norms = (vecs * vecs).sum(axis=1)
-        entry = _medoid(vecs)
         qs = corpus(20)
         t0 = time.time()
         adj = _incremental_adjacency(vecs, 8)
         tb = time.time() - t0
+        # production entry routing: medoid below the crossover, sampled
+        # two-level routing above it (r7 — see _batched_entries)
+        ents = _batched_entries(vecs, norms, qs)
         rec, msq = {}, {}
         for ef in (48, 128):
             hits = 0
             t0 = time.time()
-            for q in qs:
-                got = {u for _, u in _beam_search(vecs, adj, entry, q, 10, ef, norms=norms)}
+            for qi, q in enumerate(qs):
+                got = {u for _, u in _beam_search(vecs, adj, int(ents[qi]), q, 10, ef, norms=norms)}
                 d2 = norms - 2 * (vecs @ q) + q @ q
                 truth = set(np.argsort(d2)[:10])
                 hits += len(truth & got)

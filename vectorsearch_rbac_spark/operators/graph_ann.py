@@ -37,14 +37,19 @@ Design for a cluster:
   per node that make every partition graph connected by construction —
   the NSW long-link idea — so beam search at high ef provably reaches
   the whole partition (the basis of the exactness certification).
-- Search: classic best-first beam (HNSW layer-0 semantics): entry point =
-  the partition medoid (deterministic), expand the closest frontier node,
-  keep an ``ef``-sized result beam, stop when the frontier can't improve
-  it. Neighbor distances are evaluated BATCHED (one gathered-GEMV per
-  expansion) so the kernel stays numpy-bound, not Python-bound. Per
-  query-batch work is O(visited·m) distance evaluations — independent of
-  partition size once the beam converges, which is the whole point of
-  graph ANN vs scan-based IVF.
+- Search: classic best-first beam (HNSW layer-0 semantics). Entry point:
+  the partition medoid below the exact-build crossover; ABOVE it, r7
+  two-level routing — the HNSW layer hierarchy flattened to one
+  deterministic ≤4096-node sample scanned exactly with a batched GEMM
+  (see ``_batched_entries``; measured at 256k rows the medoid entry
+  collapses recall@ef48 0.95→0.70 while the sampled entry matches an
+  exact-nearest entry). All queries of a partition run the beam in
+  LOCKSTEP supersteps (``_batched_beams``): one gathered einsum per
+  superstep evaluates every active query's candidate distances, so the
+  kernel stays BLAS-bound, not Python-bound. Per query-batch work is
+  O(visited·m) distance evaluations — independent of partition size once
+  the beam converges, which is the whole point of graph ANN vs scan-based
+  IVF.
 - Query flow: queries are never collected to the driver. Every search
   is a COGROUPED applyInPandas — partition blocks on one side, that
   partition's (replicated or role-routed) queries on the other — the
@@ -399,6 +404,33 @@ def _medoid(vecs: np.ndarray) -> int:
     return int(np.argmin(((vecs - vecs.mean(axis=0)) ** 2).sum(axis=1)))
 
 
+# Entry routing above the crossover scans a deterministic sample of at
+# most this many nodes (≈ n/64 at 256k — the measured sweet spot).
+ENTRY_SAMPLE_MAX = 4096
+
+
+def _batched_entries(vecs, norms, qmat):
+    """Two-level entry routing — the HNSW layer hierarchy
+    (hnswalg.h:270 searchKnn descends tiny upper layers to reach the
+    query's neighborhood before the layer-0 beam) flattened the
+    Spark-friendly way: the 'upper layer' is a deterministic ≤4096-node
+    sample scanned EXACTLY with one batched GEMM per query batch —
+    BLAS-bound and lockstep-shaped, where pointer descent would be
+    per-query Python. Measured at 256k rows (tools/graph_probe.py):
+    medoid entry collapses recall@ef48 to 0.70; the sampled entry
+    restores 0.950 — identical to an exact-nearest entry — so upper
+    LAYERS beyond this single sampled level buy nothing at partition
+    sizes the D7 rebalance cap permits. Below the exact-build crossover
+    the classic medoid entry is unchanged (and the exact-certified
+    entries run there)."""
+    n = vecs.shape[0]
+    if n <= EXACT_BUILD_MAX:
+        return np.full(qmat.shape[0], _medoid(vecs), dtype=np.int64)
+    sub = np.arange(0, n, max(1, n // ENTRY_SAMPLE_MAX))
+    d = norms[sub][None, :] - 2.0 * (qmat @ vecs[sub].T)
+    return sub[np.argmin(d, axis=1)]
+
+
 def _replicate_queries(
     src: DataFrame, queries: DataFrame, parts_from: DataFrame | None = None
 ) -> DataFrame:
@@ -484,12 +516,11 @@ def nsw_search(
         adj = _build_adjacency(vecs, m, method=build_method)
         adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
         norms = (vecs * vecs).sum(axis=1)
-        entry = _medoid(vecs)
         qids = q_pdf["query_id"].to_numpy()
         qmat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in q_pdf["query_vector"].values]
         )
-        entries = np.full(len(qids), entry, dtype=np.int64)
+        entries = _batched_entries(vecs, norms, qmat)
         found = _batched_beams(
             vecs, norms, qmat, entries, k, ef, lambda i, u: adjarr[u]
         )
@@ -643,12 +674,11 @@ def nsw_search_indexed(
         ]
         adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
         norms = (vecs * vecs).sum(axis=1)
-        entry = _medoid(vecs)
         qids = q_pdf["query_id"].to_numpy()
         qmat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in q_pdf["query_vector"].values]
         )
-        entries = np.full(len(qids), entry, dtype=np.int64)
+        entries = _batched_entries(vecs, norms, qmat)
         found = _batched_beams(
             vecs, norms, qmat, entries, k, ef, lambda i, u: adjarr[u]
         )
@@ -821,12 +851,11 @@ def knn_dynamic_graph(
         adj = _build_adjacency(vecs, m, method=build_method)
         adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
         norms = (vecs * vecs).sum(axis=1)
-        entry = _medoid(vecs)
         qids = q_pdf["query_id"].to_numpy()
         qmat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in q_pdf["query_vector"].values]
         )
-        entries = np.full(len(qids), entry, dtype=np.int64)
+        entries = _batched_entries(vecs, norms, qmat)
         found = _batched_beams(
             vecs, norms, qmat, entries, k, ef, lambda i, u: adjarr[u]
         )
@@ -1185,6 +1214,22 @@ def acorn_search(
             return pd.DataFrame(columns=["query_id", "_id", "distance"])
         allowed_by_q = [u_mat[uix[r]] for r in live]
         entries = u_entries[uix[live]]
+        if n_nodes > EXACT_BUILD_MAX:
+            # two-level entry routing above the crossover (see
+            # _batched_entries — the medoid entry loses the query's basin
+            # at 256k): per unique role set, each routed query enters at
+            # its nearest node among a ≤4096-node deterministic sample of
+            # the ALLOWED set, via one GEMM per role set
+            qmat_live = qmat_full[live]
+            uix_live = uix[live]
+            for j in np.unique(uix_live):
+                idx = np.flatnonzero(u_mat[j])
+                if not idx.size:
+                    continue
+                sel = idx[:: max(1, idx.size // ENTRY_SAMPLE_MAX)]
+                qrows = np.flatnonzero(uix_live == j)
+                d = norms[sel][None, :] - 2.0 * (qmat_live[qrows] @ vecs[sel].T)
+                entries[qrows] = sel[np.argmin(d, axis=1)]
         empty = np.empty(0, dtype=np.int64)
         if gamma > 1:
             # ACORN-γ expansion: first m PASSING entries of the node's
