@@ -492,6 +492,13 @@ def nsw_search(
     Queries flow as a RELATION: replicated per partition with a broadcast
     of the (tiny) partition list, then cogrouped against the blocks — no
     driver collect, so a 10⁶-query batch behaves like any other join.
+
+    NOTE: this FUSED form rebuilds each partition's graph inside the
+    search cogroup — right for one-shot batches and for the exactness
+    certifications (the build is part of what the oracle certifies).
+    Build-once/search-many callers should persist the adjacency with
+    :func:`build_nsw_graph` and search via :func:`nsw_search_indexed`
+    (the path the benched ``graph`` recall member runs).
     """
     src = blocks.select(
         F.col(id_col).alias("_id"),
