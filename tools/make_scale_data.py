@@ -38,14 +38,6 @@ import pyarrow.parquet as pq
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-COUNTS = {
-    "customer": ("c_custkey", 15000),
-    "supplier": ("s_suppkey", 1000),
-    "part": ("p_partkey", 20000),
-    "orders": ("o_orderkey", 150000),
-    "events": ("event_id", 100000),
-    "documents": ("doc_id", 5000),
-}
 N_CUST, N_SUPP, N_PART, N_ORD = 15000, 1000, 20000, 150000
 N_EVT_USERS, N_DOCS, N_VECS = 1500, 5000, 2000
 

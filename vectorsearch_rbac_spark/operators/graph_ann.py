@@ -213,14 +213,18 @@ def _incremental_adjacency(
 
 def _build_adjacency(
     vecs: np.ndarray, m: int, method: str = "auto", ring: bool = True
-) -> list[list[int]]:
+) -> list[np.ndarray]:
+    """Returns one sorted int64 ndarray of neighbors per node — the form
+    every search kernel gathers from directly."""
     if method == "auto":
         method = "exact" if vecs.shape[0] <= EXACT_BUILD_MAX else "incremental"
     if method == "exact":
-        return _knn_adjacency(vecs, m, ring=ring)
-    if method == "incremental":
-        return _incremental_adjacency(vecs, m, ring=ring)
-    raise ValueError(f"unknown build method {method!r}")
+        adj = _knn_adjacency(vecs, m, ring=ring)
+    elif method == "incremental":
+        adj = _incremental_adjacency(vecs, m, ring=ring)
+    else:
+        raise ValueError(f"unknown build method {method!r}")
+    return [np.asarray(a, dtype=np.int64) for a in adj]
 
 
 def _beam_cut(beam, k):
@@ -308,13 +312,33 @@ def _batched_beams(vecs, norms, qmat, entries, k, ef, expand, dedupe=False):
     order-preservingly here (needed only when one expansion can reach a
     node twice — ACORN's multi-hop detours; plain adjacency and sorted
     truncation are duplicate-free by construction). Visited filtering is
-    vectorized (visited is a bool array per query, not a set). Candidates that can't beat the
+    vectorized (visited is a bool array per query, not a set).
+
+    Memory is bounded by processing the query batch in CHUNKS sized so
+    the visited matrix stays ≤ ~32 MB (chunk × n bools) — a 10⁶-query
+    batch on a 256k-row partition peaks at per-chunk state, not
+    O(queries × n). ``expand`` always receives the GLOBAL query index,
+    so per-query closures (allowed masks, memos) are chunking-agnostic. Candidates that can't beat the
     superstep-start beam threshold are dropped VECTORIZED before the
     Python push loop — conservative-correct, since pushes only tighten
     the threshold, and the exact check still guards each push. Returns
     one :func:`_beam_cut`-cut candidate list per query."""
     n = vecs.shape[0]
-    nq = qmat.shape[0]
+    nq_all = qmat.shape[0]
+    chunk = max(1, 32_000_000 // max(n, 1))
+    if nq_all > chunk:
+        out: list[list[tuple[float, int]]] = []
+        for lo in range(0, nq_all, chunk):
+            hi = min(lo + chunk, nq_all)
+            out.extend(
+                _batched_beams(
+                    vecs, norms, qmat[lo:hi], entries[lo:hi], k, ef,
+                    (lambda off: lambda i, u: expand(off + i, u))(lo),
+                    dedupe=dedupe,
+                )
+            )
+        return out
+    nq = nq_all
     qn = np.einsum("ij,ij->i", qmat, qmat)
     d0 = norms[entries] - 2.0 * np.einsum("ij,ij->i", vecs[entries], qmat) + qn
     visited = np.zeros((nq, n), dtype=bool)
@@ -426,9 +450,18 @@ def _batched_entries(vecs, norms, qmat):
     n = vecs.shape[0]
     if n <= EXACT_BUILD_MAX:
         return np.full(qmat.shape[0], _medoid(vecs), dtype=np.int64)
-    sub = np.arange(0, n, max(1, n // ENTRY_SAMPLE_MAX))
-    d = norms[sub][None, :] - 2.0 * (qmat @ vecs[sub].T)
-    return sub[np.argmin(d, axis=1)]
+    # ceil-division stride actually caps the sample at ENTRY_SAMPLE_MAX
+    # (floor division degenerates to a full scan for n just above the
+    # crossover); the distance matrix is chunked over queries so a huge
+    # replicated batch stays ≤ ~32 MB per GEMM
+    sub = np.arange(0, n, -(-n // ENTRY_SAMPLE_MAX))
+    out = np.empty(qmat.shape[0], dtype=np.int64)
+    step = max(1, 4_000_000 // sub.size)
+    for lo in range(0, qmat.shape[0], step):
+        hi = min(lo + step, qmat.shape[0])
+        d = norms[sub][None, :] - 2.0 * (qmat[lo:hi] @ vecs[sub].T)
+        out[lo:hi] = sub[np.argmin(d, axis=1)]
+    return out
 
 
 def _replicate_queries(
@@ -520,8 +553,7 @@ def nsw_search(
         blocks_pdf = blocks_pdf.sort_values("_id").reset_index(drop=True)
         vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
         ids = blocks_pdf["_id"].to_numpy()
-        adj = _build_adjacency(vecs, m, method=build_method)
-        adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
+        adjarr = adj = _build_adjacency(vecs, m, method=build_method)
         norms = (vecs * vecs).sum(axis=1)
         qids = q_pdf["query_id"].to_numpy()
         qmat = np.stack(
@@ -679,7 +711,7 @@ def nsw_search_indexed(
             [pos[int(v)] for v in nbrs if int(v) in pos]
             for nbrs in blocks_pdf["neighbors"].values
         ]
-        adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
+        adjarr = [np.asarray(a, dtype=np.int64) for a in adj]  # pos-mapped lists
         norms = (vecs * vecs).sum(axis=1)
         qids = q_pdf["query_id"].to_numpy()
         qmat = np.stack(
@@ -855,8 +887,7 @@ def knn_dynamic_graph(
         vecs = np.stack(blocks_pdf["vector"].values).astype(np.float64)
         ids = blocks_pdf["block_id"].to_numpy()
         docs = blocks_pdf["document_id"].to_numpy()
-        adj = _build_adjacency(vecs, m, method=build_method)
-        adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
+        adjarr = adj = _build_adjacency(vecs, m, method=build_method)
         norms = (vecs * vecs).sum(axis=1)
         qids = q_pdf["query_id"].to_numpy()
         qmat = np.stack(
@@ -990,7 +1021,7 @@ def _sorted_neighbors(vecs: np.ndarray, adj: list[list[int]],
     gathered GEMV per node — O(E) total, part of the build."""
     out = []
     for u, nb in enumerate(adj):
-        if not nb:
+        if len(nb) == 0:
             out.append(np.empty(0, dtype=np.int64))
             continue
         nv = np.asarray(nb, dtype=np.int64)
@@ -1233,7 +1264,7 @@ def acorn_search(
                 idx = np.flatnonzero(u_mat[j])
                 if not idx.size:
                     continue
-                sel = idx[:: max(1, idx.size // ENTRY_SAMPLE_MAX)]
+                sel = idx[:: -(-idx.size // ENTRY_SAMPLE_MAX)]
                 qrows = np.flatnonzero(uix_live == j)
                 d = norms[sel][None, :] - 2.0 * (qmat_live[qrows] @ vecs[sel].T)
                 entries[qrows] = sel[np.argmin(d, axis=1)]
@@ -1272,16 +1303,20 @@ def acorn_search(
                 two = adj2d[failing].ravel()
                 return np.concatenate([passing, two[al[two]]])
         else:
-            adjarr = [np.asarray(a, dtype=np.int64) for a in adj]
+            adjarr = adj
             # deep expansion through failing runs with a PER-QUERY memo
-            # (bool array): every failing node traversed at most once per
+            # (bool array, allocated LAZILY on a query's first expansion
+            # so memory tracks queries actually in BFS mode, not the
+            # batch size): every failing node traversed at most once per
             # query (total expansion work O(E)); max_hops >= n + ef >= n
             # => provably exhaustive over the allowed set (acorn_exact)
-            seen_fail = np.zeros((len(live), len(ids)), dtype=bool)
+            seen_fail: dict[int, np.ndarray] = {}
 
             def expand(i, u):
                 al = allowed_by_q[i]
-                sf = seen_fail[i]
+                sf = seen_fail.get(i)
+                if sf is None:
+                    sf = seen_fail[i] = np.zeros(len(ids), dtype=bool)
                 out = []
                 layer = adjarr[u]
                 depth = 1
