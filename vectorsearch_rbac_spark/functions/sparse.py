@@ -78,5 +78,15 @@ def sparse_l2_distance(ia: ColumnOrName, va: ColumnOrName, ib: ColumnOrName, vb:
 
 
 def sparse_cosine_distance(ia: ColumnOrName, va: ColumnOrName, ib: ColumnOrName, vb: ColumnOrName) -> Column:
-    """sparsevec ``<=>`` = 1 - <a,b> / (|a||b|)."""
-    return F.lit(1.0) - sparse_inner_product(ia, va, ib, vb) / (sparse_norm(va) * sparse_norm(vb))
+    """sparsevec ``<=>`` = 1 - <a,b> / (|a||b|).
+
+    Zero-norm guard: a magnitude-sparsified vector can lose EVERY
+    component (all |x| below the threshold), and pgvector's float math
+    yields NaN there while Spark's ANSI mode would kill the job on the
+    division — so the NaN is explicit. NaN sorts last ascending in both
+    engines, so empty sparse vectors never enter a top-k."""
+    denom = sparse_norm(va) * sparse_norm(vb)
+    return F.when(
+        denom > 0,
+        F.lit(1.0) - sparse_inner_product(ia, va, ib, vb) / denom,
+    ).otherwise(F.lit(float("nan")))

@@ -68,7 +68,15 @@ def vector_norm(a: ColumnOrName) -> Column:
 
 
 def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return inner_product(a, b) / (vector_norm(a) * vector_norm(b))
+    # zero-norm guard: pgvector's float math yields NaN for a zero vector
+    # (vector.c divides without checking); Spark's ANSI mode would instead
+    # kill the job on the division, so the NaN is made explicit. NaN sorts
+    # LAST ascending in both Spark and DuckDB, so a zero vector never
+    # enters a top-k.
+    denom = vector_norm(a) * vector_norm(b)
+    return F.when(denom > 0, inner_product(a, b) / denom).otherwise(
+        F.lit(float("nan"))
+    )
 
 
 def cosine_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
