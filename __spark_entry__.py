@@ -1927,15 +1927,24 @@ def q_ivfpq_recall(spark, sf_dir):
 
 def q_lsh_recall(spark, sf_dir):
     """LSH cosine ANN vs brute force: per-query recall@k (rows-only)."""
+    import math
+
     t = _rbac(spark, sf_dir)
     # 5 planes × 8 tables: mean recall ~0.98 at sf0.1 (0.815 at 6×6, 0.93
     # at 6×10); the knob trades candidate fraction (~Σ C(b,≤1)/2^b per
-    # table) for recall — planes should grow with log(corpus) to hold the
-    # candidate fraction at scale. impl="numpy" is the Arrow/BLAS
-    # throughput kernel (same bucketing scheme; the exact-certified
-    # expression path stays under global_topk 'lsh_exact').
+    # table) for recall — planes grow with log(corpus) (r7) to hold the
+    # candidate fraction at scale: ~62 vectors/bucket keeps 5 planes at
+    # every driver sf (2k vectors) and steps to 8 at sf1's 20k, where the
+    # fixed 32-bucket table degenerated to a near-brute-force candidate
+    # union (185 s → the multiprobe fraction stays ~constant instead).
+    # impl="numpy" is the Arrow/BLAS throughput kernel (same bucketing
+    # scheme; the exact-certified expression path stays under
+    # global_topk 'lsh_exact').
+    n_vec = t["embeddings"].count()
+    n_planes = max(5, int(math.log2(max(n_vec / 62, 2))))
     pred = ann.cosine_topk_lsh(
-        t["embeddings"], t["queries"], k=TOPK, n_planes=5, n_tables=8, impl="numpy"
+        t["embeddings"], t["queries"], k=TOPK, n_planes=n_planes, n_tables=8,
+        impl="numpy",
     )
     truth = _truth_emb_cos(sf_dir, t)
     return knn.recall_at_k(
