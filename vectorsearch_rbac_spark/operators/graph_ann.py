@@ -191,7 +191,11 @@ def _incremental_adjacency(
     m = min(m, max(n - 1, 0))
     if m <= 0:
         return [[] for _ in range(n)]
-    ef_c = ef_construction or max(2 * m, 32)
+    # scale-aware construction beam (r7): 32 is recall-flat through 64k
+    # (measured 0.94-0.99 @ef48); at 256k it leaves 0.95 on the table
+    # where ef_c=64 reaches 0.99/1.00 (@ef48/128, sampled entry) for 2×
+    # the still-linear build wall — tools/probe_results_r7.txt
+    ef_c = ef_construction or max(2 * m, 32 if n <= 65536 else 64)
     m_max = 2 * m
     norms = (vecs * vecs).sum(axis=1)
     adj: list[set[int]] = [set() for _ in range(n)]
