@@ -83,10 +83,14 @@ def sparse_cosine_distance(ia: ColumnOrName, va: ColumnOrName, ib: ColumnOrName,
     Zero-norm guard: a magnitude-sparsified vector can lose EVERY
     component (all |x| below the threshold), and pgvector's float math
     yields NaN there while Spark's ANSI mode would kill the job on the
-    division — so the NaN is explicit. NaN sorts last ascending in both
+    division — so the NaN is explicit (try_divide + coalesce, not a
+    when-guard: CaseWhen defeats subexpression elimination and would
+    fold the norms twice per row). NaN sorts last ascending in both
     engines, so empty sparse vectors never enter a top-k."""
-    denom = sparse_norm(va) * sparse_norm(vb)
-    return F.when(
-        denom > 0,
-        F.lit(1.0) - sparse_inner_product(ia, va, ib, vb) / denom,
-    ).otherwise(F.lit(float("nan")))
+    return F.lit(1.0) - F.coalesce(
+        F.try_divide(
+            sparse_inner_product(ia, va, ib, vb),
+            sparse_norm(va) * sparse_norm(vb),
+        ),
+        F.lit(float("nan")),
+    )

@@ -72,10 +72,13 @@ def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
     # (vector.c divides without checking); Spark's ANSI mode would instead
     # kill the job on the division, so the NaN is made explicit. NaN sorts
     # LAST ascending in both Spark and DuckDB, so a zero vector never
-    # enters a top-k.
-    denom = vector_norm(a) * vector_norm(b)
-    return F.when(denom > 0, inner_product(a, b) / denom).otherwise(
-        F.lit(float("nan"))
+    # enters a top-k. try_divide (NULL on /0) rather than a when-guard:
+    # CaseWhen branches defeat common-subexpression elimination, so a
+    # guard would fold the HOF norms TWICE per row (measured 2x on the
+    # brute-force cosine scan).
+    return F.coalesce(
+        F.try_divide(inner_product(a, b), vector_norm(a) * vector_norm(b)),
+        F.lit(float("nan")),
     )
 
 
