@@ -76,13 +76,14 @@ def partsize_main(sizes: list[int]) -> None:
         t0 = time.time()
         adj = _incremental_adjacency(vecs, 8)
         tb = time.time() - t0
-        # production entry routing: medoid below the crossover, sampled
-        # two-level routing above it (r7 — see _batched_entries)
-        ents = _batched_entries(vecs, norms, qs)
         rec, msq = {}, {}
         for ef in (48, 128):
             hits = 0
             t0 = time.time()
+            # production entry routing INSIDE the timed region (each
+            # search call pays it): medoid below the crossover, sampled
+            # two-level routing above it (r7 — see _batched_entries)
+            ents = _batched_entries(vecs, norms, qs)
             for qi, q in enumerate(qs):
                 got = {u for _, u in _beam_search(vecs, adj, int(ents[qi]), q, 10, ef, norms=norms)}
                 d2 = norms - 2 * (vecs @ q) + q @ q

@@ -333,7 +333,10 @@ def cosine_neardup_pairs(
         pairs = a2.join(b2, ["bucket"]).where(F.col("id_a") < F.col("id_b")).drop("bucket").distinct()
     return (
         pairs.withColumn("cosine_sim", F.round(V.cosine_similarity("va", "vb"), 6))
-        .where(F.col("cosine_sim") >= threshold)
+        # NaN-safe: a zero-norm vector's similarity is NaN (r7 guard),
+        # and Spark comparisons treat NaN as larger than any value — an
+        # unguarded >= would report it as a near-dup of EVERYTHING
+        .where((F.col("cosine_sim") >= threshold) & ~F.isnan("cosine_sim"))
         .select("id_a", "id_b", "cosine_sim")
     )
 
@@ -498,7 +501,8 @@ def semdedup_pairs(
         a.join(b, ["cluster_id"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_sim", F.round(V.cosine_similarity("va", "vb"), 6))
-        .where(F.col("cosine_sim") >= threshold)
+        # NaN-safe (see cosine_neardup_pairs): NaN >= threshold is true
+        .where((F.col("cosine_sim") >= threshold) & ~F.isnan("cosine_sim"))
         .select("id_a", "id_b", "cluster_id", "cosine_sim")
     )
 

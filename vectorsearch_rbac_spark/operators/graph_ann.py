@@ -173,6 +173,15 @@ def _prune_neighbors(
     adj[u] = keep
 
 
+def _default_ef_c(n: int, m: int) -> int:
+    """Scale-aware construction beam (r7), shared by the batch build and
+    the incremental insert path: 32 is recall-flat through 64k-row
+    partitions (measured 0.94-0.99 @ef48); at 256k it leaves 0.95 on the
+    table where ef_c=64 reaches 0.99/1.00 (@ef48/128, sampled entry) for
+    2× the still-linear build wall — tools/probe_results_r7.txt."""
+    return max(2 * m, 32 if n <= 65536 else 64)
+
+
 def _incremental_adjacency(
     vecs: np.ndarray, m: int, ef_construction: int | None = None, ring: bool = True
 ) -> list[list[int]]:
@@ -191,11 +200,7 @@ def _incremental_adjacency(
     m = min(m, max(n - 1, 0))
     if m <= 0:
         return [[] for _ in range(n)]
-    # scale-aware construction beam (r7): 32 is recall-flat through 64k
-    # (measured 0.94-0.99 @ef48); at 256k it leaves 0.95 on the table
-    # where ef_c=64 reaches 0.99/1.00 (@ef48/128, sampled entry) for 2×
-    # the still-linear build wall — tools/probe_results_r7.txt
-    ef_c = ef_construction or max(2 * m, 32 if n <= 65536 else 64)
+    ef_c = ef_construction or _default_ef_c(n, m)
     m_max = 2 * m
     norms = (vecs * vecs).sum(axis=1)
     adj: list[set[int]] = [set() for _ in range(n)]
@@ -758,8 +763,10 @@ def insert_into_graph(
     partition size, vs the O(B·n) exact-link it replaces. One
     applyInPandas pass per partition touching only partitions that
     receive rows; untouched partitions' adjacency flows through
-    unchanged."""
-    ef_c = ef_construction or max(2 * m, 32)
+    unchanged. ``ef_construction=None`` resolves PER PARTITION with the
+    same scale-aware default the batch build uses (_default_ef_c), so a
+    stream of inserts and a full rebuild link with equal quality."""
+    ef_c0 = ef_construction
     src_old = blocks.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"),
         (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("part"),
@@ -792,6 +799,7 @@ def insert_into_graph(
         old_idx = [int(x) for x in np.flatnonzero(~is_new)]
         entry = old_idx[0] if old_idx else None
         m_max = 2 * m
+        ef_c = ef_c0 or _default_ef_c(len(ids), m)
         for i in (int(x) for x in np.flatnonzero(is_new)):
             if entry is None:
                 entry = i
@@ -1244,9 +1252,16 @@ def acorn_search(
                 hit = np.isin(rflat, np.asarray(rls, dtype=np.int64))
                 u_mat[j, rnode[hit]] = True
         u_entries = np.full(len(u_roles), -1, dtype=np.int64)
+        routed = len(ids) > EXACT_BUILD_MAX
         for j in range(len(u_roles)):
             idx = np.flatnonzero(u_mat[j])
             if idx.size == 0:
+                continue
+            if routed:
+                # above the crossover the per-query routing loop below
+                # overwrites every live entry — keep only the liveness
+                # marker, skip the medoid reduction
+                u_entries[j] = idx[0]
                 continue
             sub = vecs[idx]
             mean = sub.mean(axis=0)
@@ -1270,8 +1285,14 @@ def acorn_search(
                     continue
                 sel = idx[:: -(-idx.size // ENTRY_SAMPLE_MAX)]
                 qrows = np.flatnonzero(uix_live == j)
-                d = norms[sel][None, :] - 2.0 * (qmat_live[qrows] @ vecs[sel].T)
-                entries[qrows] = sel[np.argmin(d, axis=1)]
+                # chunk the distance GEMM over queries (same ~32 MB cap
+                # as _batched_entries) — one role set can cover a whole
+                # replicated mega-batch
+                step = max(1, 4_000_000 // sel.size)
+                for lo in range(0, qrows.size, step):
+                    qr = qrows[lo: lo + step]
+                    d = norms[sel][None, :] - 2.0 * (qmat_live[qr] @ vecs[sel].T)
+                    entries[qr] = sel[np.argmin(d, axis=1)]
         empty = np.empty(0, dtype=np.int64)
         if gamma > 1:
             # ACORN-γ expansion: first m PASSING entries of the node's

@@ -177,6 +177,12 @@ def mmr_topk(
     cands = (
         ann.cosine_topk_bruteforce(embeddings, queries, k=n_candidates, id_col=id_col, vec_col=vec_col)
         .select("query_id", id_col, (F.lit(1.0) - F.col("distance")).alias("rel"))
+        # NaN-safe (r7 zero-norm guard): NaN rel would sort FIRST under
+        # the descending relevance window and NaN pair-sims would poison
+        # every max(); dropping NaN candidates here removes both (all
+        # surviving candidate vectors have nonzero norm, so downstream
+        # sims are finite)
+        .where(~F.isnan("rel"))
     )
     # reattach vectors: probe the corpus with the broadcast candidate list
     cands = (
