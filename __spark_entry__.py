@@ -1981,12 +1981,25 @@ def q_graph_recall(spark, sf_dir):
 def q_acorn_recall(spark, sf_dir):
     """D5 completed — ACORN-1 predicate-aware graph traversal (2-hop
     expansion through failing nodes; acorn_benchmark parity) vs the EXACT
-    permitted answer: per-query recall@k. Approximate op → rows-only."""
+    permitted answer: per-query recall@k. Approximate op → rows-only.
+
+    Runs the PRODUCTION build-once/search-many path (r8): the adjacency
+    materializes once per sf via build_acorn_graph (the reference builds
+    its ACORN indexes offline) and every search rides
+    acorn_search_indexed — pytest pins indexed ≡ fused, and the fused
+    traversal stays certified through quantized_topk's acorn_exact tag."""
     from vectorsearch_rbac_spark.operators import graph_ann
 
     t = _rbac(spark, sf_dir)
-    pred = graph_ann.acorn_search(
-        t["documentblocks"], t["queries"], t["query_roles"], k=TOPK, m=8, ef=48,
+    g = _cached(
+        ("acorn_graph_g1", sf_dir),
+        lambda: graph_ann.build_acorn_graph(
+            t["documentblocks"], m=8, gamma=1
+        ).localCheckpoint(),
+    )
+    pred = graph_ann.acorn_search_indexed(
+        t["documentblocks"], g, t["queries"], t["query_roles"],
+        k=TOPK, m=8, ef=48,
         permissions=t["permission_assignment"],  # predicate supplied AS DATA
     )
     truth = _cached(("truth_prefilter", sf_dir),
@@ -2000,13 +2013,52 @@ def q_acorn_gamma_recall(spark, sf_dir):
     truncation to the first m PASSING entries (no 2-hop detours, no
     failing-node distance evals — ~2× faster per query than ACORN-1 at
     slightly lower recall; holds down to selectivity ≈ 1/γ). Approximate
-    op → rows-only, pytest floors."""
+    op → rows-only, pytest floors.
+
+    r8: build-once/search-many persisted index (acorn_benchmark builds
+    offline), with γ set FROM the measured workload selectivity the way
+    the ACORN paper prescribes (γ ≈ 1/s with headroom, clamped to
+    [2,16]): the r7 sf1 run showed γ=4 at selectivity ≈ 0.2 sits exactly
+    ON the 1/γ recall boundary (0.82) — deriving γ from the permission
+    metadata moves the workload INSIDE the holding regime instead of on
+    its edge."""
     from vectorsearch_rbac_spark.operators import graph_ann
 
     t = _rbac(spark, sf_dir)
-    pred = graph_ann.acorn_search(
-        t["documentblocks"], t["queries"], t["query_roles"], k=TOPK, m=8,
-        ef=96, gamma=4,
+
+    def build():
+        # workload selectivity from the SAME relations the predicate
+        # evaluates: per-query permitted-doc fraction, taken at the 10th
+        # PERCENTILE — the paper sizes γ by the workload's minimum
+        # selectivity, not its average (the r7 sf1 dip was exactly the
+        # low-selectivity tail sitting on the 1/γ boundary). Two
+        # aggregates, once per sf.
+        per_q = (
+            t["query_roles"].join(t["permission_assignment"], "role_id")
+            .groupBy("query_id")
+            .agg(F.countDistinct("document_id").alias("n_ok"))
+        )
+        n_d = t["documentblocks"].select("document_id").distinct().count()
+        sel = per_q.agg(
+            F.expr("percentile(n_ok, 0.1)").alias("p10")
+        ).first()["p10"] / max(n_d, 1)
+        import math
+
+        sel = max(float(sel or 0.0), 1e-6)
+        # floor at 4: below ~4·m unpruned candidates the diverse-first
+        # truncation has too little room to keep long-ish edges and the
+        # searched graph loses navigability REGARDLESS of selectivity
+        # (sf1/20k probe at ef=96: γ=2 → 0.74 recall, γ=4 → 0.91)
+        gamma = int(min(16, max(4, math.ceil(1.25 / sel))))
+        g = graph_ann.build_acorn_graph(
+            t["documentblocks"], m=8, gamma=gamma
+        ).localCheckpoint()
+        return gamma, g
+
+    gamma, g = _cached(("acorn_graph_gamma", sf_dir), build)
+    pred = graph_ann.acorn_search_indexed(
+        t["documentblocks"], g, t["queries"], t["query_roles"], k=TOPK, m=8,
+        ef=96, gamma=gamma,
         permissions=t["permission_assignment"],  # predicate supplied AS DATA
     )
     truth = _cached(("truth_prefilter", sf_dir),
@@ -2037,9 +2089,10 @@ def q_ann_recall(spark, sf_dir):
     D2 graph NSW (partition-local kNN graph + ef-beam search), D2×D4
     role-routed per-partition graph search vs the exact dynamic answer,
     D5 ACORN-1 predicate-aware traversal vs the exact permitted answer,
-    and (r6) D5 ACORN-γ dense-graph neighbor-truncation traversal —
-    approximate ops, so rows-only by design; pytest pins the recall
-    floors."""
+    and (r6) D5 ACORN-γ dense-graph neighbor-truncation traversal (both
+    r8: build-once/search-many persisted indexes, γ derived from
+    workload selectivity) — approximate ops, so rows-only by design;
+    pytest pins the recall floors."""
     parts = [
         ("ivf", q_ivf_recall(spark, sf_dir)),
         ("lsh", q_lsh_recall(spark, sf_dir)),

@@ -463,6 +463,32 @@ def test_acorn_gamma_and_exact(spark, sf_dir):
     assert diff == 0 and exact.count() == truth.count()
 
 
+def test_acorn_indexed_equals_fused(spark, sf_dir):
+    """D5 persisted-index path (r8): acorn_search_indexed over a
+    build_acorn_graph adjacency must return EXACTLY the rows the fused
+    acorn_search computes with the same knobs — same deterministic build,
+    same traversal, with the build amortized build-once/search-many. Both
+    ACORN-1 (2-hop) and ACORN-γ (stored distance-sorted lists replace the
+    per-search re-sort) are pinned, with the predicate supplied as data."""
+    import __spark_entry__ as entry
+    from vectorsearch_rbac_spark.operators import graph_ann
+
+    t = entry._rbac(spark, sf_dir)
+    blocks, qs, qr = t["documentblocks"], t["queries"], t["query_roles"]
+    perms = t["permission_assignment"]
+    for gamma, ef in ((1, 48), (4, 96)):
+        g = graph_ann.build_acorn_graph(blocks, m=8, gamma=gamma).localCheckpoint()
+        fused = graph_ann.acorn_search(
+            blocks, qs, qr, k=10, m=8, ef=ef, gamma=gamma, permissions=perms
+        ).select("query_id", "block_id", "rank")
+        indexed = graph_ann.acorn_search_indexed(
+            blocks, g, qs, qr, k=10, m=8, ef=ef, gamma=gamma, permissions=perms
+        ).select("query_id", "block_id", "rank")
+        assert indexed.exceptAll(fused).count() == 0
+        assert fused.exceptAll(indexed).count() == 0
+        assert indexed.count() == fused.count() > 0
+
+
 def test_graph_index_lifecycle(spark, sf_dir):
     """D2 maintenance parity (insertion/deletion): a prebuilt adjacency
     searches at full recall; incremental inserts link new nodes (search

@@ -86,7 +86,14 @@ def sparse_cosine_distance(ia: ColumnOrName, va: ColumnOrName, ib: ColumnOrName,
     division — so the NaN is explicit (try_divide + coalesce, not a
     when-guard: CaseWhen defeats subexpression elimination and would
     fold the norms twice per row). NaN sorts last ascending in both
-    engines, so empty sparse vectors never enter a top-k."""
+    engines, so empty sparse vectors never enter a top-k.
+
+    Semantics note: the coalesce also maps NULL INPUT vectors to NaN
+    (try_divide returns NULL for both /0 and null operands) — a
+    deliberate widening over plain NULL propagation, since an ascending
+    NULLS FIRST rank would have placed null-vector rows at the TOP of a
+    distance top-k; as NaN they sort last instead. Callers needing NULL
+    propagation should isnull-guard before calling."""
     return F.lit(1.0) - F.coalesce(
         F.try_divide(
             sparse_inner_product(ia, va, ib, vb),

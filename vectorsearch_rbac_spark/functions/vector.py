@@ -75,7 +75,11 @@ def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
     # enters a top-k. try_divide (NULL on /0) rather than a when-guard:
     # CaseWhen branches defeat common-subexpression elimination, so a
     # guard would fold the HOF norms TWICE per row (measured 2x on the
-    # brute-force cosine scan).
+    # brute-force cosine scan). Semantics note: the coalesce also maps
+    # NULL input vectors to NaN (try_divide is NULL for null operands
+    # too) — deliberate, so null-vector rows sort LAST in a distance
+    # rank instead of FIRST under NULLS FIRST; isnull-guard upstream if
+    # NULL propagation is needed.
     return F.coalesce(
         F.try_divide(inner_product(a, b), vector_norm(a) * vector_norm(b)),
         F.lit(float("nan")),

@@ -108,8 +108,10 @@ def _knn_adjacency(vecs: np.ndarray, m: int, ring: bool = True) -> list[list[int
     norms = (vecs * vecs).sum(axis=1)
     adj: list[set[int]] = [set() for _ in range(n)]
     # block sized so the d² slab stays ≤ ~256 MB regardless of n (a
-    # fixed 4096-row block is 1 GB/slab at 32k rows)
-    block = max(256, min(4096, 32_000_000 // max(n, 1)))
+    # fixed 4096-row block is 1 GB/slab at 32k rows; no lower floor —
+    # a 256-row floor would let explicit method="exact" builds above
+    # ~125k rows outgrow the slab bound)
+    block = max(1, min(4096, 32_000_000 // max(n, 1)))
     for s in range(0, n, block):
         e = min(s + block, n)
         d2 = norms[s:e, None] + norms[None, :] - 2.0 * (vecs[s:e] @ vecs.T)
@@ -246,7 +248,9 @@ def _beam_cut(beam, k):
     positions are id-sorted in every caller, so position order == id
     order. Without this, an unrounded cut could drop a row the oracle
     places inside the top-k when ~(expansion−1)·k near-duplicate
-    distances collide at the 6th decimal."""
+    distances collide at the 6th decimal. The half-up emulation matches
+    Spark's BigDecimal-on-shortest-repr ROUND in practice, not by
+    bit-level guarantee (see the same caveat in ivf.py's kernel)."""
     out = [(-nd, u) for nd, u in beam]
     out.sort(key=lambda t: (
         math.floor(math.sqrt(t[0] if t[0] > 0.0 else 0.0) * 1e6 + 0.5), t[1]
@@ -1045,6 +1049,59 @@ def _sorted_neighbors(vecs: np.ndarray, adj: list[list[int]],
     return out
 
 
+def _diverse_sorted_neighbors(vecs: np.ndarray, adj: list[list[int]],
+                              norms: np.ndarray) -> list[np.ndarray]:
+    """Each node's neighbor list ordered DIVERSE-FIRST: walk the
+    distance-sorted candidates through hnswlib's diversity heuristic
+    (keep iff closer to the base than to every kept — _select_neighbors)
+    and emit the kept edges first (in distance order), then the rejected
+    ones (in distance order). ACORN-γ's "first m passing" truncation over
+    THIS order reduces, at selectivity → 1, to exactly the diverse
+    m-degree graph ACORN-1 traverses — instead of the nearest-m kNN graph
+    a pure distance order truncates to, which LOSES NAVIGABILITY as the
+    partition grows (the r6 build finding, re-measured for γ search at
+    sf1: recall 0.73 distance-ordered vs 0.9+ diverse-first at γ=2). At
+    low selectivity the passing prefix reaches into the same γ·m
+    candidates either way. One small gram matrix per node — O(E·γm)
+    build-time, nothing at search time."""
+    out = []
+    for u, nb in enumerate(adj):
+        if len(nb) == 0:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        nv = np.asarray(nb, dtype=np.int64)
+        d2 = norms[nv] - 2.0 * (vecs[nv] @ vecs[u]) + norms[u]
+        order = np.lexsort((nv, d2))
+        cv = vecs[nv]
+        g = cv @ cv.T
+        sq = np.einsum("ij,ij->i", cv, cv)
+        dcc = sq[:, None] + sq[None, :] - 2.0 * g
+        kept: list[int] = []
+        rej: list[int] = []
+        karr = np.empty(len(nv), dtype=np.int64)
+        nk = 0
+        for j in order:
+            if nk == 0 or (dcc[j, karr[:nk]] >= d2[j]).all():
+                kept.append(j)
+                karr[nk] = j
+                nk += 1
+            else:
+                rej.append(j)
+        out.append(nv[np.asarray(kept + rej, dtype=np.int64)])
+    return out
+
+
+def _order_gamma_lists(vecs, adj, norms, neighbor_order: str):
+    """Order each γ-list for the "first m passing" truncation:
+    ``"diverse"`` (default — diverse-first, scale-safe) or
+    ``"distance"`` (the paper's literal §4.2 re-sort)."""
+    if neighbor_order == "diverse":
+        return _diverse_sorted_neighbors(vecs, adj, norms)
+    if neighbor_order == "distance":
+        return _sorted_neighbors(vecs, adj, norms)
+    raise ValueError(f"unknown neighbor_order {neighbor_order!r}")
+
+
 def _acorn_gamma_beam(vecs, adj_sorted, q, k, ef, allowed, m, norms=None):
     """ACORN-γ traversal (Patel et al. 2024 §4.2): the graph was built
     DENSER (degree ≈ γ·m) and expansion of a node keeps the first ``m``
@@ -1091,6 +1148,30 @@ def _acorn_gamma_beam(vecs, adj_sorted, q, k, ef, allowed, m, norms=None):
     return _beam_cut(beam, k)
 
 
+def _with_role_meta(blocks: DataFrame, permissions: DataFrame | None):
+    """Attach the per-document role-set metadata column the ACORN
+    traversal evaluates its predicate from. With a ``permissions``
+    relation (any (role_id, document_id) PermissionAssignment table) the
+    role sets come from ONE doc-keyed hash join (derived frames lose size
+    stats → hint off SortMergeJoin; bucket both sides on document_id at
+    scale for a co-located join). With ``permissions=None`` the SAME
+    metadata is built by the testdata's arithmetic rule (SURVEY §4:
+    doc % 10 and (doc+3) % 10) — a default builder, not a baked-in
+    predicate: the traversal itself never sees the rule. Returns
+    ``(blocks_with_meta, droles_column)``."""
+    if permissions is not None:
+        doc_roles = permissions.groupBy("document_id").agg(
+            F.collect_set(F.col("role_id").cast("long")).alias("_droles")
+        )
+        with_roles = blocks.join(doc_roles.hint("SHUFFLE_HASH"), "document_id", "left")
+        droles_col = F.coalesce("_droles", F.array().cast("array<long>"))
+    else:
+        with_roles = blocks
+        d = F.col("document_id")
+        droles_col = F.array((d % 10).cast("long"), ((d + 3) % 10).cast("long"))
+    return with_roles, droles_col
+
+
 def acorn_search(
     blocks: DataFrame,
     queries: DataFrame,
@@ -1106,6 +1187,7 @@ def acorn_search(
     gamma: int = 1,
     max_hops: int | None = None,
     permissions: DataFrame | None = None,
+    neighbor_order: str = "diverse",
 ) -> DataFrame:
     """D5 completed as REAL predicate-aware graph traversal: one graph
     over the (un-partitioned) corpus, the RBAC predicate evaluated per
@@ -1140,24 +1222,16 @@ def acorn_search(
     expansion through failing runs; ``max_hops ≥ n`` with ``ef ≥ n`` is
     provably exhaustive over the allowed set (see :func:`_acorn_beam`),
     which :func:`acorn_exact_topk` uses for the oracle certification.
+
+    ``neighbor_order`` (γ>1 only) picks the γ-list order the truncation
+    walks: ``"diverse"`` (default) emits each node's hnswlib-heuristic
+    DIVERSE edges first so that at high selectivity the truncated graph
+    is the navigable diverse m-graph rather than a nearest-m kNN graph
+    (see :func:`_diverse_sorted_neighbors` — at sf1/20k the distance
+    order loses 0.17 recall at γ=2); ``"distance"`` is the paper's
+    literal §4.2 re-sort.
     """
-    if permissions is not None:
-        # predicate AS DATA: per-document role sets from the permission
-        # relation, one doc-keyed hash join (derived frames lose size
-        # stats → hint off SortMergeJoin; bucket both sides on
-        # document_id at scale for a co-located join)
-        doc_roles = permissions.groupBy("document_id").agg(
-            F.collect_set(F.col("role_id").cast("long")).alias("_droles")
-        )
-        with_roles = blocks.join(doc_roles.hint("SHUFFLE_HASH"), "document_id", "left")
-        droles_col = F.coalesce("_droles", F.array().cast("array<long>"))
-    else:
-        # default builder: the testdata's arithmetic assignment expressed
-        # as the same per-block metadata — zero joins, still predicate-
-        # as-data from the traversal's point of view
-        with_roles = blocks
-        d = F.col("document_id")
-        droles_col = F.array((d % 10).cast("long"), ((d + 3) % 10).cast("long"))
+    with_roles, droles_col = _with_role_meta(blocks, permissions)
     src = with_roles.select(
         F.col(id_col).alias("_id"),
         droles_col.alias("_droles"),
@@ -1186,22 +1260,6 @@ def acorn_search(
         blocks_pdf = blocks_pdf.sort_values("_id").reset_index(drop=True)
         vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
         ids = blocks_pdf["_id"].to_numpy()
-        # flatten the per-node role arrays once per partition; each
-        # query's allowed mask is then one vectorized membership test
-        # over the flat (node, role) pairs — O(E) per query, no Python
-        # loop over nodes
-        droles = blocks_pdf["_droles"].values
-        rlens = np.asarray(
-            [0 if x is None else len(x) for x in droles], dtype=np.int64
-        )
-        if int(rlens.sum()):
-            rflat = np.concatenate(
-                [np.asarray(x, dtype=np.int64) for x in droles
-                 if x is not None and len(x) > 0]
-            )
-        else:
-            rflat = np.empty(0, dtype=np.int64)
-        rnode = np.repeat(np.arange(len(droles)), rlens)
         norms = (vecs * vecs).sum(axis=1)
         if gamma > 1:
             # ACORN-γ's index is the UNPRUNED nearest-γm list (the paper
@@ -1221,105 +1279,115 @@ def acorn_search(
                     else "incremental"
                 )
             adj = _build_adjacency(vecs, m * gamma, method=method)
-            adj_sorted = _sorted_neighbors(vecs, adj, norms)
+            adj_sorted = _order_gamma_lists(vecs, adj, norms, neighbor_order)
         else:
             adj = _build_adjacency(vecs, m, method=build_method)
             adj_sorted = None
-        # per-query allowed masks + allowed-medoid entry points; queries
-        # whose permitted set is empty in this partition emit nothing
-        qids = q_pdf["query_id"].to_numpy()
-        qmat_full = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in q_pdf["query_vector"].values]
+        return _acorn_masked_search(
+            vecs, ids, norms, adj, adj_sorted,
+            blocks_pdf["_droles"].values, q_pdf,
+            k, ef, m, gamma, expand_2hop, max_hops,
         )
-        n_nodes = len(ids)
-        roles_list = [
-            [int(x) for x in rl] if rl is not None else []
-            for rl in q_pdf["_roles"].values
-        ]
-        # RBAC role-sets dedupe heavily (a handful of role combinations
-        # serve thousands of users), so the allowed mask and its medoid
-        # entry point are computed once per UNIQUE role set, never per
-        # query — queries sharing a role set share the mask row (a view)
-        key_to_u: dict[tuple[int, ...], int] = {}
-        uix = np.empty(len(roles_list), dtype=np.int64)
-        u_roles: list[list[int]] = []
-        for r, rls in enumerate(roles_list):
-            kk = tuple(sorted(set(rls)))
-            j = key_to_u.get(kk)
-            if j is None:
-                j = len(u_roles)
-                key_to_u[kk] = j
-                u_roles.append(list(kk))
-            uix[r] = j
-        u_mat = np.zeros((len(u_roles), n_nodes), dtype=bool)
-        for j, rls in enumerate(u_roles):
-            if rls and rflat.size:
-                hit = np.isin(rflat, np.asarray(rls, dtype=np.int64))
-                u_mat[j, rnode[hit]] = True
-        u_entries = np.full(len(u_roles), -1, dtype=np.int64)
-        routed = len(ids) > EXACT_BUILD_MAX
-        for j in range(len(u_roles)):
-            idx = np.flatnonzero(u_mat[j])
-            if idx.size == 0:
-                continue
-            if routed:
-                # above the crossover the per-query routing loop below
-                # overwrites every live entry — keep only the liveness
-                # marker, skip the medoid reduction
-                u_entries[j] = idx[0]
-                continue
-            sub = vecs[idx]
-            mean = sub.mean(axis=0)
-            u_entries[j] = idx[np.argmin(((sub - mean) ** 2).sum(axis=1))]
-        live = np.flatnonzero(u_entries[uix] >= 0)
-        if not live.size:
-            return pd.DataFrame(columns=["query_id", "_id", "distance"])
-        allowed_by_q = [u_mat[uix[r]] for r in live]
-        entries = u_entries[uix[live]]
-        if n_nodes > EXACT_BUILD_MAX:
-            # two-level entry routing above the crossover (see
-            # _batched_entries — the medoid entry loses the query's basin
-            # at 256k): per unique role set, each routed query enters at
-            # its nearest node among a ≤4096-node deterministic sample of
-            # the ALLOWED set, via one GEMM per role set
-            qmat_live = qmat_full[live]
-            uix_live = uix[live]
-            for j in np.unique(uix_live):
-                idx = np.flatnonzero(u_mat[j])
-                if not idx.size:
-                    continue
-                sel = idx[:: -(-idx.size // ENTRY_SAMPLE_MAX)]
-                qrows = np.flatnonzero(uix_live == j)
-                # chunk the distance GEMM over queries (same ~32 MB cap
-                # as _batched_entries) — one role set can cover a whole
-                # replicated mega-batch
-                step = max(1, 4_000_000 // sel.size)
-                for lo in range(0, qrows.size, step):
-                    qr = qrows[lo: lo + step]
-                    d = norms[sel][None, :] - 2.0 * (qmat_live[qr] @ vecs[sel].T)
-                    entries[qr] = sel[np.argmin(d, axis=1)]
-        empty = np.empty(0, dtype=np.int64)
-        if gamma > 1:
-            # ACORN-γ expansion: first m PASSING entries of the node's
-            # distance-sorted neighbor list (see _sorted_neighbors)
+
+    cand = (
+        src.groupBy("_part")
+        .cogroup(rq.groupBy("_qpart"))
+        .applyInPandas(search_cogroup, schema="query_id long, _id long, distance double")
+    )
+    return _rank_topk(cand, k, id_col)
+
+
+def _acorn_masked_search(
+    vecs: np.ndarray,
+    ids: np.ndarray,
+    norms: np.ndarray,
+    adj: list[np.ndarray],
+    adj_sorted,
+    droles,
+    q_pdf: pd.DataFrame,
+    k: int,
+    ef: int,
+    m: int,
+    gamma: int,
+    expand_2hop: bool,
+    max_hops: int | None,
+) -> pd.DataFrame:
+    """Shared partition-local ACORN traversal: per-UNIQUE-role-set allowed
+    masks (chunked so the mask block stays ≤ ~32 MB), two-level entry
+    routing above the build crossover, and the lockstep batched beam with
+    the γ / 2-hop / failing-run expansion variants. Used by the fused
+    :func:`acorn_search` (adjacency built in-cogroup) and the persisted
+    :func:`acorn_search_indexed` (adjacency joined from the index
+    table)."""
+    # flatten the per-node role arrays once per partition; each
+    # query's allowed mask is then one vectorized membership test
+    # over the flat (node, role) pairs — O(E) per query, no Python
+    # loop over nodes
+    rlens = np.asarray(
+        [0 if x is None else len(x) for x in droles], dtype=np.int64
+    )
+    if int(rlens.sum()):
+        rflat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in droles
+             if x is not None and len(x) > 0]
+        )
+    else:
+        rflat = np.empty(0, dtype=np.int64)
+    rnode = np.repeat(np.arange(len(droles)), rlens)
+    # per-query allowed masks + allowed-medoid entry points; queries
+    # whose permitted set is empty in this partition emit nothing
+    qids = q_pdf["query_id"].to_numpy()
+    qmat_full = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in q_pdf["query_vector"].values]
+    )
+    n_nodes = len(ids)
+    roles_list = [
+        [int(x) for x in rl] if rl is not None else []
+        for rl in q_pdf["_roles"].values
+    ]
+    # RBAC role-sets dedupe heavily (a handful of role combinations
+    # serve thousands of users), so the allowed mask and its medoid
+    # entry point are computed once per UNIQUE role set, never per
+    # query — queries sharing a role set share the mask row (a view)
+    key_to_u: dict[tuple[int, ...], int] = {}
+    uix = np.empty(len(roles_list), dtype=np.int64)
+    u_roles: list[list[int]] = []
+    for r, rls in enumerate(roles_list):
+        kk = tuple(sorted(set(rls)))
+        j = key_to_u.get(kk)
+        if j is None:
+            j = len(u_roles)
+            key_to_u[kk] = j
+            u_roles.append(list(kk))
+        uix[r] = j
+    routed = len(ids) > EXACT_BUILD_MAX
+    empty = np.empty(0, dtype=np.int64)
+    # expand-closure factories: adjacency structures build ONCE; the
+    # allowed masks are bound per role-set chunk below
+    if gamma > 1:
+        # ACORN-γ expansion: first m PASSING entries of the node's
+        # distance-sorted neighbor list (see _sorted_neighbors)
+        def make_expand(allowed_by_q):
             def expand(i, u):
                 nb = adj_sorted[u]
                 if not nb.size:
                     return nb
                 return nb[allowed_by_q[i][nb]][:m]
-        elif max_hops is None:
-            # padded 2-D adjacency: row v = v's neighbors padded with v
-            # itself, so one fancy gather + ravel yields ALL 2-hop
-            # candidates (pads self-filter: a pad is its own failing
-            # node, so the allowed mask drops it; the popped node's own
-            # pads are visited). Row-major order == the canonical
-            # passing-then-2hop order _acorn_beam documents.
-            dmax = max((len(a) for a in adj), default=0) or 1
-            adj2d = np.empty((len(adj), dmax), dtype=np.int64)
-            for v, a in enumerate(adj):
-                adj2d[v, : len(a)] = a
-                adj2d[v, len(a):] = v
+            return expand
+    elif max_hops is None:
+        # padded 2-D adjacency: row v = v's neighbors padded with v
+        # itself, so one fancy gather + ravel yields ALL 2-hop
+        # candidates (pads self-filter: a pad is its own failing
+        # node, so the allowed mask drops it; the popped node's own
+        # pads are visited). Row-major order == the canonical
+        # passing-then-2hop order _acorn_beam documents.
+        dmax = max((len(a) for a in adj), default=0) or 1
+        adj2d = np.empty((len(adj), dmax), dtype=np.int64)
+        for v, a in enumerate(adj):
+            adj2d[v, : len(a)] = a
+            adj2d[v, len(a):] = v
 
+        def make_expand(allowed_by_q):
             def expand(i, u):
                 al = allowed_by_q[i]
                 nb = adj2d[u]
@@ -1332,14 +1400,19 @@ def acorn_search(
                     return passing
                 two = adj2d[failing].ravel()
                 return np.concatenate([passing, two[al[two]]])
-        else:
-            adjarr = adj
-            # deep expansion through failing runs with a PER-QUERY memo
-            # (bool array, allocated LAZILY on a query's first expansion
-            # so memory tracks queries actually in BFS mode, not the
-            # batch size): every failing node traversed at most once per
-            # query (total expansion work O(E)); max_hops >= n + ef >= n
-            # => provably exhaustive over the allowed set (acorn_exact)
+            return expand
+    else:
+        adjarr = adj
+
+        def make_expand(allowed_by_q):
+            # deep expansion through failing runs with a PER-QUERY
+            # memo (bool array, allocated LAZILY on a query's first
+            # expansion so memory tracks queries actually in BFS
+            # mode, not the batch size): every failing node traversed
+            # at most once per query (total expansion work O(E));
+            # max_hops >= n + ef >= n => provably exhaustive over the
+            # allowed set (acorn_exact). Fresh memo per chunk — i is
+            # the chunk-local query index.
             seen_fail: dict[int, np.ndarray] = {}
 
             def expand(i, u):
@@ -1364,20 +1437,217 @@ def acorn_search(
                     layer = np.concatenate([adjarr[int(v)] for v in failing])
                     depth += 1
                 return np.concatenate(out) if out else empty
+            return expand
 
+    # the (unique role sets × nodes) bool mask is O(U·n): with
+    # per-query-distinct role sets (tree/ERBAC closures) on a large
+    # partition that is GBs if allocated at once — so role sets are
+    # processed in chunks whose mask block stays ≤ ~32 MB (the same
+    # cap _batched_beams puts on its visited matrix); masks, entry
+    # routing, and the beam all run per chunk, and queries sharing a
+    # role set still share one mask row (a view)
+    n_u = len(u_roles)
+    uchunk = max(1, 32_000_000 // max(n_nodes, 1))
+    rows: list[tuple[int, int, float]] = []
+    for u0 in range(0, n_u, uchunk):
+        u1 = min(u0 + uchunk, n_u)
+        mask = np.zeros((u1 - u0, n_nodes), dtype=bool)
+        for ju in range(u1 - u0):
+            rls = u_roles[u0 + ju]
+            if rls and rflat.size:
+                hit = np.isin(rflat, np.asarray(rls, dtype=np.int64))
+                mask[ju, rnode[hit]] = True
+        entries_u = np.full(u1 - u0, -1, dtype=np.int64)
+        for ju in range(u1 - u0):
+            idx = np.flatnonzero(mask[ju])
+            if idx.size == 0:
+                continue
+            if routed:
+                # above the crossover the per-query routing loop
+                # below overwrites every live entry — keep only the
+                # liveness marker, skip the medoid reduction
+                entries_u[ju] = idx[0]
+                continue
+            sub = vecs[idx]
+            mean = sub.mean(axis=0)
+            entries_u[ju] = idx[np.argmin(((sub - mean) ** 2).sum(axis=1))]
+        in_chunk = np.flatnonzero((uix >= u0) & (uix < u1))
+        live = in_chunk[entries_u[uix[in_chunk] - u0] >= 0]
+        if not live.size:
+            continue
+        uix_live = uix[live] - u0
+        allowed_by_q = [mask[jl] for jl in uix_live]
+        entries = entries_u[uix_live].copy()
+        if routed:
+            # two-level entry routing above the crossover (see
+            # _batched_entries — the medoid entry loses the query's
+            # basin at 256k): per unique role set, each routed query
+            # enters at its nearest node among a ≤4096-node
+            # deterministic sample of the ALLOWED set, one GEMM per
+            # role set
+            qmat_live = qmat_full[live]
+            for ju in np.unique(uix_live):
+                idx = np.flatnonzero(mask[ju])
+                if not idx.size:
+                    continue
+                sel = idx[:: -(-idx.size // ENTRY_SAMPLE_MAX)]
+                qrows = np.flatnonzero(uix_live == ju)
+                # chunk the distance GEMM over queries (same ~32 MB
+                # cap as _batched_entries) — one role set can cover
+                # a whole replicated mega-batch
+                step = max(1, 4_000_000 // sel.size)
+                for lo in range(0, qrows.size, step):
+                    qr = qrows[lo: lo + step]
+                    d = norms[sel][None, :] - 2.0 * (qmat_live[qr] @ vecs[sel].T)
+                    entries[qr] = sel[np.argmin(d, axis=1)]
         found = _batched_beams(
-            vecs, norms, qmat_full[live], np.asarray(entries, dtype=np.int64),
-            k, ef, expand,
+            vecs, norms, qmat_full[live],
+            np.asarray(entries, dtype=np.int64), k, ef,
+            make_expand(allowed_by_q),
             # only multi-hop detours can reach a node twice in one
             # expansion; γ's truncated sorted lists are duplicate-free
             dedupe=(gamma <= 1),
         )
-        rows = [
+        rows.extend(
             (int(qids[live[i]]), int(ids[u]), float(np.sqrt(max(d2, 0.0))))
             for i, res in enumerate(found)
             for d2, u in res
+        )
+    return pd.DataFrame(rows, columns=["query_id", "_id", "distance"])
+
+
+def build_acorn_graph(
+    blocks: DataFrame,
+    m: int = 8,
+    gamma: int = 1,
+    id_col: str = "block_id",
+    vec_col: str = "vector",
+    part_col: str | None = None,
+    build_method: str = "auto",
+    neighbor_order: str = "diverse",
+) -> DataFrame:
+    """Materialize the ACORN adjacency as ``(part, id, neighbors)`` — the
+    build-once/search-many index the reference's acorn_benchmark/ builds
+    offline. γ=1 stores the diverse (hnswlib-heuristic) graph ACORN-1
+    traverses; γ>1 stores the UNPRUNED nearest-γ·m lists ordered for the
+    γ search's "first m passing" truncation (``neighbor_order``:
+    diverse-first by default, the paper's literal distance sort on
+    request — see :func:`acorn_search`), so the search gathers stored
+    order with no per-search re-sort. Same build crossovers as the fused
+    :func:`acorn_search` (γ-mode blocked-BLAS exact up to 8× the NSW
+    crossover)."""
+
+    src = blocks.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("part"),
+    )
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        vecs = np.stack(pdf["_vec"].values).astype(np.float64)
+        ids = pdf["_id"].to_numpy()
+        if gamma > 1:
+            method = build_method
+            if method == "auto":
+                method = (
+                    "exact" if vecs.shape[0] <= 8 * EXACT_BUILD_MAX
+                    else "incremental"
+                )
+            norms = (vecs * vecs).sum(axis=1)
+            adj = _order_gamma_lists(
+                vecs, _build_adjacency(vecs, m * gamma, method=method),
+                norms, neighbor_order,
+            )
+        else:
+            adj = _build_adjacency(vecs, m, method=build_method)
+        part = pdf["part"].iloc[0]
+        return pd.DataFrame(
+            {
+                "part": part,
+                "id": ids,
+                "neighbors": [[int(ids[v]) for v in a] for a in adj],
+            }
+        )
+
+    return src.groupBy("part").applyInPandas(
+        build_group, schema="part long, id long, neighbors array<long>"
+    )
+
+
+def acorn_search_indexed(
+    blocks: DataFrame,
+    adjacency: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ef: int = 48,
+    id_col: str = "block_id",
+    vec_col: str = "vector",
+    part_col: str | None = None,
+    expand_2hop: bool = True,
+    gamma: int = 1,
+    max_hops: int | None = None,
+    permissions: DataFrame | None = None,
+) -> DataFrame:
+    """ACORN over a PREBUILT :func:`build_acorn_graph` adjacency — no
+    graph rebuild per query batch (nsw_search_indexed idiom): vectors and
+    role metadata join their stored neighbor lists on the id key inside
+    each partition, queries + role sets replicate as ONE relation, and
+    the traversal runs exactly as in :func:`acorn_search` (shared
+    :func:`_acorn_masked_search`). ``gamma`` must match the build: γ>1
+    indexes store distance-sorted unpruned lists, γ=1 the diverse graph.
+    This is the production search-many path; the fused build stays
+    certified through acorn_exact."""
+    with_roles, droles_col = _with_role_meta(blocks, permissions)
+    src = with_roles.select(
+        F.col(id_col).alias("_id"),
+        droles_col.alias("_droles"),
+        F.col(vec_col).alias("_vec"),
+        (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("_part"),
+    ).join(
+        adjacency.select(
+            F.col("part").alias("_part"), F.col("id").alias("_id"), "neighbors"
+        ),
+        ["_part", "_id"],
+    )
+    q_with_roles = queries.select("query_id", "query_vector").join(
+        query_roles.groupBy("query_id").agg(
+            F.collect_set(F.col("role_id").cast("long")).alias("_roles")
+        ),
+        "query_id",
+        "left",
+    )
+    # partition values from the adjacency table, not src: src is the
+    # corpus⋈adjacency join, which Catalyst would execute twice
+    rq = _replicate_queries(
+        src, q_with_roles, adjacency.select(F.col("part").alias("_part"))
+    )
+
+    def search_cogroup(blocks_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(columns=["query_id", "_id", "distance"])
+        blocks_pdf = blocks_pdf.sort_values("_id").reset_index(drop=True)
+        vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
+        ids = blocks_pdf["_id"].to_numpy()
+        pos = {int(i): p for p, i in enumerate(ids)}
+        adj = [
+            np.asarray(
+                [pos[int(v)] for v in (nbrs if nbrs is not None else [])
+                 if int(v) in pos],
+                dtype=np.int64,
+            )
+            for nbrs in blocks_pdf["neighbors"].values
         ]
-        return pd.DataFrame(rows, columns=["query_id", "_id", "distance"])
+        norms = (vecs * vecs).sum(axis=1)
+        return _acorn_masked_search(
+            vecs, ids, norms, adj,
+            # stored order IS the distance order for γ builds
+            adj if gamma > 1 else None,
+            blocks_pdf["_droles"].values, q_pdf,
+            k, ef, m, gamma, expand_2hop, max_hops,
+        )
 
     cand = (
         src.groupBy("_part")

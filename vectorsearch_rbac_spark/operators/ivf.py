@@ -185,9 +185,13 @@ def ivf_search(
             else:
                 raise ValueError(metric)
             # HALF-UP 6-dp rounding (Spark ROUND semantics, sign-aware) so
-            # the default path's emitted distances bit-match the impl="expr"
+            # the default path's emitted distances match the impl="expr"
             # formulation the SQL oracle replays — np.round is half-EVEN and
-            # diverges on exact .5 ties at the 6th decimal
+            # diverges on exact .5 ties at the 6th decimal. "Match" is
+            # empirical, not a bit-level guarantee: Spark rounds doubles via
+            # BigDecimal on the shortest decimal repr, so when |D|*1e6
+            # floating error crosses a .5 boundary the two can still diverge
+            # (a repr-based Decimal round would close that gap if ever needed)
             D = np.sign(D) * np.floor(np.abs(D) * 1e6 + 0.5) / 1e6 + 0.0
             qid = pdf["query_id"].to_numpy()
             bid = pdf["block_id"].to_numpy()
