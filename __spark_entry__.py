@@ -323,16 +323,48 @@ def q_sparse_cosine_topk(spark, sf_dir):
 
 def q_rbac_adaptive_topk(spark, sf_dir):
     """ACORN-style adaptive routing, exact-oracled: the oracle reproduces
-    both the per-query strategy choice (rounded selectivity threshold) and
-    each branch's exact semantics (postfilter = top-40 expand → filter)."""
+    both the per-query strategy choice and each branch's exact semantics.
+    r8 makes the router THREE-way (scan_cost_routing — prefilter sel·N /
+    postfilter k·e/sel / ACORN ef·m, the paper's regime picture as a
+    certified decision rule) and the ACORN arm runs the exhaustive
+    exact-certified traversal, so the routed union stays under the hash
+    gate. Two sections: 'base' = the testdata workload (high selectivity
+    → its decisions certify the cost comparison even when the acorn band
+    is empty at bench corpus sizes), 'gen' = the B3 tree-generated RBAC
+    workload whose {1/27, 1/9, 1/3, 1} selectivity tiers spread the
+    decisions (acorn knobs ef=12·m=4 put the constant between the
+    tiers' scan costs); across the two sections all three arms populate
+    at the gate's query count."""
     from vectorsearch_rbac_spark.plans.strategy import adaptive_knn
+    from vectorsearch_rbac_spark.rbac import generators
 
     t = _rbac(spark, sf_dir)
-    out = adaptive_knn(
+    base = adaptive_knn(
         t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"],
-        t["user_roles"], k=TOPK,
+        t["user_roles"], k=TOPK, routing_mode="cost3",
+    ).select(F.lit("base").alias("section"), "*")
+
+    n_docs = t["documents"].count()
+    g = generators.tree_rbac(spark, num_users=100, num_documents=n_docs, height=3, branching=3)
+    gqs = t["queries"].withColumn(
+        "user_id", F.floor(F.col("query_id") / QUERY_STRIDE) % 100 + 1
     )
-    return _i(out, "query_id", "block_id", "document_id", "rank")
+    gqroles = (
+        gqs.select("query_id", "user_id")
+        .join(g["user_roles"], "user_id")
+        .select("query_id", "role_id")
+        .distinct()
+        .localCheckpoint()  # dim-sized, consumed by every routed arm
+    )
+    gpa = g["permission_assignment"].withColumn(
+        "document_id", F.col("document_id") % n_docs
+    ).distinct().localCheckpoint()  # role×doc closure, reused per arm
+    gen = adaptive_knn(
+        t["documentblocks"], gqs, gqroles, gpa, g["user_roles"], k=TOPK,
+        routing_mode="cost3", acorn_ef=12, acorn_m=4,
+    ).select(F.lit("gen").alias("section"), "*")
+
+    return _i(base.unionAll(gen), "query_id", "block_id", "document_id", "rank")
 
 
 def q_generated_rbac_topk(spark, sf_dir):
@@ -2902,7 +2934,8 @@ SELECT 'orphans', 'ALL',
 # (rounded selectivity >= 0.5 → postfilter, else prefilter) and each
 # branch's exact semantics (postfilter = global top-40 → permission filter)
 _ADAPTIVE_SQL = _RBAC_CTE + """
-, uroles AS (
+, nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM blocks),
+uroles AS (
   SELECT c_custkey AS user_id, c_custkey % 10 AS role_id FROM customer
   UNION
   SELECT c_custkey AS user_id, (c_custkey * 7 + 3) % 10 AS role_id FROM customer
@@ -2916,22 +2949,33 @@ sel AS (
   FROM acc JOIN blocks USING (document_id)
   GROUP BY user_id
 ),
-route AS (
-  -- cost-model crossover (compute_query_time parity): postfilter wins
-  -- when sel >= sqrt(k*expansion / N) = sqrt(40 / |blocks|)
-  SELECT q.query_id,
-         CASE WHEN COALESCE(s.selectivity, 0.0)
-                   >= sqrt(40.0 / (SELECT COUNT(*) FROM blocks)) THEN 'postfilter'
-              ELSE 'prefilter' END AS strategy
+selq AS (
+  SELECT q.query_id, COALESCE(s.selectivity, 0.0) AS s
   FROM qs q LEFT JOIN sel s USING (user_id)
 ),
+route AS (
+  -- three-way predicted-scan-cost rule (scan_cost_routing parity):
+  -- prefilter sel*N, postfilter k*e/sel (index-walk model), ACORN ef*m
+  -- (constant); argmin with the postfilter >= acorn >= prefilter tie
+  -- order. base knobs ef=48, m=8 -> 384.0
+  SELECT sq.query_id,
+         CASE WHEN (CASE WHEN sq.s > 0 THEN 40.0 / sq.s ELSE 1e18 END) <= 384.0
+                   AND (CASE WHEN sq.s > 0 THEN 40.0 / sq.s ELSE 1e18 END) <= sq.s * nb.n
+              THEN 'postfilter'
+              WHEN 384.0 <= sq.s * nb.n THEN 'acorn'
+              ELSE 'prefilter' END AS strategy
+  FROM selq sq, nb
+),
 scored_pre AS (
+  -- prefilter AND acorn arms: the acorn arm runs the exhaustive
+  -- exact-certified traversal (acorn_exact_topk), provably equal to the
+  -- filtered brute force, so both arms replay as the prefilter shape
   SELECT d.query_id, b.block_id, b.document_id,
          ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
   FROM qdocs d
   JOIN blocks b USING (document_id)
   JOIN qs q ON q.query_id = d.query_id
-  WHERE d.query_id IN (SELECT query_id FROM route WHERE strategy = 'prefilter')
+  WHERE d.query_id IN (SELECT query_id FROM route WHERE strategy IN ('prefilter', 'acorn'))
 ),
 pre AS (
   SELECT query_id, block_id, document_id, distance, rank FROM (
@@ -2960,11 +3004,109 @@ post AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
     FROM filtered
   ) WHERE rank <= 10
+),
+base_out AS (
+  SELECT 'base' AS section, u.query_id, u.block_id, u.document_id, u.distance,
+         u.rank, r.strategy
+  FROM (SELECT * FROM pre UNION ALL SELECT * FROM post) u
+  JOIN route r USING (query_id)
+),
+-- gen section: B3 tree RBAC (tree_based_rbac_data_generator parity,
+-- same CTEs as the generated_rbac_topk oracle), selectivity tiers
+-- {1/27, 1/9, 1/3, 1} routed by the SAME rule with ef=12, m=4 -> 48.0
+params AS (SELECT GREATEST(1, COUNT(*) // 27) AS dp, COUNT(*) AS nd FROM documents),
+gusers AS (SELECT unnest(range(1, 101)) AS user_id),
+guroles AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('42:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 40 AS INT) AS role_id
+  FROM gusers
+),
+gqs AS (SELECT query_id, query_id // 100 % 100 + 1 AS user_id FROM qs),
+gqroles AS (
+  SELECT DISTINCT q.query_id, u.role_id FROM gqs q JOIN guroles u USING (user_id)
+),
+gleaves AS (SELECT unnest(range(27)) AS leaf),
+gleafdocs AS (
+  SELECT leaf, u.d AS document_id
+  FROM gleaves, params, UNNEST(range(leaf * dp, (leaf + 1) * dp)) AS u(d)
+  WHERE u.d < nd
+),
+ganc AS (
+  SELECT leaf, CAST((leaf + 13 - (bk - 1) // 2) // bk AS INT) AS role_id
+  FROM gleaves, UNNEST([1, 3, 9, 27]) AS p(bk)
+),
+gpa AS (
+  SELECT DISTINCT a.role_id, d.document_id % (SELECT nd FROM params) AS document_id
+  FROM ganc a JOIN gleafdocs d USING (leaf)
+),
+gacc AS (
+  SELECT DISTINCT u.user_id, p.document_id
+  FROM guroles u JOIN gpa p USING (role_id)
+),
+gsel AS (
+  SELECT user_id, ROUND(COUNT(*) / (SELECT COUNT(*) FROM blocks), 6) AS selectivity
+  FROM gacc JOIN blocks USING (document_id)
+  GROUP BY user_id
+),
+gselq AS (
+  SELECT q.query_id, COALESCE(s.selectivity, 0.0) AS s
+  FROM gqs q LEFT JOIN gsel s USING (user_id)
+),
+groute AS (
+  SELECT sq.query_id,
+         CASE WHEN (CASE WHEN sq.s > 0 THEN 40.0 / sq.s ELSE 1e18 END) <= 48.0
+                   AND (CASE WHEN sq.s > 0 THEN 40.0 / sq.s ELSE 1e18 END) <= sq.s * nb.n
+              THEN 'postfilter'
+              WHEN 48.0 <= sq.s * nb.n THEN 'acorn'
+              ELSE 'prefilter' END AS strategy
+  FROM gselq sq, nb
+),
+gqdocs AS (SELECT DISTINCT r.query_id, p.document_id FROM gqroles r JOIN gpa p USING (role_id)),
+gscored_pre AS (
+  SELECT d.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM gqdocs d
+  JOIN blocks b USING (document_id)
+  JOIN qs q ON q.query_id = d.query_id
+  WHERE d.query_id IN (SELECT query_id FROM groute WHERE strategy IN ('prefilter', 'acorn'))
+),
+gpre AS (
+  SELECT query_id, block_id, document_id, distance, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+    FROM gscored_pre
+  ) WHERE rank <= 10
+),
+gscored_post AS (
+  SELECT q.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM blocks b CROSS JOIN qs q
+  WHERE q.query_id IN (SELECT query_id FROM groute WHERE strategy = 'postfilter')
+),
+gg AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS grank
+    FROM gscored_post
+  ) WHERE grank <= 40
+),
+gfiltered AS (
+  SELECT gg.query_id, gg.block_id, gg.document_id, gg.distance
+  FROM gg JOIN gqdocs d ON d.query_id = gg.query_id AND d.document_id = gg.document_id
+),
+gpost AS (
+  SELECT query_id, block_id, document_id, distance, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+    FROM gfiltered
+  ) WHERE rank <= 10
+),
+gen_out AS (
+  SELECT 'gen' AS section, u.query_id, u.block_id, u.document_id, u.distance,
+         u.rank, r.strategy
+  FROM (SELECT * FROM gpre UNION ALL SELECT * FROM gpost) u
+  JOIN groute r USING (query_id)
 )
-SELECT u.query_id, u.block_id, u.document_id, u.distance,
-       CAST(u.rank AS INT) AS rank, r.strategy
-FROM (SELECT * FROM pre UNION ALL SELECT * FROM post) u
-JOIN route r USING (query_id)
+SELECT section, query_id, block_id, document_id, distance,
+       CAST(rank AS BIGINT) AS rank, strategy
+FROM (SELECT * FROM base_out UNION ALL SELECT * FROM gen_out)
 """
 
 # sharing_tree_rbac(num_roles=40, branching=3, seed=42) in SQL: docs with

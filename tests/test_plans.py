@@ -426,6 +426,70 @@ def test_cost_crossover_routing_adapts_to_corpus_size(spark, sf_dir):
     assert dense_routing[902] == "postfilter"  # boundary: >= routes to postfilter
 
 
+def test_three_way_cost_routing_and_acorn_arm(spark, sf_dir):
+    """D5 r8: scan_cost_routing must pick the argmin of the three
+    predicted scan costs (replayed in python from the same selectivity
+    table), and adaptive_knn's cost3 ACORN arm — the exhaustive certified
+    traversal — must return EXACTLY the prefilter answer for the queries
+    it serves (that equality is what lets the routed union sit under the
+    hash gate). Runs on the tree-generated RBAC workload whose {1/27,
+    1/9, 1/3, 1} selectivity tiers spread the decisions."""
+    from pyspark.sql import functions as F
+    from vectorsearch_rbac_spark.plans import strategy as S
+    from vectorsearch_rbac_spark.operators import knn
+    from vectorsearch_rbac_spark.rbac import generators
+    from vectorsearch_rbac_spark.rbac.derive import block_selectivity
+    import __spark_entry__ as entry
+
+    t = entry._rbac(spark, sf_dir)
+    blocks = t["documentblocks"]
+    n = blocks.count()
+    n_docs = t["documents"].count()
+    g = generators.tree_rbac(spark, num_users=100, num_documents=n_docs, height=3, branching=3)
+    gqs = t["queries"].withColumn(
+        "user_id", F.floor(F.col("query_id") / entry.QUERY_STRIDE) % 100 + 1
+    )
+    gqroles = (
+        gqs.select("query_id", "user_id").join(g["user_roles"], "user_id")
+        .select("query_id", "role_id").distinct()
+    )
+    gpa = g["permission_assignment"].withColumn(
+        "document_id", F.col("document_id") % n_docs
+    ).distinct()
+
+    sel = block_selectivity(g["user_roles"], gpa, blocks)
+    acorn_ef, acorn_m = 12, 4
+    routing = {
+        r["query_id"]: r["strategy"]
+        for r in S.scan_cost_routing(gqs, sel, n, k=10, expansion=4,
+                                     acorn_ef=acorn_ef, acorn_m=acorn_m).collect()
+    }
+    sel_by_user = {r["user_id"]: r["selectivity"] for r in sel.collect()}
+    for r in gqs.select("query_id", "user_id").collect():
+        s = sel_by_user.get(r["user_id"], 0.0)
+        pre, post, ac = s * n, (40.0 / s if s > 0 else 1e18), float(acorn_ef * acorn_m)
+        want = ("postfilter" if post <= ac and post <= pre
+                else "acorn" if ac <= pre else "prefilter")
+        assert routing[r["query_id"]] == want
+    # the tiered workload must actually split strategies
+    assert len(set(routing.values())) >= 2
+
+    out = S.adaptive_knn(
+        blocks, gqs, gqroles, gpa, g["user_roles"], k=10,
+        routing_mode="cost3", acorn_ef=acorn_ef, acorn_m=acorn_m,
+    )
+    acorn_q = out.where(F.col("strategy") == "acorn").select("query_id").distinct()
+    assert acorn_q.count() > 0, "tiered workload should route some queries to ACORN"
+    got = out.where(F.col("strategy") == "acorn").select(
+        "query_id", "block_id", "document_id", "rank"
+    )
+    truth = knn.knn_prefilter(blocks, gqs, gqroles, gpa, k=10).join(
+        F.broadcast(acorn_q), "query_id", "left_semi"
+    ).select("query_id", "block_id", "document_id", "rank")
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0
+
+
 def test_sql_surface_matches_dataframe_plan(spark, sf_dir):
     """The pure-SQL prefilter query over registered views must return the
     byte-identical result of the DataFrame API (same distance arithmetic,

@@ -1242,8 +1242,12 @@ def acorn_search(
         (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("_part"),
     )
     q_with_roles = queries.select("query_id", "query_vector").join(
-        query_roles.groupBy("query_id").agg(
-            F.collect_set(F.col("role_id").cast("long")).alias("_roles")
+        # dim-sized (one row per query) — broadcast: the aggregate erases
+        # size stats and a derived queries side would otherwise SMJ
+        F.broadcast(
+            query_roles.groupBy("query_id").agg(
+                F.collect_set(F.col("role_id").cast("long")).alias("_roles")
+            )
         ),
         "query_id",
         "left",
@@ -1613,8 +1617,12 @@ def acorn_search_indexed(
         ["_part", "_id"],
     )
     q_with_roles = queries.select("query_id", "query_vector").join(
-        query_roles.groupBy("query_id").agg(
-            F.collect_set(F.col("role_id").cast("long")).alias("_roles")
+        # dim-sized (one row per query) — broadcast: the aggregate erases
+        # size stats and a derived queries side would otherwise SMJ
+        F.broadcast(
+            query_roles.groupBy("query_id").agg(
+                F.collect_set(F.col("role_id").cast("long")).alias("_roles")
+            )
         ),
         "query_id",
         "left",

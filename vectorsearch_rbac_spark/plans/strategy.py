@@ -79,6 +79,48 @@ def strategy_routing(
     )
 
 
+def scan_cost_routing(
+    queries: DataFrame,
+    selectivity: DataFrame,
+    n_corpus: int,
+    k: int = 10,
+    expansion: int = 4,
+    acorn_ef: int = 48,
+    acorn_m: int = 8,
+) -> DataFrame:
+    """THREE-way predicted-scan-cost routing — the ACORN paper's regime
+    argument made the decision rule (its Fig. 1 pitch: prefilter wins at
+    tiny selectivity, postfilter at high, predicate-aware traversal in
+    between). Per query, under the same D9 linear scan model the 2-way
+    crossover uses, the predicted rows-scanned are
+
+    - prefilter: ``sel·N`` (score every permitted row),
+    - postfilter: ``k·expansion / sel`` (walk the global ranking until
+      enough permitted rows surface; index-walk model, compute_query_time
+      parity),
+    - ACORN: ``ef·m`` (beam evaluations — CONSTANT in both sel and N,
+      which is why the ACORN band WIDENS with corpus size: at N=2k it is
+      empty, at N=1M it spans sel ∈ [~ef·m/N, ~k·e/(ef·m)]).
+
+    argmin with a deterministic tie order (postfilter ≥ acorn ≥
+    prefilter), every cost from the same 6-dp-rounded selectivity and
+    plain literals, so a SQL oracle replays the DECISION bit-for-bit.
+    Dim-sized broadcast join, same as :func:`strategy_routing`."""
+    s = F.coalesce(F.col("selectivity"), F.lit(0.0))
+    pre = s * F.lit(float(n_corpus))
+    post = F.when(s > 0, F.lit(float(k * expansion)) / s).otherwise(F.lit(1e18))
+    ac = F.lit(float(acorn_ef * acorn_m))
+    strat = (
+        F.when((post <= ac) & (post <= pre), F.lit("postfilter"))
+        .when(ac <= pre, F.lit("acorn"))
+        .otherwise(F.lit("prefilter"))
+    )
+    return (
+        queries.join(F.broadcast(selectivity), "user_id", "left")
+        .select("query_id", strat.alias("strategy"))
+    )
+
+
 def adaptive_knn(
     blocks: DataFrame,
     queries: DataFrame,
@@ -90,6 +132,8 @@ def adaptive_knn(
     has_partition_layout: bool = False,
     routing_mode: str = "cost",
     expansion: int = 4,
+    acorn_ef: int = 48,
+    acorn_m: int = 8,
 ) -> DataFrame:
     """Route each query to the strategy its selectivity warrants, then union.
 
@@ -101,21 +145,67 @@ def adaptive_knn(
     ``routing_mode='cost'`` (default) derives the prefilter/postfilter
     threshold from the predicted-cost crossover sel* = sqrt(k·e/N)
     (:func:`cost_crossover_threshold` — compute_query_time parity);
-    ``'threshold'`` keeps the fixed 0.5 rule.
+    ``'threshold'`` keeps the fixed 0.5 rule; ``'cost3'`` routes
+    three-way over predicted scan costs (:func:`scan_cost_routing`) and
+    adds the ACORN arm — the mid-selectivity regime the 2-way rule hands
+    to prefilter. The ACORN arm here runs :func:`~..operators.graph_ann.
+    acorn_exact_topk` (exhaustive traversal — its result provably equals
+    the permitted exact answer, so the whole routed union stays under
+    the hash gate); the cost model prices the PRODUCTION beam (ef·m
+    evaluations), and production callers swap in acorn_search_indexed
+    over a prebuilt index for the same routing decision.
     """
-    sel = block_selectivity(user_roles, permission_assignment, blocks)
-    pf_threshold = (
-        cost_crossover_threshold(blocks.count(), k=k, expansion=expansion)
-        if routing_mode == "cost"
-        else 0.5
+    # selectivity only for the WORKLOAD's users (the routing left-joins by
+    # user_id, so non-query users' rows were dead weight): a full-user
+    # aggregate materializes |users|×|accessible docs| distinct pairs —
+    # 22 s for 15k users at sf0.1 vs ~1 s for the 20 queried — and at
+    # 100 TB the user table is unbounded while the query batch is not
+    sel = block_selectivity(
+        user_roles.join(
+            F.broadcast(queries.select("user_id").distinct()),
+            "user_id", "left_semi",
+        ),
+        permission_assignment, blocks,
     )
-    routing = strategy_routing(queries, sel, has_partition_layout,
-                               postfilter_threshold=pf_threshold)
+    if routing_mode == "cost3":
+        if metric != "l2":
+            raise ValueError("cost3 routing (ACORN arm) requires metric='l2'")
+        routing = scan_cost_routing(
+            queries, sel, blocks.count(), k=k, expansion=expansion,
+            acorn_ef=acorn_ef, acorn_m=acorn_m,
+        )
+    else:
+        pf_threshold = (
+            cost_crossover_threshold(blocks.count(), k=k, expansion=expansion)
+            if routing_mode == "cost"
+            else 0.5
+        )
+        routing = strategy_routing(queries, sel, has_partition_layout,
+                                   postfilter_threshold=pf_threshold)
+    # Q-row frame consumed by every arm's semi-join: materialize eagerly
+    # (lazy caches race under concurrently-scheduled union branches) so
+    # the selectivity aggregate runs once, not once per arm
+    routing = routing.localCheckpoint()
+
+    def _acorn_arm(blocks, qs, qr, pa, k=k, metric="l2"):
+        from ..operators import graph_ann
+
+        res = graph_ann.acorn_exact_topk(
+            blocks, qs, qr, k=k, m=acorn_m, expansion=expansion, permissions=pa
+        )
+        # Q×k result — broadcast it against the corpus for document_id
+        return (
+            F.broadcast(res)
+            .join(blocks.select("block_id", "document_id"), "block_id")
+            .select("query_id", "block_id", "document_id", "distance", "rank")
+        )
 
     impl = {
         "prefilter": knn.knn_prefilter,
         "postfilter": knn.knn_postfilter,
     }
+    if routing_mode == "cost3":
+        impl["acorn"] = _acorn_arm
     if has_partition_layout:
         impl["comb_partition"] = knn.knn_comb_role_partition
 
