@@ -321,6 +321,37 @@ def q_sparse_cosine_topk(spark, sf_dir):
     return _i(out, "query_id", "vec_id", "rank")
 
 
+def _tree_workload(spark, t, checkpoint: bool = False):
+    """The B3 tree-generated RBAC workload: 100 users hashed to the
+    40-role tree, queries spread over them by index, permissions folded
+    to the testdata's doc range. ONE definition mirrored by the SQL
+    fragment _TREE_RBAC_CTES — generator changes edit these two spots,
+    not every caller. Returns (queries_with_user, query_roles,
+    permission_assignment, user_roles); ``checkpoint=True`` eagerly
+    materializes the two dim-sized relations for callers that consume
+    them from several union branches (lazy caches race there)."""
+    from vectorsearch_rbac_spark.rbac import generators
+
+    n_docs = t["documents"].count()
+    g = generators.tree_rbac(spark, num_users=100, num_documents=n_docs, height=3, branching=3)
+    gqs = t["queries"].withColumn(
+        "user_id", F.floor(F.col("query_id") / QUERY_STRIDE) % 100 + 1
+    )
+    gqroles = (
+        gqs.select("query_id", "user_id")
+        .join(g["user_roles"], "user_id")
+        .select("query_id", "role_id")
+        .distinct()
+    )
+    gpa = g["permission_assignment"].withColumn(
+        "document_id", F.col("document_id") % n_docs
+    ).distinct()
+    if checkpoint:
+        gqroles = gqroles.localCheckpoint()
+        gpa = gpa.localCheckpoint()
+    return gqs, gqroles, gpa, g["user_roles"]
+
+
 def q_rbac_adaptive_topk(spark, sf_dir):
     """ACORN-style adaptive routing, exact-oracled: the oracle reproduces
     both the per-query strategy choice and each branch's exact semantics.
@@ -336,7 +367,6 @@ def q_rbac_adaptive_topk(spark, sf_dir):
     tiers' scan costs); across the two sections all three arms populate
     at the gate's query count."""
     from vectorsearch_rbac_spark.plans.strategy import adaptive_knn
-    from vectorsearch_rbac_spark.rbac import generators
 
     t = _rbac(spark, sf_dir)
     base = adaptive_knn(
@@ -344,23 +374,9 @@ def q_rbac_adaptive_topk(spark, sf_dir):
         t["user_roles"], k=TOPK, routing_mode="cost3",
     ).select(F.lit("base").alias("section"), "*")
 
-    n_docs = t["documents"].count()
-    g = generators.tree_rbac(spark, num_users=100, num_documents=n_docs, height=3, branching=3)
-    gqs = t["queries"].withColumn(
-        "user_id", F.floor(F.col("query_id") / QUERY_STRIDE) % 100 + 1
-    )
-    gqroles = (
-        gqs.select("query_id", "user_id")
-        .join(g["user_roles"], "user_id")
-        .select("query_id", "role_id")
-        .distinct()
-        .localCheckpoint()  # dim-sized, consumed by every routed arm
-    )
-    gpa = g["permission_assignment"].withColumn(
-        "document_id", F.col("document_id") % n_docs
-    ).distinct().localCheckpoint()  # role×doc closure, reused per arm
+    gqs, gqroles, gpa, gusers = _tree_workload(spark, t, checkpoint=True)
     gen = adaptive_knn(
-        t["documentblocks"], gqs, gqroles, gpa, g["user_roles"], k=TOPK,
+        t["documentblocks"], gqs, gqroles, gpa, gusers, k=TOPK,
         routing_mode="cost3", acorn_ef=12, acorn_m=4,
     ).select(F.lit("gen").alias("section"), "*")
 
@@ -375,24 +391,8 @@ def q_generated_rbac_topk(spark, sf_dir):
     Parity: reference services/rbac_generator/tree_based_rbac_data_generator.py
     feeding controller prefilter search — here the whole generate→derive→search
     chain is one declarative plan."""
-    from vectorsearch_rbac_spark.rbac import generators
-
     t = _rbac(spark, sf_dir)
-    n_docs = t["documents"].count()
-    g = generators.tree_rbac(spark, num_users=100, num_documents=n_docs, height=3, branching=3)
-    # query index (query_id / stride) spread over the 100 generated users
-    queries = t["queries"].withColumn(
-        "user_id", F.floor(F.col("query_id") / QUERY_STRIDE) % 100 + 1
-    )
-    qroles = (
-        queries.select("query_id", "user_id")
-        .join(g["user_roles"], "user_id")
-        .select("query_id", "role_id")
-        .distinct()
-    )
-    pa = g["permission_assignment"].withColumn(
-        "document_id", F.col("document_id") % n_docs
-    ).distinct()
+    queries, qroles, pa, _ = _tree_workload(spark, t)
     out = knn.knn_prefilter(t["documentblocks"], queries, qroles, pa, k=TOPK)
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
@@ -2049,11 +2049,12 @@ def q_acorn_gamma_recall(spark, sf_dir):
 
     r8: build-once/search-many persisted index (acorn_benchmark builds
     offline), with γ set FROM the measured workload selectivity the way
-    the ACORN paper prescribes (γ ≈ 1/s with headroom, clamped to
-    [2,16]): the r7 sf1 run showed γ=4 at selectivity ≈ 0.2 sits exactly
-    ON the 1/γ recall boundary (0.82) — deriving γ from the permission
-    metadata moves the workload INSIDE the holding regime instead of on
-    its edge."""
+    the ACORN paper prescribes (γ ≈ 1/s with headroom), clamped to
+    [4,16] — the lower bound is the NAVIGABILITY floor, not the paper's
+    selectivity rule (see the comment at the clamp): the r7 sf1 run
+    showed γ=4 at the old fixed setting sitting exactly ON the recall
+    boundary (0.82) — deriving γ from the permission metadata with the
+    density floor moves the workload INSIDE the holding regime."""
     from vectorsearch_rbac_spark.operators import graph_ann
 
     t = _rbac(spark, sf_dir)
@@ -2071,12 +2072,14 @@ def q_acorn_gamma_recall(spark, sf_dir):
             .agg(F.countDistinct("document_id").alias("n_ok"))
         )
         n_d = t["documentblocks"].select("document_id").distinct().count()
-        sel = per_q.agg(
+        p10 = per_q.agg(
             F.expr("percentile(n_ok, 0.1)").alias("p10")
-        ).first()["p10"] / max(n_d, 1)
+        ).first()["p10"]
         import math
 
-        sel = max(float(sel or 0.0), 1e-6)
+        # p10 is NULL when no queried role has any permission — guard
+        # BEFORE dividing so the empty workload falls to the floor value
+        sel = max(float(p10 or 0.0) / max(n_d, 1), 1e-6)
         # floor at 4: below ~4·m unpruned candidates the diverse-first
         # truncation has too little room to keep long-ish edges and the
         # searched graph loses navigability REGARDLESS of selectivity
@@ -2933,6 +2936,37 @@ SELECT 'orphans', 'ALL',
 # D5 adaptive routing, exact: reproduce the per-query strategy choice
 # (rounded selectivity >= 0.5 → postfilter, else prefilter) and each
 # branch's exact semantics (postfilter = global top-40 → permission filter)
+# B3 tree RBAC in SQL (tree_based_rbac_data_generator parity): 100 users
+# hashed to 40 roles, 27 leaves owning disjoint doc ranges, every role
+# inheriting its subtree's docs. ONE definition — _ADAPTIVE_SQL and
+# _GENERATED_SQL both splice this fragment, so a generator change edits
+# exactly one SQL string (and generators.tree_rbac on the Spark side).
+_TREE_RBAC_CTES = """params AS (SELECT GREATEST(1, COUNT(*) // 27) AS dp, COUNT(*) AS nd FROM documents),
+gusers AS (SELECT unnest(range(1, 101)) AS user_id),
+guroles AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('42:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 40 AS INT) AS role_id
+  FROM gusers
+),
+gqs AS (SELECT query_id, query_id // 100 % 100 + 1 AS user_id FROM qs),
+gqroles AS (
+  SELECT DISTINCT q.query_id, u.role_id FROM gqs q JOIN guroles u USING (user_id)
+),
+gleaves AS (SELECT unnest(range(27)) AS leaf),
+gleafdocs AS (
+  SELECT leaf, u.d AS document_id
+  FROM gleaves, params, UNNEST(range(leaf * dp, (leaf + 1) * dp)) AS u(d)
+  WHERE u.d < nd
+),
+ganc AS (
+  SELECT leaf, CAST((leaf + 13 - (bk - 1) // 2) // bk AS INT) AS role_id
+  FROM gleaves, UNNEST([1, 3, 9, 27]) AS p(bk)
+),
+gpa AS (
+  SELECT DISTINCT a.role_id, d.document_id % (SELECT nd FROM params) AS document_id
+  FROM ganc a JOIN gleafdocs d USING (leaf)
+),"""
+
 _ADAPTIVE_SQL = _RBAC_CTE + """
 , nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM blocks),
 uroles AS (
@@ -3011,34 +3045,10 @@ base_out AS (
   FROM (SELECT * FROM pre UNION ALL SELECT * FROM post) u
   JOIN route r USING (query_id)
 ),
--- gen section: B3 tree RBAC (tree_based_rbac_data_generator parity,
--- same CTEs as the generated_rbac_topk oracle), selectivity tiers
--- {1/27, 1/9, 1/3, 1} routed by the SAME rule with ef=12, m=4 -> 48.0
-params AS (SELECT GREATEST(1, COUNT(*) // 27) AS dp, COUNT(*) AS nd FROM documents),
-gusers AS (SELECT unnest(range(1, 101)) AS user_id),
-guroles AS (
-  SELECT user_id,
-         CAST(('0x' || substr(md5('42:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 40 AS INT) AS role_id
-  FROM gusers
-),
-gqs AS (SELECT query_id, query_id // 100 % 100 + 1 AS user_id FROM qs),
-gqroles AS (
-  SELECT DISTINCT q.query_id, u.role_id FROM gqs q JOIN guroles u USING (user_id)
-),
-gleaves AS (SELECT unnest(range(27)) AS leaf),
-gleafdocs AS (
-  SELECT leaf, u.d AS document_id
-  FROM gleaves, params, UNNEST(range(leaf * dp, (leaf + 1) * dp)) AS u(d)
-  WHERE u.d < nd
-),
-ganc AS (
-  SELECT leaf, CAST((leaf + 13 - (bk - 1) // 2) // bk AS INT) AS role_id
-  FROM gleaves, UNNEST([1, 3, 9, 27]) AS p(bk)
-),
-gpa AS (
-  SELECT DISTINCT a.role_id, d.document_id % (SELECT nd FROM params) AS document_id
-  FROM ganc a JOIN gleafdocs d USING (leaf)
-),
+-- gen section: the shared tree-RBAC fragment (_TREE_RBAC_CTES),
+-- selectivity tiers {1/27, 1/9, 1/3, 1} routed by the SAME rule with
+-- ef=12, m=4 -> 48.0
+""" + _TREE_RBAC_CTES + """
 gacc AS (
   SELECT DISTINCT u.user_id, p.document_id
   FROM guroles u JOIN gpa p USING (role_id)
@@ -3212,31 +3222,7 @@ FROM (
 # via (leaf + 13 - (b^up - 1)/2) // b^up for up in 0..3; users hash to roles
 # with the shared md5 -> 15 hex -> BIGINT scheme (salt '42:').
 _GENERATED_SQL = _RBAC_CTE + """
-, params AS (SELECT GREATEST(1, COUNT(*) // 27) AS dp, COUNT(*) AS nd FROM documents),
-gusers AS (SELECT unnest(range(1, 101)) AS user_id),
-guroles AS (
-  SELECT user_id,
-         CAST(('0x' || substr(md5('42:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 40 AS INT) AS role_id
-  FROM gusers
-),
-gqs AS (SELECT query_id, query_id // 100 % 100 + 1 AS user_id FROM qs),
-gqroles AS (
-  SELECT DISTINCT q.query_id, u.role_id FROM gqs q JOIN guroles u USING (user_id)
-),
-gleaves AS (SELECT unnest(range(27)) AS leaf),
-gleafdocs AS (
-  SELECT leaf, u.d AS document_id
-  FROM gleaves, params, UNNEST(range(leaf * dp, (leaf + 1) * dp)) AS u(d)
-  WHERE u.d < nd
-),
-ganc AS (
-  SELECT leaf, CAST((leaf + 13 - (bk - 1) // 2) // bk AS INT) AS role_id
-  FROM gleaves, UNNEST([1, 3, 9, 27]) AS p(bk)
-),
-gpa AS (
-  SELECT DISTINCT a.role_id, d.document_id % (SELECT nd FROM params) AS document_id
-  FROM ganc a JOIN gleafdocs d USING (leaf)
-),
+, """ + _TREE_RBAC_CTES + """
 gqdocs AS (SELECT DISTINCT r.query_id, p.document_id FROM gqroles r JOIN gpa p USING (role_id)),
 scored AS (
   SELECT d.query_id, b.block_id, b.document_id,

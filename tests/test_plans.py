@@ -437,27 +437,15 @@ def test_three_way_cost_routing_and_acorn_arm(spark, sf_dir):
     from pyspark.sql import functions as F
     from vectorsearch_rbac_spark.plans import strategy as S
     from vectorsearch_rbac_spark.operators import knn
-    from vectorsearch_rbac_spark.rbac import generators
     from vectorsearch_rbac_spark.rbac.derive import block_selectivity
     import __spark_entry__ as entry
 
     t = entry._rbac(spark, sf_dir)
     blocks = t["documentblocks"]
     n = blocks.count()
-    n_docs = t["documents"].count()
-    g = generators.tree_rbac(spark, num_users=100, num_documents=n_docs, height=3, branching=3)
-    gqs = t["queries"].withColumn(
-        "user_id", F.floor(F.col("query_id") / entry.QUERY_STRIDE) % 100 + 1
-    )
-    gqroles = (
-        gqs.select("query_id", "user_id").join(g["user_roles"], "user_id")
-        .select("query_id", "role_id").distinct()
-    )
-    gpa = g["permission_assignment"].withColumn(
-        "document_id", F.col("document_id") % n_docs
-    ).distinct()
+    gqs, gqroles, gpa, gusers = entry._tree_workload(spark, t)
 
-    sel = block_selectivity(g["user_roles"], gpa, blocks)
+    sel = block_selectivity(gusers, gpa, blocks)
     acorn_ef, acorn_m = 12, 4
     routing = {
         r["query_id"]: r["strategy"]
@@ -475,7 +463,7 @@ def test_three_way_cost_routing_and_acorn_arm(spark, sf_dir):
     assert len(set(routing.values())) >= 2
 
     out = S.adaptive_knn(
-        blocks, gqs, gqroles, gpa, g["user_roles"], k=10,
+        blocks, gqs, gqroles, gpa, gusers, k=10,
         routing_mode="cost3", acorn_ef=acorn_ef, acorn_m=acorn_m,
     )
     acorn_q = out.where(F.col("strategy") == "acorn").select("query_id").distinct()

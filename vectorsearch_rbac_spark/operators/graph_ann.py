@@ -1071,23 +1071,16 @@ def _diverse_sorted_neighbors(vecs: np.ndarray, adj: list[list[int]],
             continue
         nv = np.asarray(nb, dtype=np.int64)
         d2 = norms[nv] - 2.0 * (vecs[nv] @ vecs[u]) + norms[u]
+        # the ONE implementation of the load-bearing heuristic: with
+        # m = len(nv) the walk classifies every candidate, returning the
+        # kept (diverse) ids in walk order; the rejected ids follow in
+        # the same (distance, id) walk order (nv is id-sorted in every
+        # caller, so the stable distance sort ties by id)
+        kept = _select_neighbors(nv, d2, vecs, len(nv))
+        kept_set = set(kept)
         order = np.lexsort((nv, d2))
-        cv = vecs[nv]
-        g = cv @ cv.T
-        sq = np.einsum("ij,ij->i", cv, cv)
-        dcc = sq[:, None] + sq[None, :] - 2.0 * g
-        kept: list[int] = []
-        rej: list[int] = []
-        karr = np.empty(len(nv), dtype=np.int64)
-        nk = 0
-        for j in order:
-            if nk == 0 or (dcc[j, karr[:nk]] >= d2[j]).all():
-                kept.append(j)
-                karr[nk] = j
-                nk += 1
-            else:
-                rej.append(j)
-        out.append(nv[np.asarray(kept + rej, dtype=np.int64)])
+        rest = [int(nv[j]) for j in order if int(nv[j]) not in kept_set]
+        out.append(np.asarray(kept + rest, dtype=np.int64))
     return out
 
 
@@ -1172,6 +1165,23 @@ def _with_role_meta(blocks: DataFrame, permissions: DataFrame | None):
     return with_roles, droles_col
 
 
+def _with_query_roles(queries: DataFrame, query_roles: DataFrame) -> DataFrame:
+    """Queries + their role sets as ONE relation (roles folded to an
+    array column). The aggregate is dim-sized (one row per query) but
+    erases size stats, so it is broadcast explicitly — a derived queries
+    side would otherwise fall to SortMergeJoin. Shared by the fused and
+    indexed ACORN searches."""
+    return queries.select("query_id", "query_vector").join(
+        F.broadcast(
+            query_roles.groupBy("query_id").agg(
+                F.collect_set(F.col("role_id").cast("long")).alias("_roles")
+            )
+        ),
+        "query_id",
+        "left",
+    )
+
+
 def acorn_search(
     blocks: DataFrame,
     queries: DataFrame,
@@ -1241,17 +1251,7 @@ def acorn_search(
         # int→long coercion is version-fragile)
         (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("_part"),
     )
-    q_with_roles = queries.select("query_id", "query_vector").join(
-        # dim-sized (one row per query) — broadcast: the aggregate erases
-        # size stats and a derived queries side would otherwise SMJ
-        F.broadcast(
-            query_roles.groupBy("query_id").agg(
-                F.collect_set(F.col("role_id").cast("long")).alias("_roles")
-            )
-        ),
-        "query_id",
-        "left",
-    )
+    q_with_roles = _with_query_roles(queries, query_roles)
     parts_from = (
         _single_part(blocks.sparkSession) if part_col is None
         else blocks.select(F.col(part_col).alias("_part"))
@@ -1606,27 +1606,22 @@ def acorn_search_indexed(
     certified through acorn_exact."""
     with_roles, droles_col = _with_role_meta(blocks, permissions)
     src = with_roles.select(
-        F.col(id_col).alias("_id"),
+        # cast the join keys to long: build_acorn_graph's schema stores
+        # part/id as long, and both the ['_part','_id'] equi-join and the
+        # cogroup grouping keys must agree in type (implicit int→long
+        # coercion is version-fragile — same guard as the fused path)
+        F.col(id_col).cast("long").alias("_id"),
         droles_col.alias("_droles"),
         F.col(vec_col).alias("_vec"),
-        (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("_part"),
+        (F.col(part_col).cast("long") if part_col
+         else F.lit(0).cast("long")).alias("_part"),
     ).join(
         adjacency.select(
             F.col("part").alias("_part"), F.col("id").alias("_id"), "neighbors"
         ),
         ["_part", "_id"],
     )
-    q_with_roles = queries.select("query_id", "query_vector").join(
-        # dim-sized (one row per query) — broadcast: the aggregate erases
-        # size stats and a derived queries side would otherwise SMJ
-        F.broadcast(
-            query_roles.groupBy("query_id").agg(
-                F.collect_set(F.col("role_id").cast("long")).alias("_roles")
-            )
-        ),
-        "query_id",
-        "left",
-    )
+    q_with_roles = _with_query_roles(queries, query_roles)
     # partition values from the adjacency table, not src: src is the
     # corpus⋈adjacency join, which Catalyst would execute twice
     rq = _replicate_queries(
@@ -1651,7 +1646,8 @@ def acorn_search_indexed(
         norms = (vecs * vecs).sum(axis=1)
         return _acorn_masked_search(
             vecs, ids, norms, adj,
-            # stored order IS the distance order for γ builds
+            # stored order IS the search order for γ builds (diverse-first
+            # by default — see build_acorn_graph's neighbor_order)
             adj if gamma > 1 else None,
             blocks_pdf["_droles"].values, q_pdf,
             k, ef, m, gamma, expand_2hop, max_hops,

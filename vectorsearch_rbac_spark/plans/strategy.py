@@ -170,6 +170,15 @@ def adaptive_knn(
     if routing_mode == "cost3":
         if metric != "l2":
             raise ValueError("cost3 routing (ACORN arm) requires metric='l2'")
+        if has_partition_layout:
+            # scan_cost_routing never emits 'comb_partition'; registering
+            # the arm would silently drop the layout feature (a dead
+            # branch scanning the corpus on every call) — refuse instead
+            raise ValueError(
+                "cost3 routing has no comb_partition arm — use "
+                "routing_mode='cost' with has_partition_layout, or route "
+                "to knn_comb_role_partition explicitly"
+            )
         routing = scan_cost_routing(
             queries, sel, blocks.count(), k=k, expansion=expansion,
             acorn_ef=acorn_ef, acorn_m=acorn_m,
@@ -200,9 +209,16 @@ def adaptive_knn(
             .select("query_id", "block_id", "document_id", "distance", "rank")
         )
 
+    def _post_arm(blocks, qs, qr, pa, k=k, metric=metric):
+        # forward the SAME expansion the cost model priced — a silently
+        # defaulted arm would execute a different plan than the router
+        # predicted (and than the oracle replays)
+        return knn.knn_postfilter(blocks, qs, qr, pa, k=k,
+                                  expansion=expansion, metric=metric)
+
     impl = {
         "prefilter": knn.knn_prefilter,
-        "postfilter": knn.knn_postfilter,
+        "postfilter": _post_arm,
     }
     if routing_mode == "cost3":
         impl["acorn"] = _acorn_arm
