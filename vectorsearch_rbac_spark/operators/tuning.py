@@ -273,6 +273,21 @@ def tune_ivf(
 # SQL-replayable curve (driver correctness gate)
 # ---------------------------------------------------------------------------
 
+def anchor_ivf_truth(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact (query_id, vec_id) L2 top-k over the embedding table — the
+    ground truth :func:`anchor_ivf_curve` scores its recall against,
+    exposed so callers can compute it ONCE per corpus (it is
+    deterministic: 6-dp-rounded distances with id tie-breaks, the same
+    expression shape the DuckDB oracle replays)."""
+    wq = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        embeddings.crossJoin(F.broadcast(queries.select("query_id", "query_vector")))
+        .select("query_id", "vec_id", F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"))
+        .withColumn("rank", F.row_number().over(wq)).where(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+    )
+
+
 def anchor_ivf_curve(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -280,12 +295,20 @@ def anchor_ivf_curve(
     anchor_stride: int = 37,
     k: int = 10,
     nprobes: list[int] | None = None,
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """The D9 (nprobe → recall@k, rows-scanned) curve with every step
     SQL-expressible, so the driver's DuckDB oracle replays the measurement
     end-to-end (parity: ``get_parameter.py:188`` — the reference measures
     its curve against a live index; the exact-oracle harness needs the
     index construction itself to be deterministic arithmetic).
+
+    ``truth`` optionally supplies the exact (query_id, vec_id) top-k
+    ground truth (:func:`anchor_ivf_truth`) — it is deterministic per
+    corpus, so callers cache it per sf the way the reference precomputes
+    ground truth offline (compute_groundtruth); the O(N·Q) brute-force
+    pass is the curve's dominant cost at scale and the INDEX measurement
+    under test still runs in full.
 
     k-means centroids are float-iterative and engine-specific, so this
     curve swaps them for ANCHOR vectors chosen arithmetically (the first
@@ -350,13 +373,8 @@ def anchor_ivf_curve(
     n_corpus = embeddings.count()
     scanned = scored.groupBy("nprobe").agg((F.count(F.lit(1)) / n_queries).alias("avg_scanned"))
 
-    wq = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
-    truth = (
-        embeddings.crossJoin(F.broadcast(queries.select("query_id", "query_vector")))
-        .select("query_id", "vec_id", F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"))
-        .withColumn("rank", F.row_number().over(wq)).where(F.col("rank") <= k)
-        .select("query_id", "vec_id")
-    )
+    if truth is None:
+        truth = anchor_ivf_truth(embeddings, queries, k)
 
     wp = Window.partitionBy("nprobe", "query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
     pred = scored.withColumn("rank", F.row_number().over(wp)).where(F.col("rank") <= k)
