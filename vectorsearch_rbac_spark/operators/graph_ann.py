@@ -660,6 +660,9 @@ def build_nsw_graph(
         F.col(vec_col).alias("_vec"),
         (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("part"),
     )
+    # the part column keeps ITS OWN type (long grid parts, string
+    # comb_role keys alike) — the output schema mirrors the input
+    part_type = src.schema["part"].dataType.simpleString()
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id").reset_index(drop=True)
@@ -676,7 +679,7 @@ def build_nsw_graph(
         )
 
     return src.groupBy("part").applyInPandas(
-        build_group, schema="part long, id long, neighbors array<long>"
+        build_group, schema=f"part {part_type}, id long, neighbors array<long>"
     )
 
 
@@ -865,6 +868,7 @@ def knn_dynamic_graph(
     m: int = 8,
     ef: int = 48,
     build_method: str = "auto",
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """The reference's HEADLINE architecture end-to-end: dynamic comb-role
     partitions, a graph index per partition, role-routed search
@@ -882,6 +886,12 @@ def knn_dynamic_graph(
     is in a routed partition iff its access set intersects the query's
     roles); only the top-k is approximate (beam), so the check is recall
     against the exact ``knn_dynamic`` answer.
+
+    ``adjacency`` optionally supplies a PREBUILT per-partition graph
+    (:func:`build_nsw_graph` over the store with
+    ``part_col='comb_role'``) — the build-once/search-many path, exactly
+    how the reference maintains one hnswlib index per partition offline;
+    with ``None`` each routed partition builds its graph in-cogroup.
     """
     from .dynamic import comb_role_members
 
@@ -905,7 +915,20 @@ def knn_dynamic_graph(
         vecs = np.stack(blocks_pdf["vector"].values).astype(np.float64)
         ids = blocks_pdf["block_id"].to_numpy()
         docs = blocks_pdf["document_id"].to_numpy()
-        adjarr = adj = _build_adjacency(vecs, m, method=build_method)
+        if "neighbors" in blocks_pdf.columns:
+            # prebuilt per-partition graph: pos-map the stored id lists
+            # (nsw_search_indexed idiom) — no in-cogroup rebuild
+            pos = {int(i): p for p, i in enumerate(ids)}
+            adjarr = [
+                np.asarray(
+                    [pos[int(v)] for v in (nb if nb is not None else [])
+                     if int(v) in pos],
+                    dtype=np.int64,
+                )
+                for nb in blocks_pdf["neighbors"].values
+            ]
+        else:
+            adjarr = _build_adjacency(vecs, m, method=build_method)
         norms = (vecs * vecs).sum(axis=1)
         qids = q_pdf["query_id"].to_numpy()
         qmat = np.stack(
@@ -922,9 +945,19 @@ def knn_dynamic_graph(
         ]
         return pd.DataFrame(rows, columns=["query_id", "block_id", "document_id", "distance"])
 
+    src = store.select("comb_role", "block_id", "document_id", "vector")
+    if adjacency is not None:
+        # corpus-sized ⋈ corpus-sized on the same key: hash-join hint —
+        # the applyInPandas output has no size stats and would SMJ
+        src = src.join(
+            adjacency.select(
+                F.col("part").alias("comb_role"), F.col("id").alias("block_id"),
+                "neighbors",
+            ).hint("SHUFFLE_HASH"),
+            ["comb_role", "block_id"],
+        )
     cand = (
-        store.select("comb_role", "block_id", "document_id", "vector")
-        .groupBy("comb_role")
+        src.groupBy("comb_role")
         .cogroup(routed_q.groupBy("comb_role"))
         .applyInPandas(
             search_cogroup,

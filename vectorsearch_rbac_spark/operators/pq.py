@@ -162,29 +162,122 @@ def pq_search(
     codebooks: np.ndarray,
     k: int = 10,
     id_col: str = "vec_id",
+    impl: str = "expr",
 ) -> DataFrame:
-    """ADC top-k over PQ codes: distance = Σ_j luts[j][code_j], evaluated as
-    zip_with + aggregate inside codegen; rank window ships (id, distance)
-    only. The scan never touches a float vector — only m small ints/row."""
-    q = _query_luts(queries, codebooks)
-    scored = codes.join(F.broadcast(q), how="cross").select(
-        "query_id",
-        F.col(id_col).alias("block_id"),
-        F.round(
-            F.aggregate(
-                F.zip_with("codes", "_luts", lambda c, l: F.element_at(l, c + 1)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias("distance"),
-    )
+    """ADC top-k over PQ codes: distance = Σ_j luts[j][code_j]. The scan
+    never touches a float vector — only m small ints/row.
+
+    ``impl="expr"`` (default) evaluates the gather-sum as zip_with +
+    aggregate inside codegen — the exact-certified formulation
+    (pq_anchor_topk rides this shape under the hash gate). ``"numpy"``
+    is the Arrow/BLAS throughput kernel for the recall-checked members
+    (ivf/lsh precedent): one mapInPandas pass over the codes gathers all
+    queries' LUT rows per batch and emits ≤ Q·k candidates per scan
+    partition, so the global rank merges P·Q·k rows instead of N·Q. The
+    adds run in the same j-order as the expression fold and round with
+    the same half-up idiom, so the two paths agree row-for-row (pytest-
+    pinned)."""
+    if impl == "numpy":
+        scored = _pq_scores_numpy(codes, queries, codebooks, k, id_col)
+    else:
+        q = _query_luts(queries, codebooks)
+        scored = codes.join(F.broadcast(q), how="cross").select(
+            "query_id",
+            F.col(id_col).alias("block_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with("codes", "_luts", lambda c, l: F.element_at(l, c + 1)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("distance"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
     )
+
+
+def _pq_scores_numpy(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Stage-1 of the numpy ADC path: per scan-partition top-k candidates
+    for every query. LUTs build once on the driver (dim-sized query table,
+    local_topk idiom) and broadcast; each Arrow batch gathers its codes'
+    LUT entries for ALL queries at once (m fancy-index adds in C). The
+    per-batch cut selects on ROUNDED distances with (distance, id) order —
+    rounding half-up like Spark ROUND — so boundary ties survive to the
+    global merge exactly as the expression path's do."""
+    spark = codes.sparkSession
+    q_rows = queries.select("query_id", "query_vector").collect()
+    qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
+    B = codebooks
+    m, ksub, dsub = B.shape
+    # same per-element op sequence as _query_luts (sum over the trailing
+    # dsub axis), vectorized over queries
+    lut = np.empty((len(qids), m, ksub))
+    for j in range(m):
+        lut[:, j, :] = (
+            (B[j][None, :, :] - Q[:, None, j * dsub : (j + 1) * dsub]) ** 2
+        ).sum(-1)
+    bc = spark.sparkContext.broadcast((qids, lut))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, L = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            # (0.0 + x0) ≡ x0 in IEEE, then adds in the fold's j-order
+            D = L[:, 0, :][:, C[:, 0]]
+            for j in range(1, m):
+                D = D + L[:, j, :][:, C[:, j]]
+            Dr = np.floor(D * 1e6 + 0.5) / 1e6 + 0.0  # distances ≥ 0
+            out = _batch_topk_rows(Dr, ids, qids_, k)
+            if out is not None:
+                yield out
+
+    return codes.select(id_col, "codes").mapInPandas(
+        part, schema="query_id long, block_id long, distance double"
+    )
+
+
+def _batch_topk_rows(Dr, ids, qids, k):
+    """Per-batch top-k cut shared by the Arrow ADC kernels: select on the
+    ROUNDED (Q, B) distance matrix with (distance, id) order — a candidate
+    threshold from argpartition, then every row at-or-below it competes
+    under the deterministic order (local_topk idiom). Rows at +inf
+    (masked — e.g. unprobed IVF lists) are never emitted."""
+    n = Dr.shape[1]
+    kk = min(k, n)
+    sel_rows = []
+    for qi in range(Dr.shape[0]):
+        row = Dr[qi]
+        if kk < n:
+            thr = row[np.argpartition(row, kk - 1)[:kk]].max()
+            cand = np.flatnonzero(row <= thr)
+        else:
+            cand = np.arange(n)
+        cand = cand[np.isfinite(row[cand])]
+        if not cand.size:
+            continue
+        keep = cand[np.lexsort((ids[cand], row[cand]))][:kk]
+        sel_rows.append((qi, keep))
+    if not sel_rows:
+        return None
+    qcol = np.concatenate([np.full(len(kp), qids[qi]) for qi, kp in sel_rows])
+    icol = np.concatenate([ids[kp] for _, kp in sel_rows])
+    dcol = np.concatenate([Dr[qi][kp] for qi, kp in sel_rows])
+    return pd.DataFrame({"query_id": qcol, "block_id": icol, "distance": dcol})
 
 
 def pq_search_refined(
@@ -196,10 +289,13 @@ def pq_search_refined(
     expansion: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """PQ + refine (the standard two-stage ANN): ADC shortlist of
     k·expansion candidates from the compressed codes, then EXACT L2 re-rank
-    of the shortlist against the float vectors.
+    of the shortlist against the float vectors. ``impl`` picks the ADC
+    scan kernel (see :func:`pq_search`); the re-rank is expression-exact
+    either way.
 
     This is the 100 TB read pattern: the full scan touches only m-byte
     codes; float vectors are fetched for k·expansion rows per query — a
@@ -208,9 +304,9 @@ def pq_search_refined(
     """
     from ..functions import vector as V
 
-    shortlist = pq_search(codes, queries, codebooks, k=k * expansion, id_col=id_col).select(
-        "query_id", id_col
-    )
+    shortlist = pq_search(
+        codes, queries, codebooks, k=k * expansion, id_col=id_col, impl=impl
+    ).select("query_id", id_col)
     qv = queries.select("query_id", "query_vector")
     rescored = (
         shortlist.join(embeddings.select(id_col, vec_col), id_col)
@@ -357,30 +453,97 @@ def ivfpq_search(
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    impl: str = "expr",
 ) -> DataFrame:
     """IVFADC top-k: the (query, probed list) LUTs broadcast-join the code
     table on ``centroid_id`` — each code row is scored ONLY against queries
     probing its list (partition pruning when the codes are laid out by
     centroid_id), and the ADC sum stays a codegen'd zip_with/aggregate over
-    m ints. No float vector and no unprobed list is ever read."""
-    luts = _routed_query_luts(queries, centroids, codebooks, nprobe)
-    scored = codes.join(F.broadcast(luts), "centroid_id").select(
-        "query_id",
-        F.col(id_col).alias("block_id"),
-        F.round(
-            F.aggregate(
-                F.zip_with("codes", "_luts", lambda c, l: F.element_at(l, c + 1)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias("distance"),
-    )
+    m ints. No float vector and no unprobed list is ever read.
+
+    ``impl="numpy"`` is the Arrow throughput kernel for the recall-checked
+    member (same pattern as :func:`pq_search`): residual LUTs build once on
+    the driver, each batch gathers LUT[q, list(row), j, code(row, j)] for
+    every query at once, unprobed (query, list) pairs mask to +inf and are
+    never emitted. Adds run in the fold's j-order, so the two paths agree
+    row-for-row (pytest-pinned)."""
+    if impl == "numpy":
+        scored = _ivfpq_scores_numpy(codes, queries, centroids, codebooks, k, nprobe, id_col)
+    else:
+        luts = _routed_query_luts(queries, centroids, codebooks, nprobe)
+        scored = codes.join(F.broadcast(luts), "centroid_id").select(
+            "query_id",
+            F.col(id_col).alias("block_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with("codes", "_luts", lambda c, l: F.element_at(l, c + 1)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("distance"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+    )
+
+
+def _ivfpq_scores_numpy(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int,
+    nprobe: int,
+    id_col: str,
+) -> DataFrame:
+    """Stage-1 of the numpy IVFADC path. The residual LUT is built DENSE
+    over (Q, nlists, m, ksub) — nlists/nprobe× the inherent Q·nprobe LUT
+    payload (26 MB at 200 queries × 16 lists × 16×64) so each batch's
+    gather is one fancy-index per subspace; unprobed cells stay zero and
+    their rows mask to +inf before the cut. Probe order and LUT values
+    reuse _routed_query_luts' exact op sequence."""
+    spark = codes.sparkSession
+    q_rows = queries.select("query_id", "query_vector").collect()
+    qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
+    C = np.asarray(centroids, dtype=np.float64)
+    B = codebooks
+    m, ksub, dsub = B.shape
+    nlists = C.shape[0]
+    lut = np.zeros((len(qids), nlists, m, ksub))
+    probed = np.zeros((len(qids), nlists), dtype=bool)
+    for qi in range(len(qids)):
+        d = ((C - Q[qi][None, :]) ** 2).sum(-1)
+        for cid in np.argsort(d)[:nprobe]:
+            r = Q[qi] - C[cid]
+            for j in range(m):
+                lut[qi, cid, j] = ((B[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
+            probed[qi, cid] = True
+    bc = spark.sparkContext.broadcast((qids, probed, lut))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, M, L = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            lists = pdf["centroid_id"].to_numpy().astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            D = L[:, lists, 0, Cd[:, 0]]
+            for j in range(1, m):
+                D = D + L[:, lists, j, Cd[:, j]]
+            D = np.where(M[:, lists], D, np.inf)
+            Dr = np.floor(D * 1e6 + 0.5) / 1e6 + 0.0
+            out = _batch_topk_rows(Dr, ids, qids_, k)
+            if out is not None:
+                yield out
+
+    return codes.select(id_col, "centroid_id", "codes").mapInPandas(
+        part, schema="query_id long, block_id long, distance double"
     )
 
 
@@ -395,15 +558,19 @@ def ivfpq_search_refined(
     expansion: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """IVFADC + exact refine: ADC shortlist of k·expansion per query from
     the probed lists, then exact L2 re-rank against the floats — the
     standard beyond-RAM serving shape (scan bytes: m ints/vector over
-    nprobe/nlists of the corpus; float reads: k·expansion rows/query)."""
+    nprobe/nlists of the corpus; float reads: k·expansion rows/query).
+    ``impl`` picks the ADC scan kernel (see :func:`ivfpq_search`); the
+    re-rank is expression-exact either way."""
     from ..functions import vector as V
 
     shortlist = ivfpq_search(
-        codes, queries, centroids, codebooks, k=k * expansion, nprobe=nprobe, id_col=id_col
+        codes, queries, centroids, codebooks, k=k * expansion, nprobe=nprobe,
+        id_col=id_col, impl=impl,
     ).select("query_id", id_col)
     qv = queries.select("query_id", "query_vector")
     rescored = (
