@@ -2247,7 +2247,8 @@ def q_tuning_curve(spark, sf_dir):
     # reference precomputes it offline); the curve measurement itself
     # runs in full every call
     truth = _cached(
-        ("anchor_ivf_truth", sf_dir),
+        ("anchor_ivf_truth", sf_dir, TOPK),  # k in the key: a truth built
+        # at a different depth would silently inflate the recall curve
         lambda: tuning.anchor_ivf_truth(
             t["embeddings"], t["queries"], k=TOPK
         ).localCheckpoint(),

@@ -148,6 +148,10 @@ def test_pq_numpy_kernel_matches_expr(t):
     )
     assert expr_i == np_i and len(np_i) > 0
 
+    # degenerate parity: empty query side must yield empty, not raise
+    assert pq.pq_search(codes, qs.limit(0), B, k=5, impl="numpy").count() == 0
+    assert pq.ivfpq_search(rcodes, qs.limit(0), C, RB, k=5, nprobe=2, impl="numpy").count() == 0
+
 
 def test_qdtree_search_exact(t):
     """Qd-tree leaf routing must not lose any permitted block (recall 1.0)."""
@@ -560,6 +564,31 @@ def test_dynamic_graph_prebuilt_equals_fused(spark, sf_dir):
     assert indexed.exceptAll(fused).count() == 0
     assert fused.exceptAll(indexed).count() == 0
     assert indexed.count() == fused.count() > 0
+
+    # a STALE adjacency (blocks added to the store after the build) must
+    # fall back to the in-cogroup rebuild, never silently drop blocks
+    part_store = store.where(F.col("block_id") % 5 != 0)
+    g_stale = graph_ann.build_nsw_graph(
+        part_store, m=8, id_col="block_id", vec_col="vector", part_col="comb_role"
+    ).localCheckpoint()
+    stale = graph_ann.knn_dynamic_graph(
+        store, t["queries"], t["query_roles"], k=10, m=8, ef=48, adjacency=g_stale
+    ).select("query_id", "block_id", "rank")
+    assert stale.exceptAll(fused).count() == 0
+    assert fused.exceptAll(stale).count() == 0
+
+    # maintenance generalizes with the part type: inserts into the
+    # string-keyed (comb_role) adjacency link without error
+    new = store.where(F.col("block_id") % 7 == 0)
+    old = store.where(F.col("block_id") % 7 != 0)
+    g_old = graph_ann.build_nsw_graph(
+        old, m=8, id_col="block_id", vec_col="vector", part_col="comb_role"
+    ).localCheckpoint()
+    g_up = graph_ann.insert_into_graph(
+        old, g_old, new, m=8, id_col="block_id", vec_col="vector", part_col="comb_role"
+    )
+    assert g_up.count() == store.count()
+    assert dict(g_up.dtypes)["part"] == "string"
 
 
 def test_graph_index_lifecycle(spark, sf_dir):

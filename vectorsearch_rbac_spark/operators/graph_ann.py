@@ -793,7 +793,7 @@ def insert_into_graph(
 
     def insert_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
-        part = int(pdf["part"].iloc[0])
+        part = pdf["part"].iloc[0]  # native type: long grid parts OR string comb_role keys
         vecs = np.stack(pdf["_vec"].values).astype(np.float64)
         norms = (vecs * vecs).sum(axis=1)
         ids = pdf["id"].to_numpy()
@@ -833,8 +833,11 @@ def insert_into_graph(
             }
         )
 
+    # mirror the part column's own type (build_nsw_graph generalization —
+    # string comb_role keys maintain through the same insert path)
+    part_type = src.schema["part"].dataType.simpleString()
     updated = src.groupBy("part").applyInPandas(
-        insert_group, schema="part long, id long, neighbors array<long>"
+        insert_group, schema=f"part {part_type}, id long, neighbors array<long>"
     )
     untouched = adjacency.join(F.broadcast(touched), "part", "left_anti")
     return untouched.unionByName(updated)
@@ -915,19 +918,25 @@ def knn_dynamic_graph(
         vecs = np.stack(blocks_pdf["vector"].values).astype(np.float64)
         ids = blocks_pdf["block_id"].to_numpy()
         docs = blocks_pdf["document_id"].to_numpy()
-        if "neighbors" in blocks_pdf.columns:
+        if (
+            "neighbors" in blocks_pdf.columns
+            and not blocks_pdf["neighbors"].isna().any()
+        ):
             # prebuilt per-partition graph: pos-map the stored id lists
             # (nsw_search_indexed idiom) — no in-cogroup rebuild
             pos = {int(i): p for p, i in enumerate(ids)}
             adjarr = [
                 np.asarray(
-                    [pos[int(v)] for v in (nb if nb is not None else [])
-                     if int(v) in pos],
+                    [pos[int(v)] for v in nb if int(v) in pos],
                     dtype=np.int64,
                 )
                 for nb in blocks_pdf["neighbors"].values
             ]
         else:
+            # no adjacency, or a STALE one (store blocks missing from the
+            # prebuilt graph arrive with null neighbor lists through the
+            # left join): rebuild this partition's graph so RBAC
+            # exactness never silently loses blocks
             adjarr = _build_adjacency(vecs, m, method=build_method)
         norms = (vecs * vecs).sum(axis=1)
         qids = q_pdf["query_id"].to_numpy()
@@ -948,13 +957,17 @@ def knn_dynamic_graph(
     src = store.select("comb_role", "block_id", "document_id", "vector")
     if adjacency is not None:
         # corpus-sized ⋈ corpus-sized on the same key: hash-join hint —
-        # the applyInPandas output has no size stats and would SMJ
+        # the applyInPandas output has no size stats and would SMJ.
+        # LEFT join: a store block missing from a stale adjacency keeps a
+        # null neighbor list, which flips its partition to the in-cogroup
+        # rebuild above — never a silent drop
         src = src.join(
             adjacency.select(
                 F.col("part").alias("comb_role"), F.col("id").alias("block_id"),
                 "neighbors",
             ).hint("SHUFFLE_HASH"),
             ["comb_role", "block_id"],
+            "left",
         )
     cand = (
         src.groupBy("comb_role")

@@ -123,6 +123,32 @@ def pq_encode(
     )
 
 
+def _subspace_luts(Q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(|Q|, m, ksub) ADC tables, lut[q][j][c] = ||Q[q]_subj − B[j][c]||².
+    THE one implementation of the LUT op sequence — the expression-fed
+    builder (:func:`_query_luts`) and the Arrow kernel
+    (:func:`_pq_scores_numpy`) both call it, so their row-for-row
+    equality never depends on two copies staying bit-identical."""
+    m, ksub, dsub = codebooks.shape
+    lut = np.empty((len(Q), m, ksub))
+    for j in range(m):
+        lut[:, j, :] = (
+            (codebooks[j][None, :, :] - Q[:, None, j * dsub : (j + 1) * dsub]) ** 2
+        ).sum(-1)
+    return lut
+
+
+def _residual_lut(r: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(m, ksub) residual ADC table for one (query − centroid) vector —
+    shared by :func:`_routed_query_luts` and :func:`_ivfpq_scores_numpy`
+    (same single-implementation contract as :func:`_subspace_luts`)."""
+    m, ksub, dsub = codebooks.shape
+    t = np.empty((m, ksub))
+    for j in range(m):
+        t[j] = ((codebooks[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
+    return t
+
+
 def _query_luts(
     queries: DataFrame, codebooks: np.ndarray, qvec_col: str = "query_vector"
 ) -> DataFrame:
@@ -138,17 +164,12 @@ def _query_luts(
 
     def lut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         B = bc.value
-        m, ksub, dsub = B.shape
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Q = np.stack(pdf[qvec_col].to_numpy()).astype(np.float64)
-            out = []
-            for qi in range(len(Q)):
-                t = np.empty((m, ksub))
-                for j in range(m):
-                    t[j] = ((B[j] - Q[qi, j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
-                out.append(list(t))
+            L = _subspace_luts(Q, B)
+            out = [list(L[qi]) for qi in range(len(Q))]
             yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(), "_luts": out})
 
     return queries.select("query_id", qvec_col).mapInPandas(
@@ -217,17 +238,12 @@ def _pq_scores_numpy(
     global merge exactly as the expression path's do."""
     spark = codes.sparkSession
     q_rows = queries.select("query_id", "query_vector").collect()
+    if not q_rows:  # expr path yields empty output on empty queries — match it
+        return spark.createDataFrame([], "query_id long, block_id long, distance double")
     qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
-    B = codebooks
-    m, ksub, dsub = B.shape
-    # same per-element op sequence as _query_luts (sum over the trailing
-    # dsub axis), vectorized over queries
-    lut = np.empty((len(qids), m, ksub))
-    for j in range(m):
-        lut[:, j, :] = (
-            (B[j][None, :, :] - Q[:, None, j * dsub : (j + 1) * dsub]) ** 2
-        ).sum(-1)
+    m = codebooks.shape[0]
+    lut = _subspace_luts(Q, codebooks)  # the ONE LUT op sequence (_query_luts shares it)
     bc = spark.sparkContext.broadcast((qids, lut))
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -431,13 +447,9 @@ def _routed_query_luts(
             for qi in range(len(Q)):
                 d = ((C - Q[qi][None, :]) ** 2).sum(-1)
                 for cid in np.argsort(d)[:nprobe]:
-                    r = Q[qi] - C[cid]
-                    t = np.empty((m, ksub))
-                    for j in range(m):
-                        t[j] = ((B[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
                     qids.append(pdf["query_id"].iat[qi])
                     cids.append(int(cid))
-                    luts.append(list(t))
+                    luts.append(list(_residual_lut(Q[qi] - C[cid], B)))
             yield pd.DataFrame({"query_id": qids, "centroid_id": cids, "_luts": luts})
 
     return queries.select("query_id", qvec_col).mapInPandas(
@@ -508,20 +520,21 @@ def _ivfpq_scores_numpy(
     reuse _routed_query_luts' exact op sequence."""
     spark = codes.sparkSession
     q_rows = queries.select("query_id", "query_vector").collect()
+    if not q_rows:  # expr path yields empty output on empty queries — match it
+        return spark.createDataFrame([], "query_id long, block_id long, distance double")
     qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
     C = np.asarray(centroids, dtype=np.float64)
     B = codebooks
-    m, ksub, dsub = B.shape
+    m, ksub = B.shape[0], B.shape[1]
     nlists = C.shape[0]
     lut = np.zeros((len(qids), nlists, m, ksub))
     probed = np.zeros((len(qids), nlists), dtype=bool)
     for qi in range(len(qids)):
         d = ((C - Q[qi][None, :]) ** 2).sum(-1)
         for cid in np.argsort(d)[:nprobe]:
-            r = Q[qi] - C[cid]
-            for j in range(m):
-                lut[qi, cid, j] = ((B[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
+            # _residual_lut: the ONE residual op sequence (_routed_query_luts shares it)
+            lut[qi, cid] = _residual_lut(Q[qi] - C[cid], B)
             probed[qi, cid] = True
     bc = spark.sparkContext.broadcast((qids, probed, lut))
 

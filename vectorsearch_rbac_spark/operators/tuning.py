@@ -308,7 +308,9 @@ def anchor_ivf_curve(
     corpus, so callers cache it per sf the way the reference precomputes
     ground truth offline (compute_groundtruth); the O(N·Q) brute-force
     pass is the curve's dominant cost at scale and the INDEX measurement
-    under test still runs in full.
+    under test still runs in full. It MUST be built with the same ``k``
+    as the curve (key your cache on k): a deeper truth inflates recall@k
+    past its real value with no error.
 
     k-means centroids are float-iterative and engine-specific, so this
     curve swaps them for ANCHOR vectors chosen arithmetically (the first
