@@ -244,7 +244,10 @@ def _tuning_block(spark) -> dict:
     piecewise recall model {k, beta}, the linear cost model {a, b} (rows
     scanned per query per nprobe), and the chosen knob for a 0.9 recall
     target — with the model-vs-measured MAE so the fit quality is visible
-    next to the decision."""
+    next to the decision. The cost side reports BOTH fits the reference
+    maintains: linear-in-the-knob (analysis_hnsw_qps.py) and
+    a·knob + b·log(n) (analysis_hnsw_qps_logn.py), the latter fit over
+    scan points measured at three corpus sizes."""
     from vectorsearch_rbac_spark.operators import ivf, knn, tuning
 
     t = entry._rbac(spark, SF_DIR)
@@ -257,11 +260,31 @@ def _tuning_block(spark) -> dict:
     out = tuning.tune_ivf(indexed, t["queries"], C, truth, k=10, target_recall=0.9)
     from pyspark.sql import functions as F
 
+    # log-n QPS fit (analysis_hnsw_qps_logn.py parity): scan-cost points
+    # at three corpus sizes — dim-sized aggregates, no truth pass needed
+    pts = []
+    for mod in (1, 2, 4):
+        sub = blocks.where(F.col("block_id") % mod == 0)
+        n_sub = sub.count()
+        for r in tuning.scan_cost_points(
+            ivf.assign_centroids(sub, C), t["queries"], C
+        ).collect():
+            pts.append((r["nprobe"], r["avg_scanned"], n_sub))
+    logn = tuning.fit_cost_model_logn(
+        [p[0] for p in pts], [p[1] for p in pts], [p[2] for p in pts]
+    )
+    lin_multi = tuning.fit_cost_model([p[0] for p in pts], [p[1] for p in pts])
+
     balance = ivf.list_stats(indexed).agg(F.first("imbalance")).first()[0]
     return {
         "parameters": out["parameters"],
         "decision": out["decision"],
         "model_mae": out["validation"]["mae"],
+        # same multi-n points, two functional forms side by side (the
+        # reference maintains both) — MAE read together shows which shape
+        # tracks this index's scan behavior
+        "cost_fit_linear_mae": lin_multi["mae"],
+        "cost_fit_logn": logn,
         "nlists": nlists,
         "list_imbalance": balance,
         "sec": round(time.time() - t0, 3),
@@ -405,7 +428,30 @@ def main() -> None:
             # window and parses as null (the BENCH_r04 failure)
             final["queries"] = {"_other_sum": round(sum(timings.values()), 2)}
             line = json.dumps(final, separators=(",", ":"))
-    print(line)
+    # Tear Spark down BEFORE printing the final line: round 8's headline was
+    # destroyed when a StateStore maintenance-thread WARN (a full Java stack
+    # trace) printed AFTER the final JSON line and pushed it out of the
+    # driver's 2000-char tail window. Order matters: (1) stop every streaming
+    # query so no state-store maintenance thread survives, (2) silence log4j
+    # entirely (FATAL) so JVM shutdown hooks can't log, (3) stop the session,
+    # (4) give any in-flight JVM writes a moment to drain, (5) only THEN emit
+    # the headline line — provably the last thing on the captured stream.
+    try:
+        for q in spark.streams.active:
+            q.stop()
+    except Exception as exc:  # pragma: no cover - teardown best-effort
+        print(f"# stream stop failed: {exc}", file=sys.stderr)
+    try:
+        spark.sparkContext.setLogLevel("FATAL")
+    except Exception as exc:  # pragma: no cover
+        print(f"# setLogLevel failed: {exc}", file=sys.stderr)
+    try:
+        spark.stop()
+    except Exception as exc:  # pragma: no cover
+        print(f"# spark.stop failed: {exc}", file=sys.stderr)
+    sys.stderr.flush()
+    time.sleep(3.0)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

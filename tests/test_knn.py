@@ -267,6 +267,45 @@ def test_adaptive_strategy_routes(t, spark):
     assert len({r["query_id"] for r in rows}) == t["queries"].count()
 
 
+def test_adaptive_knn_production_acorn_arm(t, spark):
+    """r9: the cost3 router's production seams — ``n_corpus`` pins the
+    cost model's corpus size (no blocks.count() scan per routing call)
+    and ``acorn_impl`` routes the ACORN arm to acorn_search_indexed over
+    a PREBUILT index (the bounded beam the cost model prices), instead
+    of the exhaustive exact-certified default. The routed union must
+    still cover every query, actually route some queries through the
+    indexed arm, and clear recall ≥ 0.9 against the exact permitted
+    answer."""
+    from vectorsearch_rbac_spark.operators import graph_ann
+    from vectorsearch_rbac_spark.plans.strategy import adaptive_knn
+
+    blocks = t["documentblocks"]
+    n = blocks.count()
+    g = graph_ann.build_acorn_graph(blocks, m=8, gamma=1).localCheckpoint()
+
+    def beam_arm(b, qs, qr, pa, k=10):
+        return graph_ann.acorn_search_indexed(
+            b, g, qs, qr, k=k, m=8, ef=48, permissions=pa
+        )
+
+    # price the ACORN arm at ef·m = 44: postfilter wins only above
+    # sel = k·e/44 ≈ 0.909, so the workload's dominant mid-selectivity
+    # band (sel ∈ [0.75, 0.909)) routes through the indexed arm
+    out = adaptive_knn(
+        blocks, t["queries"], t["query_roles"], t["permission_assignment"],
+        t["user_roles"], k=10, routing_mode="cost3", n_corpus=n,
+        acorn_ef=11, acorn_m=4, acorn_impl=beam_arm,
+    ).localCheckpoint()
+    assert out.select("query_id").distinct().count() == t["queries"].count()
+    strategies = {r["strategy"] for r in out.select("strategy").distinct().collect()}
+    assert "acorn" in strategies, f"no query routed to the indexed arm: {strategies}"
+    truth = knn.knn_prefilter(
+        blocks, t["queries"], t["query_roles"], t["permission_assignment"], k=10
+    )
+    rec = knn.recall_at_k(out, truth).agg(F.avg("recall")).first()[0]
+    assert rec >= 0.9, f"routed-union recall too low: {rec}"
+
+
 def test_pq_refined_recall(spark, sf_dir):
     """PQ codes: valid range/shape; PQ+refine recall beats the bar the
     reference's recall harness would apply (compute_recall ≥ threshold)."""
@@ -540,6 +579,73 @@ def test_acorn_indexed_equals_fused(spark, sf_dir):
         assert indexed.exceptAll(fused).count() == 0
         assert fused.exceptAll(indexed).count() == 0
         assert indexed.count() == fused.count() > 0
+
+
+def test_acorn_indexed_string_part_and_stale_fallback(spark, sf_dir):
+    """D4×D5 composition (r9): build_acorn_graph over the dynamic
+    comb-role store with a STRING part key persists (the adjacency
+    schema mirrors the part column's own type, as build_nsw_graph does),
+    and acorn_search_indexed over it returns exactly the fused
+    acorn_search's rows with the same knobs. A STALE adjacency (blocks
+    added to the store after the build) must flip its partition to the
+    in-cogroup rebuild through the LEFT join — never a silent drop."""
+    import __spark_entry__ as entry
+    from vectorsearch_rbac_spark.operators import dynamic, graph_ann
+
+    t = entry._rbac(spark, sf_dir)
+    store = dynamic.build_store(t["documentblocks"], t["permission_assignment"])
+    qs, qr, perms = t["queries"], t["query_roles"], t["permission_assignment"]
+    g = graph_ann.build_acorn_graph(
+        store, m=8, gamma=1, part_col="comb_role"
+    ).localCheckpoint()
+    assert dict(g.dtypes)["part"] == "string"
+    fused = graph_ann.acorn_search(
+        store, qs, qr, k=10, m=8, ef=48, part_col="comb_role", permissions=perms
+    ).select("query_id", "block_id", "rank")
+    indexed = graph_ann.acorn_search_indexed(
+        store, g, qs, qr, k=10, m=8, ef=48, part_col="comb_role",
+        permissions=perms,
+    ).select("query_id", "block_id", "rank")
+    assert indexed.exceptAll(fused).count() == 0
+    assert fused.exceptAll(indexed).count() == 0
+    assert indexed.count() == fused.count() > 0
+
+    # stale index: built on a subset, searched over the full store — the
+    # missing blocks' null neighbor lists trigger the partition rebuild,
+    # so the result equals the fused (deterministic in-cogroup build)
+    part_store = store.where(F.col("block_id") % 5 != 0)
+    g_stale = graph_ann.build_acorn_graph(
+        part_store, m=8, gamma=1, part_col="comb_role"
+    ).localCheckpoint()
+    stale = graph_ann.acorn_search_indexed(
+        store, g_stale, qs, qr, k=10, m=8, ef=48, part_col="comb_role",
+        permissions=perms,
+    ).select("query_id", "block_id", "rank")
+    assert stale.exceptAll(fused).count() == 0
+    assert fused.exceptAll(stale).count() == 0
+
+
+def test_nsw_indexed_stale_fallback(spark, sf_dir):
+    """r9: nsw_search_indexed mirrors the stale-index safety of its
+    siblings — blocks absent from the adjacency flip their partition to
+    the in-cogroup rebuild, so a stale index equals the fused search."""
+    import __spark_entry__ as entry
+    from vectorsearch_rbac_spark.operators import graph_ann
+
+    t = entry._rbac(spark, sf_dir)
+    blocks, qs = t["documentblocks"], t["queries"]
+    g_stale = graph_ann.build_nsw_graph(
+        blocks.where(F.col("block_id") % 5 != 0), m=8
+    ).localCheckpoint()
+    fused = graph_ann.nsw_search(blocks, qs, k=10, m=8, ef=48).select(
+        "query_id", "block_id", "rank"
+    )
+    stale = graph_ann.nsw_search_indexed(
+        blocks, g_stale, qs, k=10, ef=48, m=8
+    ).select("query_id", "block_id", "rank")
+    assert stale.exceptAll(fused).count() == 0
+    assert fused.exceptAll(stale).count() == 0
+    assert stale.count() == fused.count() > 0
 
 
 def test_dynamic_graph_prebuilt_equals_fused(spark, sf_dir):

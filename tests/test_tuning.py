@@ -99,6 +99,60 @@ def test_choose_nprobe_is_minimal():
     assert hard["nprobe"] == 32
 
 
+def test_scan_cost_points_match_curve(fitted):
+    """The dim-sized cost-only aggregate must equal the full curve's
+    avg_scanned column exactly — same probe ranks, same ladder, no
+    candidate explode."""
+    pts = {
+        r["nprobe"]: r["avg_scanned"]
+        for r in tuning.scan_cost_points(
+            fitted["indexed"], fitted["queries"], fitted["C"],
+            nprobes=list(range(1, fitted["nlists"] + 1)),
+        ).collect()
+    }
+    for r in fitted["curve"]:
+        assert pts[r["nprobe"]] == pytest.approx(r["avg_scanned"], abs=0.01)
+
+
+def test_logn_cost_fit(fitted):
+    """D9 log-n QPS model (analysis_hnsw_qps_logn.py parity): (1) on
+    synthetic data drawn from cost = a·knob + b·log(n) the exact
+    least-squares fit recovers the coefficients; (2) on real scan points
+    measured at three corpus sizes the fit is sane: cost rises with the
+    knob (a > 0) and with corpus size (b_logn > 0), and its MAE is in
+    the same band as the knob-only linear fit (neither form nests the
+    other: logn trades the free intercept for n-dependence)."""
+    import pyspark.sql.functions as F
+
+    # (1) synthetic exact recovery
+    knobs = [1, 2, 4, 8, 1, 2, 4, 8, 1, 2, 4, 8]
+    ns = [1000] * 4 + [10000] * 4 + [100000] * 4
+    ys = [3.5 * k + 7.0 * np.log(n) for k, n in zip(knobs, ns)]
+    m = tuning.fit_cost_model_logn(knobs, ys, ns)
+    assert m["a"] == pytest.approx(3.5, abs=1e-3)
+    assert m["b_logn"] == pytest.approx(7.0, abs=1e-3)
+    assert m["mae"] < 1e-6
+    assert tuning.predict_cost_logn(3, 5000, m) == pytest.approx(
+        3.5 * 3 + 7.0 * np.log(5000), rel=1e-3
+    )
+
+    # (2) real multi-n scan points: log-n MAE ≤ knob-only-linear MAE
+    pts = []
+    for mod in (1, 2, 4):
+        sub = fitted["blocks"].where(F.col("block_id") % mod == 0)
+        n_sub = sub.count()
+        rows = tuning.scan_cost_points(
+            ivf.assign_centroids(sub, fitted["C"]), fitted["queries"], fitted["C"]
+        ).collect()
+        pts += [(r["nprobe"], r["avg_scanned"], n_sub) for r in rows]
+    logn = tuning.fit_cost_model_logn(
+        [p[0] for p in pts], [p[1] for p in pts], [p[2] for p in pts]
+    )
+    lin = tuning.fit_cost_model([p[0] for p in pts], [p[1] for p in pts])
+    assert logn["a"] > 0 and logn["b_logn"] > 0
+    assert logn["mae"] <= 2.0 * lin["mae"] + 1e-9
+
+
 def test_tune_ivf_end_to_end(fitted):
     out = tuning.tune_ivf(
         fitted["indexed"], fitted["queries"], fitted["C"], fitted["truth"],

@@ -692,11 +692,16 @@ def nsw_search_indexed(
     id_col: str = "block_id",
     vec_col: str = "vector",
     part_col: str | None = None,
+    build_method: str = "auto",
+    m: int = 8,
 ) -> DataFrame:
     """Search a PREBUILT adjacency (no rebuild per query batch): vectors
     join their neighbor lists on the id key inside each partition, queries
     replicate per partition as a relation (no driver collect), and the
-    beam runs exactly as in :func:`nsw_search`."""
+    beam runs exactly as in :func:`nsw_search`. The adjacency is
+    LEFT-joined: blocks absent from a stale index arrive with null
+    neighbor lists and flip their partition to an in-cogroup rebuild
+    (the knn_dynamic_graph pattern) — never a silent drop."""
     src = blocks.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
@@ -705,18 +710,24 @@ def nsw_search_indexed(
         # int→long coercion is version-fragile)
         (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("_part"),
     ).join(
+        # corpus-sized ⋈ corpus-sized on the same key: hash-join hint —
+        # the applyInPandas output has no size stats and would SMJ
         adjacency.select(
             F.col("part").alias("_part"), F.col("id").alias("_id"), "neighbors"
-        ),
+        ).hint("SHUFFLE_HASH"),
         ["_part", "_id"],
+        "left",
     )
-    # partition values from the adjacency table, not src: src is the
-    # corpus⋈adjacency join, which Catalyst would execute twice
-    rq = _replicate_queries(
-        src,
-        queries.select("query_id", "query_vector"),
-        adjacency.select(F.col("part").alias("_part")),
+    # partition values from the CORPUS (column-pruned scan, the fused
+    # path's source) — not from src (the corpus⋈adjacency join, which
+    # Catalyst would execute twice) and not from the adjacency (a stale
+    # index missing an entire partition would stop queries reaching that
+    # partition's blocks — the rebuild fallback needs the queries there)
+    parts_from = (
+        _single_part(blocks.sparkSession) if part_col is None
+        else blocks.select(F.col(part_col).alias("_part"))
     )
+    rq = _replicate_queries(src, queries.select("query_id", "query_vector"), parts_from)
 
     def search_cogroup(blocks_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(blocks_pdf) == 0 or len(q_pdf) == 0:
@@ -724,12 +735,19 @@ def nsw_search_indexed(
         blocks_pdf = blocks_pdf.sort_values("_id").reset_index(drop=True)
         vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
         ids = blocks_pdf["_id"].to_numpy()
-        pos = {int(i): p for p, i in enumerate(ids)}
-        adj = [
-            [pos[int(v)] for v in nbrs if int(v) in pos]
-            for nbrs in blocks_pdf["neighbors"].values
-        ]
-        adjarr = [np.asarray(a, dtype=np.int64) for a in adj]  # pos-mapped lists
+        if blocks_pdf["neighbors"].isna().any():
+            # stale index (null neighbor lists through the LEFT join):
+            # rebuild this partition's graph in-cogroup
+            adjarr = _build_adjacency(vecs, m, method=build_method)
+        else:
+            pos = {int(i): p for p, i in enumerate(ids)}
+            adjarr = [
+                np.asarray(
+                    [pos[int(v)] for v in nbrs if int(v) in pos],
+                    dtype=np.int64,
+                )
+                for nbrs in blocks_pdf["neighbors"].values
+            ]
         norms = (vecs * vecs).sum(axis=1)
         qids = q_pdf["query_id"].to_numpy()
         qmat = np.stack(
@@ -1592,6 +1610,10 @@ def build_acorn_graph(
         F.col(vec_col).alias("_vec"),
         (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("part"),
     )
+    # the part column keeps ITS OWN type (long grid parts, string comb_role
+    # keys alike) — mirrors build_nsw_graph/insert_into_graph, so an ACORN
+    # index composes with the dynamic comb-role store (D4×D5)
+    part_type = src.schema["part"].dataType.simpleString()
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id").reset_index(drop=True)
@@ -1621,7 +1643,7 @@ def build_acorn_graph(
         )
 
     return src.groupBy("part").applyInPandas(
-        build_group, schema="part long, id long, neighbors array<long>"
+        build_group, schema=f"part {part_type}, id long, neighbors array<long>"
     )
 
 
@@ -1640,6 +1662,7 @@ def acorn_search_indexed(
     gamma: int = 1,
     max_hops: int | None = None,
     permissions: DataFrame | None = None,
+    build_method: str = "auto",
 ) -> DataFrame:
     """ACORN over a PREBUILT :func:`build_acorn_graph` adjacency — no
     graph rebuild per query batch (nsw_search_indexed idiom): vectors and
@@ -1647,32 +1670,43 @@ def acorn_search_indexed(
     each partition, queries + role sets replicate as ONE relation, and
     the traversal runs exactly as in :func:`acorn_search` (shared
     :func:`_acorn_masked_search`). ``gamma`` must match the build: γ>1
-    indexes store distance-sorted unpruned lists, γ=1 the diverse graph.
-    This is the production search-many path; the fused build stays
-    certified through acorn_exact."""
+    indexes store ordered unpruned lists, γ=1 the diverse graph. The
+    adjacency is LEFT-joined: store blocks missing from a stale index
+    keep null neighbor lists, which flip their partition to an in-cogroup
+    rebuild (``build_method`` controls it — the knn_dynamic_graph
+    pattern), so search never silently drops blocks. This is the
+    production search-many path; the fused build stays certified through
+    acorn_exact."""
     with_roles, droles_col = _with_role_meta(blocks, permissions)
     src = with_roles.select(
-        # cast the join keys to long: build_acorn_graph's schema stores
-        # part/id as long, and both the ['_part','_id'] equi-join and the
-        # cogroup grouping keys must agree in type (implicit int→long
-        # coercion is version-fragile — same guard as the fused path)
+        # the id join key casts to long (build_acorn_graph's schema
+        # stores id as long; implicit int→long coercion is
+        # version-fragile); the part key keeps ITS OWN type — the build
+        # mirrors it, so string comb_role parts compose (D4×D5)
         F.col(id_col).cast("long").alias("_id"),
         droles_col.alias("_droles"),
         F.col(vec_col).alias("_vec"),
-        (F.col(part_col).cast("long") if part_col
-         else F.lit(0).cast("long")).alias("_part"),
+        (F.col(part_col) if part_col else F.lit(0).cast("long")).alias("_part"),
     ).join(
+        # corpus-sized ⋈ corpus-sized on the same key: hash-join hint —
+        # the applyInPandas output has no size stats and would SMJ
         adjacency.select(
             F.col("part").alias("_part"), F.col("id").alias("_id"), "neighbors"
-        ),
+        ).hint("SHUFFLE_HASH"),
         ["_part", "_id"],
+        "left",
     )
     q_with_roles = _with_query_roles(queries, query_roles)
-    # partition values from the adjacency table, not src: src is the
-    # corpus⋈adjacency join, which Catalyst would execute twice
-    rq = _replicate_queries(
-        src, q_with_roles, adjacency.select(F.col("part").alias("_part"))
+    # partition values from the CORPUS (column-pruned scan, the fused
+    # path's source) — not from src (the corpus⋈adjacency join, which
+    # Catalyst would execute twice) and not from the adjacency (a stale
+    # index missing an entire partition would stop queries reaching that
+    # partition's blocks — the rebuild fallback needs the queries there)
+    parts_from = (
+        _single_part(blocks.sparkSession) if part_col is None
+        else blocks.select(F.col(part_col).alias("_part"))
     )
+    rq = _replicate_queries(src, q_with_roles, parts_from)
 
     def search_cogroup(blocks_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(blocks_pdf) == 0 or len(q_pdf) == 0:
@@ -1680,16 +1714,34 @@ def acorn_search_indexed(
         blocks_pdf = blocks_pdf.sort_values("_id").reset_index(drop=True)
         vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
         ids = blocks_pdf["_id"].to_numpy()
-        pos = {int(i): p for p, i in enumerate(ids)}
-        adj = [
-            np.asarray(
-                [pos[int(v)] for v in (nbrs if nbrs is not None else [])
-                 if int(v) in pos],
-                dtype=np.int64,
-            )
-            for nbrs in blocks_pdf["neighbors"].values
-        ]
         norms = (vecs * vecs).sum(axis=1)
+        if blocks_pdf["neighbors"].isna().any():
+            # stale index: store blocks absent from the prebuilt graph
+            # arrive with null neighbor lists through the LEFT join —
+            # rebuild this partition's graph (build_acorn_graph logic)
+            # so RBAC search never silently loses blocks
+            if gamma > 1:
+                method = build_method
+                if method == "auto":
+                    method = (
+                        "exact" if vecs.shape[0] <= 8 * EXACT_BUILD_MAX
+                        else "incremental"
+                    )
+                adj = _order_gamma_lists(
+                    vecs, _build_adjacency(vecs, m * gamma, method=method),
+                    norms, "diverse",
+                )
+            else:
+                adj = _build_adjacency(vecs, m, method=build_method)
+        else:
+            pos = {int(i): p for p, i in enumerate(ids)}
+            adj = [
+                np.asarray(
+                    [pos[int(v)] for v in nbrs if int(v) in pos],
+                    dtype=np.int64,
+                )
+                for nbrs in blocks_pdf["neighbors"].values
+            ]
         return _acorn_masked_search(
             vecs, ids, norms, adj,
             # stored order IS the search order for γ builds (diverse-first

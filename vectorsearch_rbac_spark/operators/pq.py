@@ -481,7 +481,9 @@ def ivfpq_search(
     row-for-row (pytest-pinned)."""
     if impl == "numpy":
         scored = _ivfpq_scores_numpy(codes, queries, centroids, codebooks, k, nprobe, id_col)
-    else:
+        if scored is None:  # LUT broadcast would exceed the size guard
+            impl = "expr"
+    if impl != "numpy":
         luts = _routed_query_luts(queries, centroids, codebooks, nprobe)
         scored = codes.join(F.broadcast(luts), "centroid_id").select(
             "query_id",
@@ -511,13 +513,20 @@ def _ivfpq_scores_numpy(
     k: int,
     nprobe: int,
     id_col: str,
-) -> DataFrame:
-    """Stage-1 of the numpy IVFADC path. The residual LUT is built DENSE
-    over (Q, nlists, m, ksub) — nlists/nprobe× the inherent Q·nprobe LUT
-    payload (26 MB at 200 queries × 16 lists × 16×64) so each batch's
-    gather is one fancy-index per subspace; unprobed cells stay zero and
-    their rows mask to +inf before the cut. Probe order and LUT values
-    reuse _routed_query_luts' exact op sequence."""
+) -> DataFrame | None:
+    """Stage-1 of the numpy IVFADC path. The residual LUT is SPARSE,
+    keyed by (query, probe slot): a (Q, nprobe, m, ksub) float64 array —
+    the inherent payload, NOT the (Q, nlists, m, ksub) dense cube whose
+    broadcast grows with nlists (~sqrt(N) in ivfpq callers) — plus a
+    (Q, nlists) int32 list→slot map (-1 = unprobed). Each batch's gather
+    stays one fancy-index per subspace; unprobed (query, list) pairs mask
+    to +inf and are never emitted. Probe order and LUT values reuse
+    _routed_query_luts' exact op sequence, and the adds run in the same
+    j-order, so rows stay bit-identical to the expr path.
+
+    Returns None when even the sparse broadcast would exceed ~256 MB —
+    the caller falls back to ``impl='expr'`` (the LUT there rides the
+    broadcast join row-by-row instead of as one dense tensor)."""
     spark = codes.sparkSession
     q_rows = queries.select("query_id", "query_vector").collect()
     if not q_rows:  # expr path yields empty output on empty queries — match it
@@ -528,28 +537,35 @@ def _ivfpq_scores_numpy(
     B = codebooks
     m, ksub = B.shape[0], B.shape[1]
     nlists = C.shape[0]
-    lut = np.zeros((len(qids), nlists, m, ksub))
-    probed = np.zeros((len(qids), nlists), dtype=bool)
-    for qi in range(len(qids)):
+    n_q = len(qids)
+    if n_q * (nprobe * m * ksub * 8 + nlists * 4) > 256 << 20:
+        return None
+    lut = np.zeros((n_q, nprobe, m, ksub))
+    slot = np.full((n_q, nlists), -1, dtype=np.int32)
+    for qi in range(n_q):
         d = ((C - Q[qi][None, :]) ** 2).sum(-1)
-        for cid in np.argsort(d)[:nprobe]:
+        for s, cid in enumerate(np.argsort(d)[:nprobe]):
             # _residual_lut: the ONE residual op sequence (_routed_query_luts shares it)
-            lut[qi, cid] = _residual_lut(Q[qi] - C[cid], B)
-            probed[qi, cid] = True
-    bc = spark.sparkContext.broadcast((qids, probed, lut))
+            lut[qi, s] = _residual_lut(Q[qi] - C[cid], B)
+            slot[qi, cid] = s
+    bc = spark.sparkContext.broadcast((qids, slot, lut))
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, M, L = bc.value
+        qids_, S_, L = bc.value
+        qidx = np.arange(len(qids_))[:, None]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             lists = pdf["centroid_id"].to_numpy().astype(np.int64)
             ids = pdf[id_col].to_numpy()
-            D = L[:, lists, 0, Cd[:, 0]]
+            S = S_[:, lists]  # (Q, rows) probe slot, -1 = unprobed
+            valid = S >= 0
+            Sc = np.where(valid, S, 0)
+            D = L[qidx, Sc, 0, Cd[:, 0][None, :]]
             for j in range(1, m):
-                D = D + L[:, lists, j, Cd[:, j]]
-            D = np.where(M[:, lists], D, np.inf)
+                D = D + L[qidx, Sc, j, Cd[:, j][None, :]]
+            D = np.where(valid, D, np.inf)
             Dr = np.floor(D * 1e6 + 0.5) / 1e6 + 0.0
             out = _batch_topk_rows(Dr, ids, qids_, k)
             if out is not None:

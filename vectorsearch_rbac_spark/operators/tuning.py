@@ -198,8 +198,84 @@ def fit_cost_model(nprobes, avg_scanned) -> dict:
     """Linear cost-in-the-knob fit, ``analysis_hnsw_qps.py:260`` parity:
     the reference fits ``time/log(n) = a·ef + b``; the deterministic Spark
     analog is rows-scanned-per-query = a·nprobe + b."""
-    a, b = np.polyfit(np.asarray(list(nprobes), float), np.asarray(list(avg_scanned), float), 1)
-    return {"a": round(float(a), 4), "b": round(float(b), 4)}
+    x = np.asarray(list(nprobes), float)
+    y = np.asarray(list(avg_scanned), float)
+    a, b = np.polyfit(x, y, 1)
+    mae = float(np.abs(a * x + b - y).mean())
+    return {"a": round(float(a), 4), "b": round(float(b), 4), "mae": round(mae, 4)}
+
+
+def fit_cost_model_logn(nprobes, avg_scanned, n_totals) -> dict:
+    """Two-feature cost fit ``cost = a·knob + b·log(n)`` — the reference's
+    log(n)-shaped HNSW QPS model
+    (``analysis_hnsw_qps_logn.py:24``,
+    ``fit_query_time_function_with_efs_and_logn``: query_time =
+    a·ef_search + b·log(n_total_rows), fit with scipy curve_fit). The
+    deterministic Spark analog regresses rows-scanned-per-query on
+    (nprobe, log corpus rows) by exact least squares (``lstsq`` — no
+    scipy), so the fit is reproducible bit-for-bit.
+
+    Feed points measured at MULTIPLE corpus sizes (the reference varies n
+    across partitions); with a single n the log(n) column is constant and
+    ``b`` degenerates to the linear model's intercept / log(n) — the
+    honest single-n limit. Returns {a, b_logn, mae}."""
+    x = np.asarray(list(nprobes), float)
+    y = np.asarray(list(avg_scanned), float)
+    n = np.asarray(list(n_totals), float)
+    A = np.stack([x, np.log(np.maximum(n, 2.0))], axis=1)
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    pred = A @ coef
+    return {
+        "a": round(float(coef[0]), 4),
+        "b_logn": round(float(coef[1]), 4),
+        "mae": round(float(np.abs(pred - y).mean()), 4),
+    }
+
+
+def predict_cost_logn(nprobe, n_total, model: dict) -> float:
+    """Predicted rows-scanned under the log-n model (modelqps_vs_realqps
+    parity: the validation side of the fit)."""
+    return float(model["a"]) * float(nprobe) + float(model["b_logn"]) * float(
+        np.log(max(float(n_total), 2.0))
+    )
+
+
+def scan_cost_points(
+    indexed_blocks: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobes: list[int] | None = None,
+) -> DataFrame:
+    """(nprobe, avg rows scanned per query) ALONE — the cost half of
+    :func:`recall_cost_curve` without any distance scoring, so cost-model
+    fits can sample MULTIPLE corpus sizes cheaply (the log-n QPS fit
+    needs n to vary). Everything is dim-sized: per-centroid list sizes
+    (nlists rows) join the per-query probe ranks (Q×nprobe rows), and
+    each nprobe setting sums the list sizes it probes — no fact-table
+    candidate explode, no truth pass."""
+    spark = indexed_blocks.sparkSession
+    nlists = len(centroids)
+    nprobes = sorted(set(nprobes or range(1, nlists + 1)))
+    max_np = min(max(nprobes), nlists)
+    probes = spark.createDataFrame(
+        _probe_ranks(queries, centroids, max_np),
+        "query_id long, centroid_id int, probe_rank int",
+    )
+    sizes = indexed_blocks.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_blocks")
+    )
+    n_queries = queries.count()
+    np_arr = F.array(*[F.lit(int(n)) for n in nprobes])
+    return (
+        probes.join(F.broadcast(sizes), "centroid_id")
+        .withColumn(
+            "nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank")))
+        )
+        .groupBy("nprobe")
+        .agg((F.sum("n_blocks") / n_queries).alias("avg_scanned"))
+        .select("nprobe", F.round("avg_scanned", 2).alias("avg_scanned"))
+        .orderBy("nprobe")
+    )
 
 
 def predict_recall(nprobe, model: dict):

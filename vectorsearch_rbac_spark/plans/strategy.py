@@ -134,6 +134,8 @@ def adaptive_knn(
     expansion: int = 4,
     acorn_ef: int = 48,
     acorn_m: int = 8,
+    n_corpus: int | None = None,
+    acorn_impl=None,
 ) -> DataFrame:
     """Route each query to the strategy its selectivity warrants, then union.
 
@@ -148,12 +150,26 @@ def adaptive_knn(
     ``'threshold'`` keeps the fixed 0.5 rule; ``'cost3'`` routes
     three-way over predicted scan costs (:func:`scan_cost_routing`) and
     adds the ACORN arm — the mid-selectivity regime the 2-way rule hands
-    to prefilter. The ACORN arm here runs :func:`~..operators.graph_ann.
+    to prefilter. The default ACORN arm runs :func:`~..operators.graph_ann.
     acorn_exact_topk` (exhaustive traversal — its result provably equals
     the permitted exact answer, so the whole routed union stays under
     the hash gate); the cost model prices the PRODUCTION beam (ef·m
-    evaluations), and production callers swap in acorn_search_indexed
-    over a prebuilt index for the same routing decision.
+    evaluations).
+
+    ``acorn_impl`` is the production hook for that arm: a callable
+    ``(blocks, queries, query_roles, permissions, k=...) ->
+    (query_id, block_id, distance, rank)`` — typically a closure over a
+    prebuilt :func:`~..operators.graph_ann.build_acorn_graph` index
+    calling :func:`~..operators.graph_ann.acorn_search_indexed` at the
+    priced ef·m knobs, so routed queries get the bounded beam the cost
+    model believes they get (AnonySys_dynamic_partition.py:114 prices,
+    then runs, the SAME bounded search). The default stays exhaustive so
+    the gate entry remains hash-certified.
+
+    ``n_corpus`` pins the corpus size the cost model is parameterized by;
+    when ``None`` it falls back to ``blocks.count()`` — a real scan per
+    routing call at 100 TB, so production callers should pass the known
+    size (or table statistics) like every other offline artifact.
     """
     # selectivity only for the WORKLOAD's users (the routing left-joins by
     # user_id, so non-query users' rows were dead weight): a full-user
@@ -180,12 +196,16 @@ def adaptive_knn(
                 "to knn_comb_role_partition explicitly"
             )
         routing = scan_cost_routing(
-            queries, sel, blocks.count(), k=k, expansion=expansion,
+            queries, sel, n_corpus if n_corpus is not None else blocks.count(),
+            k=k, expansion=expansion,
             acorn_ef=acorn_ef, acorn_m=acorn_m,
         )
     else:
         pf_threshold = (
-            cost_crossover_threshold(blocks.count(), k=k, expansion=expansion)
+            cost_crossover_threshold(
+                n_corpus if n_corpus is not None else blocks.count(),
+                k=k, expansion=expansion,
+            )
             if routing_mode == "cost"
             else 0.5
         )
@@ -199,9 +219,15 @@ def adaptive_knn(
     def _acorn_arm(blocks, qs, qr, pa, k=k, metric="l2"):
         from ..operators import graph_ann
 
-        res = graph_ann.acorn_exact_topk(
-            blocks, qs, qr, k=k, m=acorn_m, expansion=expansion, permissions=pa
-        )
+        if acorn_impl is not None:
+            # production hook: the bounded beam the cost model priced
+            # (typically acorn_search_indexed over a prebuilt index)
+            res = acorn_impl(blocks, qs, qr, pa, k=k)
+        else:
+            res = graph_ann.acorn_exact_topk(
+                blocks, qs, qr, k=k, m=acorn_m, expansion=expansion,
+                permissions=pa,
+            )
         # Q×k result — broadcast it against the corpus for document_id
         return (
             F.broadcast(res)
