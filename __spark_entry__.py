@@ -2010,7 +2010,10 @@ def q_graph_recall(spark, sf_dir):
         ).localCheckpoint(),
     )
     pred = graph_ann.nsw_search_indexed(
-        t["documentblocks"], g, t["queries"], k=TOPK, ef=48
+        t["documentblocks"], g, t["queries"], k=TOPK, ef=48,
+        # the per-sf cached index covers this exact corpus — a stale hit
+        # would be a cache-key bug, so fail loudly instead of rebuilding
+        stale="error",
     )
     truth = _truth_blocks(sf_dir, t)
     return knn.recall_at_k(pred, truth)
@@ -2039,6 +2042,7 @@ def q_acorn_recall(spark, sf_dir):
         t["documentblocks"], g, t["queries"], t["query_roles"],
         k=TOPK, m=8, ef=48,
         permissions=t["permission_assignment"],  # predicate supplied AS DATA
+        stale="error",  # cached per sf over this exact corpus — fail loudly
     )
     truth = _cached(("truth_prefilter", sf_dir),
                     lambda: q_rbac_prefilter_topk(spark, sf_dir).localCheckpoint())
@@ -2101,6 +2105,7 @@ def q_acorn_gamma_recall(spark, sf_dir):
         t["documentblocks"], g, t["queries"], t["query_roles"], k=TOPK, m=8,
         ef=96, gamma=gamma,
         permissions=t["permission_assignment"],  # predicate supplied AS DATA
+        stale="error",  # cached per sf over this exact corpus — fail loudly
     )
     truth = _cached(("truth_prefilter", sf_dir),
                     lambda: q_rbac_prefilter_topk(spark, sf_dir).localCheckpoint())
@@ -2548,6 +2553,11 @@ def _store_lifecycle_build(spark, sf_dir):
     sg_short = graph_ann.nsw_search_indexed(
         fb, fg, t["queries"], k=TOPK * 4, ef=1 << 30,
         id_col="block_id", vec_col="vector",
+        # certification: a block the streamed maintenance LOST must fail
+        # the entry loudly, not flip the partition into the stale-index
+        # rebuild (which would quietly re-derive a fresh graph and let a
+        # broken insert_into_graph pass the hash gate)
+        stale="error",
     ).select("query_id", "block_id")
     sg_rescored = (
         sg_short.join(blocks.select("block_id", "vector"), "block_id")

@@ -305,6 +305,14 @@ def test_adaptive_knn_production_acorn_arm(t, spark):
     rec = knn.recall_at_k(out, truth).agg(F.avg("recall")).first()[0]
     assert rec >= 0.9, f"routed-union recall too low: {rec}"
 
+    # the hook only exists on the cost3 arm — passing it with 2-way
+    # routing must refuse, not silently never run it
+    with pytest.raises(ValueError, match="acorn_impl requires"):
+        adaptive_knn(
+            blocks, t["queries"], t["query_roles"], t["permission_assignment"],
+            t["user_roles"], k=10, routing_mode="cost", acorn_impl=beam_arm,
+        )
+
 
 def test_pq_refined_recall(spark, sf_dir):
     """PQ codes: valid range/shape; PQ+refine recall beats the bar the
@@ -646,6 +654,28 @@ def test_nsw_indexed_stale_fallback(spark, sf_dir):
     assert stale.exceptAll(fused).count() == 0
     assert fused.exceptAll(stale).count() == 0
     assert stale.count() == fused.count() > 0
+
+    # stale='error': certification paths must fail LOUDLY on the same
+    # stale index instead of papering over it with a rebuild
+    with pytest.raises(Exception, match="stale graph index"):
+        graph_ann.nsw_search_indexed(
+            blocks, g_stale, qs, k=10, ef=48, m=8, stale="error"
+        ).count()
+
+    # index AHEAD of the corpus (blocks deleted since the build without
+    # delete_from_graph): stored edges point at removed ids — silently
+    # stripping them could break the ring, so the partition must rebuild
+    # and equal the fused search over the shrunken corpus
+    g_full = graph_ann.build_nsw_graph(blocks, m=8).localCheckpoint()
+    shrunk = blocks.where(F.col("block_id") % 5 != 0)
+    fused_shrunk = graph_ann.nsw_search(shrunk, qs, k=10, m=8, ef=48).select(
+        "query_id", "block_id", "rank"
+    )
+    ahead = graph_ann.nsw_search_indexed(
+        shrunk, g_full, qs, k=10, ef=48, m=8
+    ).select("query_id", "block_id", "rank")
+    assert ahead.exceptAll(fused_shrunk).count() == 0
+    assert fused_shrunk.exceptAll(ahead).count() == 0
 
 
 def test_dynamic_graph_prebuilt_equals_fused(spark, sf_dir):

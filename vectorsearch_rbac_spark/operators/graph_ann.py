@@ -694,14 +694,24 @@ def nsw_search_indexed(
     part_col: str | None = None,
     build_method: str = "auto",
     m: int = 8,
+    stale: str = "rebuild",
 ) -> DataFrame:
     """Search a PREBUILT adjacency (no rebuild per query batch): vectors
     join their neighbor lists on the id key inside each partition, queries
     replicate per partition as a relation (no driver collect), and the
-    beam runs exactly as in :func:`nsw_search`. The adjacency is
-    LEFT-joined: blocks absent from a stale index arrive with null
-    neighbor lists and flip their partition to an in-cogroup rebuild
-    (the knn_dynamic_graph pattern) — never a silent drop."""
+    beam runs exactly as in :func:`nsw_search`.
+
+    ``m`` and ``build_method`` must match the knobs the index was built
+    with — they parameterize ONLY the stale-partition rebuild below, and
+    a mismatch would make a rebuilt partition's graph sparser/denser than
+    its fresh siblings. Staleness is detected in both directions (blocks
+    missing from the index, or stored edges to removed blocks — see
+    :func:`_pos_mapped_or_stale`); ``stale='rebuild'`` (default) rebuilds
+    that partition in-cogroup so search never silently drops blocks,
+    ``stale='error'`` raises instead (certification paths fail loudly
+    when index maintenance lost a block)."""
+    if stale not in ("rebuild", "error"):
+        raise ValueError(f"unknown stale policy {stale!r}")
     src = blocks.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
@@ -735,19 +745,9 @@ def nsw_search_indexed(
         blocks_pdf = blocks_pdf.sort_values("_id").reset_index(drop=True)
         vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
         ids = blocks_pdf["_id"].to_numpy()
-        if blocks_pdf["neighbors"].isna().any():
-            # stale index (null neighbor lists through the LEFT join):
-            # rebuild this partition's graph in-cogroup
+        adjarr = _pos_mapped_or_stale(blocks_pdf["neighbors"].values, ids, stale)
+        if adjarr is None:  # stale partition → in-cogroup rebuild
             adjarr = _build_adjacency(vecs, m, method=build_method)
-        else:
-            pos = {int(i): p for p, i in enumerate(ids)}
-            adjarr = [
-                np.asarray(
-                    [pos[int(v)] for v in nbrs if int(v) in pos],
-                    dtype=np.int64,
-                )
-                for nbrs in blocks_pdf["neighbors"].values
-            ]
         norms = (vecs * vecs).sum(axis=1)
         qids = q_pdf["query_id"].to_numpy()
         qmat = np.stack(
@@ -936,25 +936,18 @@ def knn_dynamic_graph(
         vecs = np.stack(blocks_pdf["vector"].values).astype(np.float64)
         ids = blocks_pdf["block_id"].to_numpy()
         docs = blocks_pdf["document_id"].to_numpy()
-        if (
-            "neighbors" in blocks_pdf.columns
-            and not blocks_pdf["neighbors"].isna().any()
-        ):
-            # prebuilt per-partition graph: pos-map the stored id lists
-            # (nsw_search_indexed idiom) — no in-cogroup rebuild
-            pos = {int(i): p for p, i in enumerate(ids)}
-            adjarr = [
-                np.asarray(
-                    [pos[int(v)] for v in nb if int(v) in pos],
-                    dtype=np.int64,
-                )
-                for nb in blocks_pdf["neighbors"].values
-            ]
-        else:
-            # no adjacency, or a STALE one (store blocks missing from the
-            # prebuilt graph arrive with null neighbor lists through the
-            # left join): rebuild this partition's graph so RBAC
-            # exactness never silently loses blocks
+        # prebuilt per-partition graph: pos-map the stored id lists
+        # (nsw_search_indexed idiom) — no in-cogroup rebuild unless the
+        # index is stale in EITHER direction (store blocks missing from
+        # the graph arrive as nulls through the left join; stored edges
+        # to removed blocks would silently strip connectivity), in which
+        # case the partition rebuilds so RBAC exactness never silently
+        # loses blocks
+        adjarr = (
+            _pos_mapped_or_stale(blocks_pdf["neighbors"].values, ids, "rebuild")
+            if "neighbors" in blocks_pdf.columns else None
+        )
+        if adjarr is None:
             adjarr = _build_adjacency(vecs, m, method=build_method)
         norms = (vecs * vecs).sum(axis=1)
         qids = q_pdf["query_id"].to_numpy()
@@ -1159,6 +1152,68 @@ def _order_gamma_lists(vecs, adj, norms, neighbor_order: str):
     raise ValueError(f"unknown neighbor_order {neighbor_order!r}")
 
 
+def _pos_mapped_or_stale(neighbor_lists, ids, stale: str):
+    """Map a partition's stored neighbor-id lists to positions in the
+    sorted id array, detecting staleness in BOTH directions: a null list
+    (block missing from the index — corpus grew since the build) or an
+    edge to an id absent from the corpus (block removed since the build —
+    silently stripping the edge could break ring connectivity and with it
+    the ef ≥ n exhaustiveness proofs). Returns the pos-mapped
+    ``list[np.ndarray]`` when the index is fresh; ``None`` when stale and
+    ``stale == 'rebuild'`` (the caller rebuilds in-cogroup); raises when
+    stale and ``stale == 'error'`` (certification paths fail loudly
+    instead of papering over lost index maintenance)."""
+    why = None
+    out: list[np.ndarray] = []
+    pos = {int(i): p for p, i in enumerate(ids)}
+    for nbrs in neighbor_lists:
+        # Arrow nulls surface as None or NaN depending on the column path
+        if nbrs is None or not hasattr(nbrs, "__len__"):
+            why = "blocks missing from the index (null neighbor list)"
+            break
+        mapped = [pos[int(v)] for v in nbrs if int(v) in pos]
+        if len(mapped) != len(nbrs):
+            why = "stored edges point at ids absent from the corpus"
+            break
+        out.append(np.asarray(mapped, dtype=np.int64))
+    if why is None:
+        return out
+    if stale == "error":
+        raise ValueError(f"stale graph index: {why}")
+    return None
+
+
+def _acorn_partition_adjacency(vecs, norms, m, gamma, build_method, neighbor_order):
+    """The ONE ACORN partition-adjacency build — the fused
+    :func:`acorn_search`, the offline :func:`build_acorn_graph`, and the
+    indexed searches' stale-partition rebuild all call this single
+    implementation, so the pytest-pinned indexed ≡ fused ≡ rebuilt
+    equalities stay atomic under knob changes.
+
+    γ>1 returns the UNPRUNED nearest-γ·m lists ordered by
+    ``neighbor_order`` (the paper removes the RNG/diversity pruning
+    precisely because it is predicate-agnostic: a pruned near neighbor
+    may be the only passing one); the exact build IS that list, so
+    γ-mode raises the auto crossover to 8× (r7: at 20k real vectors the
+    blocked-BLAS exact build is 3× FASTER than the degree-γm insert loop
+    at equal recall — the memory-bounded d² slab keeps it safe); beyond
+    it the heuristic incremental build at degree γm is the documented
+    fallback (measured: −0.05..−0.15 recall at selectivity ≤ 0.2).
+    γ=1 returns the diverse (hnswlib-heuristic) m-graph."""
+    if gamma > 1:
+        method = build_method
+        if method == "auto":
+            method = (
+                "exact" if vecs.shape[0] <= 8 * EXACT_BUILD_MAX
+                else "incremental"
+            )
+        return _order_gamma_lists(
+            vecs, _build_adjacency(vecs, m * gamma, method=method),
+            norms, neighbor_order,
+        )
+    return _build_adjacency(vecs, m, method=build_method)
+
+
 def _acorn_gamma_beam(vecs, adj_sorted, q, k, ef, allowed, m, norms=None):
     """ACORN-γ traversal (Patel et al. 2024 §4.2): the graph was built
     DENSER (degree ≈ γ·m) and expansion of a node keeps the first ``m``
@@ -1329,30 +1384,15 @@ def acorn_search(
         vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
         ids = blocks_pdf["_id"].to_numpy()
         norms = (vecs * vecs).sum(axis=1)
-        if gamma > 1:
-            # ACORN-γ's index is the UNPRUNED nearest-γm list (the paper
-            # removes the RNG/diversity pruning precisely because it is
-            # predicate-agnostic: a pruned near neighbor may be the only
-            # passing one). The exact build IS that list, so γ-mode
-            # raises the auto crossover to 32k (r7: at 20k real vectors
-            # the blocked-BLAS exact build is 3× FASTER than the
-            # degree-γm insert loop at equal recall — the memory-bounded
-            # d² slab keeps it safe); beyond it the heuristic incremental
-            # build at degree γm is the documented fallback
-            # (measured: −0.05..−0.15 recall at selectivity ≤ 0.2).
-            method = build_method
-            if method == "auto":
-                method = (
-                    "exact" if vecs.shape[0] <= 8 * EXACT_BUILD_MAX
-                    else "incremental"
-                )
-            adj = _build_adjacency(vecs, m * gamma, method=method)
-            adj_sorted = _order_gamma_lists(vecs, adj, norms, neighbor_order)
-        else:
-            adj = _build_adjacency(vecs, m, method=build_method)
-            adj_sorted = None
+        # the ONE adjacency build (see _acorn_partition_adjacency): γ>1
+        # yields the ordered unpruned γ·m lists — passed as both the
+        # membership adjacency and the search order, exactly as the
+        # indexed path passes its stored lists (pytest-pinned equal)
+        adj = _acorn_partition_adjacency(
+            vecs, norms, m, gamma, build_method, neighbor_order
+        )
         return _acorn_masked_search(
-            vecs, ids, norms, adj, adj_sorted,
+            vecs, ids, norms, adj, adj if gamma > 1 else None,
             blocks_pdf["_droles"].values, q_pdf,
             k, ef, m, gamma, expand_2hop, max_hops,
         )
@@ -1619,20 +1659,10 @@ def build_acorn_graph(
         pdf = pdf.sort_values("_id").reset_index(drop=True)
         vecs = np.stack(pdf["_vec"].values).astype(np.float64)
         ids = pdf["_id"].to_numpy()
-        if gamma > 1:
-            method = build_method
-            if method == "auto":
-                method = (
-                    "exact" if vecs.shape[0] <= 8 * EXACT_BUILD_MAX
-                    else "incremental"
-                )
-            norms = (vecs * vecs).sum(axis=1)
-            adj = _order_gamma_lists(
-                vecs, _build_adjacency(vecs, m * gamma, method=method),
-                norms, neighbor_order,
-            )
-        else:
-            adj = _build_adjacency(vecs, m, method=build_method)
+        adj = _acorn_partition_adjacency(
+            vecs, (vecs * vecs).sum(axis=1), m, gamma, build_method,
+            neighbor_order,
+        )
         part = pdf["part"].iloc[0]
         return pd.DataFrame(
             {
@@ -1663,20 +1693,34 @@ def acorn_search_indexed(
     max_hops: int | None = None,
     permissions: DataFrame | None = None,
     build_method: str = "auto",
+    neighbor_order: str = "diverse",
+    stale: str = "rebuild",
 ) -> DataFrame:
     """ACORN over a PREBUILT :func:`build_acorn_graph` adjacency — no
     graph rebuild per query batch (nsw_search_indexed idiom): vectors and
     role metadata join their stored neighbor lists on the id key inside
     each partition, queries + role sets replicate as ONE relation, and
     the traversal runs exactly as in :func:`acorn_search` (shared
-    :func:`_acorn_masked_search`). ``gamma`` must match the build: γ>1
-    indexes store ordered unpruned lists, γ=1 the diverse graph. The
-    adjacency is LEFT-joined: store blocks missing from a stale index
-    keep null neighbor lists, which flip their partition to an in-cogroup
-    rebuild (``build_method`` controls it — the knn_dynamic_graph
-    pattern), so search never silently drops blocks. This is the
-    production search-many path; the fused build stays certified through
+    :func:`_acorn_masked_search`). ``gamma``, ``m``, ``build_method``
+    and ``neighbor_order`` must match the build's knobs: γ>1 indexes
+    store ordered unpruned lists, γ=1 the diverse graph, and the stale
+    rebuild below reproduces the build with exactly these parameters.
+
+    Staleness in EITHER direction is detected per partition: blocks
+    missing from the index arrive with null neighbor lists through the
+    LEFT join (index behind the corpus), and stored edges pointing at
+    ids absent from the corpus mean blocks were removed since the build
+    (index ahead — silently stripping those edges could disconnect the
+    ring the exactness proofs need). ``stale`` picks the response:
+    ``'rebuild'`` (default) rebuilds that partition's graph in-cogroup
+    (the knn_dynamic_graph pattern — search never silently drops blocks
+    or degrades), ``'error'`` raises instead, for certification paths
+    that must FAIL LOUDLY when index maintenance lost a block rather
+    than paper over it with a rebuild. This is the production
+    search-many path; the fused build stays certified through
     acorn_exact."""
+    if stale not in ("rebuild", "error"):
+        raise ValueError(f"unknown stale policy {stale!r}")
     with_roles, droles_col = _with_role_meta(blocks, permissions)
     src = with_roles.select(
         # the id join key casts to long (build_acorn_graph's schema
@@ -1715,33 +1759,11 @@ def acorn_search_indexed(
         vecs = np.stack(blocks_pdf["_vec"].values).astype(np.float64)
         ids = blocks_pdf["_id"].to_numpy()
         norms = (vecs * vecs).sum(axis=1)
-        if blocks_pdf["neighbors"].isna().any():
-            # stale index: store blocks absent from the prebuilt graph
-            # arrive with null neighbor lists through the LEFT join —
-            # rebuild this partition's graph (build_acorn_graph logic)
-            # so RBAC search never silently loses blocks
-            if gamma > 1:
-                method = build_method
-                if method == "auto":
-                    method = (
-                        "exact" if vecs.shape[0] <= 8 * EXACT_BUILD_MAX
-                        else "incremental"
-                    )
-                adj = _order_gamma_lists(
-                    vecs, _build_adjacency(vecs, m * gamma, method=method),
-                    norms, "diverse",
-                )
-            else:
-                adj = _build_adjacency(vecs, m, method=build_method)
-        else:
-            pos = {int(i): p for p, i in enumerate(ids)}
-            adj = [
-                np.asarray(
-                    [pos[int(v)] for v in nbrs if int(v) in pos],
-                    dtype=np.int64,
-                )
-                for nbrs in blocks_pdf["neighbors"].values
-            ]
+        adj = _pos_mapped_or_stale(blocks_pdf["neighbors"].values, ids, stale)
+        if adj is None:  # stale partition → the ONE rebuild implementation
+            adj = _acorn_partition_adjacency(
+                vecs, norms, m, gamma, build_method, neighbor_order
+            )
         return _acorn_masked_search(
             vecs, ids, norms, adj,
             # stored order IS the search order for γ builds (diverse-first

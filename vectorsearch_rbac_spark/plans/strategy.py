@@ -183,6 +183,11 @@ def adaptive_knn(
         ),
         permission_assignment, blocks,
     )
+    if acorn_impl is not None and routing_mode != "cost3":
+        # only cost3 HAS an ACORN arm — silently ignoring the hook would
+        # leave the caller believing the priced bounded beam is serving
+        # mid-selectivity queries when nothing routes there
+        raise ValueError("acorn_impl requires routing_mode='cost3'")
     if routing_mode == "cost3":
         if metric != "l2":
             raise ValueError("cost3 routing (ACORN arm) requires metric='l2'")
