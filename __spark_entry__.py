@@ -2255,12 +2255,15 @@ def q_tuning_curve(spark, sf_dir):
         ("anchor_ivf_truth", sf_dir, TOPK),  # k in the key: a truth built
         # at a different depth would silently inflate the recall curve
         lambda: tuning.anchor_ivf_truth(
-            t["embeddings"], t["queries"], k=TOPK
+            t["embeddings"], t["queries"], k=TOPK, impl="numpy"
         ).localCheckpoint(),
     )
+    # impl="numpy": the Q·N scoring pass rides the Arrow kernel pinned
+    # row-identical to the expression fold (pq/lsh kernel precedent);
+    # the curve stays hash-green because the emitted values are the same
     out = tuning.anchor_ivf_curve(
         t["embeddings"], t["queries"], nlists=8, anchor_stride=37, k=TOPK,
-        truth=truth,
+        truth=truth, impl="numpy",
     )
     return _i(out, "nprobe")
 

@@ -89,28 +89,45 @@ def recall_cost_curve(
     cand = indexed_blocks.join(F.broadcast(probes), "centroid_id")
 
     # Score each (query, candidate) ONCE at the widest setting — the
-    # distance does not depend on nprobe — and only then replicate to the
-    # nprobe settings that scan it: probe_rank r is inside every
-    # nprobe > r. JVM-side explode of a literal array — no join, no UDF;
-    # the replicated rows carry an 8-byte distance instead of re-running
-    # the distance arithmetic Σnprobes/max_np ≈ (max_np+1)/2 times over.
+    # distance does not depend on nprobe — then PRE-CUT to the top-k per
+    # (query, probed list) BEFORE fanning out over the nprobe ladder:
+    # the top-k of a union of lists equals the top-k of the per-list
+    # top-k's (same (distance, id) comparator), so the curve is
+    # unchanged while the ladder explode runs over Q·nlists·k rows
+    # instead of replicating the full Q·N candidate scan ~nlists/2×.
     dist = {"l2": V.l2_distance, "cosine": V.cosine_distance, "ip": V.neg_inner_product}[metric]
     scored = cand.join(F.broadcast(queries.select("query_id", "query_vector")), "query_id").select(
         "probe_rank", "query_id", "block_id",
         F.round(dist("vector", "query_vector"), 6).alias("distance"),
     )
+    wl = Window.partitionBy("query_id", "probe_rank").orderBy(
+        F.col("distance").asc(), F.col("block_id").asc()
+    )
+    percut = (
+        scored.withColumn("_lr", F.row_number().over(wl))
+        .where(F.col("_lr") <= k).drop("_lr")
+    )
     np_arr = F.array(*[F.lit(int(n)) for n in nprobes])
-    scored = scored.withColumn(
+    exploded = percut.withColumn(
         "nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank")))
     ).drop("probe_rank")
-    scored = scored.persist()  # consumed twice: scan counts + top-k
 
-    scanned = scored.groupBy("nprobe").agg(
-        (F.count(F.lit(1)) / queries.count()).alias("avg_scanned")
+    # scan counts from per-list sizes (dim-sized aggregate) — the exact
+    # integer sum the exploded-candidate count used to produce
+    sizes = indexed_blocks.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_blocks")
+    )
+    scanned = (
+        probes.join(F.broadcast(sizes), "centroid_id")
+        .withColumn(
+            "nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank")))
+        )
+        .groupBy("nprobe")
+        .agg((F.sum("n_blocks") / queries.count()).alias("avg_scanned"))
     )
 
     w = Window.partitionBy("nprobe", "query_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
-    pred = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    pred = exploded.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
     hits = pred.join(
         F.broadcast(truth.select("query_id", "block_id")), ["query_id", "block_id"]
@@ -349,16 +366,82 @@ def tune_ivf(
 # SQL-replayable curve (driver correctness gate)
 # ---------------------------------------------------------------------------
 
-def anchor_ivf_truth(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+def _pair_scores_numpy(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
+    """All (query_id, vec_id, distance) pairs via an Arrow kernel,
+    bit-identical to the expression path: the per-dim accumulation runs
+    in the SAME j-order as ``l2_distance``'s codegen fold ((0.0 + t0) ≡
+    t0 in IEEE, then elementwise adds in j-order, float64 throughout —
+    the r8 ADC-kernel contract from pq.py), then sqrt and the half-up
+    6-dp round Spark's ``F.round`` applies. Queries broadcast as one
+    (Q, d) matrix; each corpus batch emits its R×Q long-form rows. The
+    Q·N distance scan is the anchor curve's dominant cost at scale —
+    this kernel is the throughput path; the expression path stays the
+    oracle-replayable definition, pytest-pinned row-identical."""
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    q_rows = queries.select("query_id", "query_vector").collect()
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, vec_id long, distance double")
+    qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
+    QM = np.stack([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
+    bc = spark.sparkContext.broadcast((qids, QM))
+
+    def part(batches):
+        qids_, QM_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            D = np.zeros((len(ids), nq))
+            for j in range(X.shape[1]):
+                t = X[:, j][:, None] - QM_[:, j][None, :]
+                D = D + t * t
+            D = np.sqrt(D)
+            D = np.floor(D * 1e6 + 0.5) / 1e6  # F.round HALF_UP on positives
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids_, len(ids)),
+                    "vec_id": np.repeat(ids, nq),
+                    "distance": D.ravel(),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        part, schema="query_id long, vec_id long, distance double"
+    )
+
+
+def _pair_scores(embeddings: DataFrame, queries: DataFrame, impl: str) -> DataFrame:
+    """(query_id, vec_id, 6-dp L2 distance) for every pair — the ONE
+    scoring pass :func:`anchor_ivf_truth` and :func:`anchor_ivf_curve`
+    share. ``impl='expr'`` is the oracle-replayable codegen fold;
+    ``'numpy'`` the Arrow kernel pinned row-identical to it."""
+    if impl == "numpy":
+        return _pair_scores_numpy(embeddings, queries)
+    return (
+        embeddings.crossJoin(F.broadcast(queries.select("query_id", "query_vector")))
+        .select(
+            "query_id", "vec_id",
+            F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
+        )
+    )
+
+
+def anchor_ivf_truth(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, impl: str = "expr"
+) -> DataFrame:
     """Exact (query_id, vec_id) L2 top-k over the embedding table — the
     ground truth :func:`anchor_ivf_curve` scores its recall against,
     exposed so callers can compute it ONCE per corpus (it is
     deterministic: 6-dp-rounded distances with id tie-breaks, the same
-    expression shape the DuckDB oracle replays)."""
+    expression shape the DuckDB oracle replays). ``impl`` picks the
+    scoring kernel (see :func:`_pair_scores`)."""
     wq = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
     return (
-        embeddings.crossJoin(F.broadcast(queries.select("query_id", "query_vector")))
-        .select("query_id", "vec_id", F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"))
+        _pair_scores(embeddings, queries, impl)
         .withColumn("rank", F.row_number().over(wq)).where(F.col("rank") <= k)
         .select("query_id", "vec_id")
     )
@@ -372,12 +455,16 @@ def anchor_ivf_curve(
     k: int = 10,
     nprobes: list[int] | None = None,
     truth: DataFrame | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """The D9 (nprobe → recall@k, rows-scanned) curve with every step
     SQL-expressible, so the driver's DuckDB oracle replays the measurement
     end-to-end (parity: ``get_parameter.py:188`` — the reference measures
     its curve against a live index; the exact-oracle harness needs the
     index construction itself to be deterministic arithmetic).
+    ``impl='numpy'`` swaps the dominant Q·N scoring pass for the Arrow
+    kernel pinned row-identical to the expression fold
+    (:func:`_pair_scores`) — same emitted curve, oracle still replays it.
 
     ``truth`` optionally supplies the exact (query_id, vec_id) top-k
     ground truth (:func:`anchor_ivf_truth`) — it is deterministic per
@@ -419,37 +506,64 @@ def anchor_ivf_curve(
             .select(id_col, "centroid_id", F.row_number().over(w).alias(out))
         )
 
+    # eager checkpoint: assign feeds BOTH the candidate scan and the
+    # per-list size aggregate below; a lazy cache races when one collect
+    # schedules both branches concurrently and the N×nlists ranking
+    # window would run twice
     assign = (
         ranked(embeddings.select("vec_id", "embedding"), "vec_id", "embedding", "rn")
         .where(F.col("rn") == 1).select("vec_id", "centroid_id")
-    )
+    ).localCheckpoint()
     probes = (
         ranked(queries.select("query_id", "query_vector"), "query_id", "query_vector", "rn")
         .select("query_id", "centroid_id", (F.col("rn") - 1).alias("probe_rank"))
     )
 
     np_arr = F.array(*[F.lit(int(n)) for n in nprobes])
-    # score each (query, vec) candidate ONCE, then fan out over the nprobe
-    # ladder — the explode multiplies ~nlists/2× and must not multiply the
-    # dim-sized distance arithmetic with it
+    # score each (query, vec) candidate ONCE, then PRE-CUT to the top-k
+    # per (query, probed list) BEFORE fanning out over the nprobe ladder:
+    # the top-k of a union of lists equals the top-k of the per-list
+    # top-k's under the same (distance, id) comparator, so the emitted
+    # curve is value-identical while the replicated relation shrinks from
+    # ~Q·N·nlists/2 rows to Q·nlists·k — at sf1 this was the entry's
+    # dominant persist+window (the distance pass itself is the inherent
+    # Q·N measurement cost and still runs in full)
+    # pair scores (query_id, vec_id, distance) from the shared scoring
+    # pass; probe_rank attaches via the dim-sized assign/probes joins
+    # (probes is keyed (query_id, centroid_id) — every query ranks every
+    # list, so the join is exact, not an expansion)
     cand = (
-        embeddings.select("vec_id", "embedding")
+        _pair_scores(embeddings, queries, impl)
         .join(F.broadcast(assign), "vec_id")
-        .join(F.broadcast(probes), "centroid_id")
-        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
-        .select(
-            "query_id", "vec_id", "probe_rank",
-            F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
-        )
+        .join(F.broadcast(probes), ["query_id", "centroid_id"])
+        .select("query_id", "vec_id", "probe_rank", "distance")
     )
-    scored = cand.withColumn(
+    wl = Window.partitionBy("query_id", "probe_rank").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    percut = (
+        cand.withColumn("_lr", F.row_number().over(wl))
+        .where(F.col("_lr") <= k).drop("_lr")
+    )
+    scored = percut.withColumn(
         "nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank")))
     ).select("nprobe", "query_id", "vec_id", "distance")
-    scored = scored.persist()  # scan counts + top-k reuse
 
     n_queries = queries.count()
     n_corpus = embeddings.count()
-    scanned = scored.groupBy("nprobe").agg((F.count(F.lit(1)) / n_queries).alias("avg_scanned"))
+    # scan counts from per-list sizes (dim-sized aggregate) — the exact
+    # integer sum the exploded-candidate count used to produce; assign is
+    # checkpointed above so the N·nlists ranking window runs once, not
+    # once per consumer (candidates + sizes race a lazy cache)
+    sizes = assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_blocks"))
+    scanned = (
+        probes.join(F.broadcast(sizes), "centroid_id")
+        .withColumn(
+            "nprobe", F.explode(F.filter(np_arr, lambda n: n > F.col("probe_rank")))
+        )
+        .groupBy("nprobe")
+        .agg((F.sum("n_blocks") / n_queries).alias("avg_scanned"))
+    )
 
     if truth is None:
         truth = anchor_ivf_truth(embeddings, queries, k)
