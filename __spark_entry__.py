@@ -1653,12 +1653,15 @@ def _truth_blocks(sf_dir, t):
 
 
 def _truth_emb(sf_dir, t):
-    """Exact L2 ground truth over the embeddings table (pq/ivfpq share it)."""
+    """Exact L2 ground truth over the embeddings table (pq/ivfpq share
+    it). Scored through the Arrow pair kernel pinned row-identical to
+    the expression fold (tuning._pair_scores — offline truths take the
+    throughput path, certified members keep the expression scan)."""
     def build():
-        scored = t["embeddings"].join(F.broadcast(t["queries"]), how="cross").select(
-            "query_id",
-            F.col("vec_id").alias("block_id"),
-            F.round(V.l2_distance("embedding", "query_vector"), 6).alias("distance"),
+        from vectorsearch_rbac_spark.operators import tuning
+
+        scored = tuning._pair_scores(t["embeddings"], t["queries"], "numpy").select(
+            "query_id", F.col("vec_id").alias("block_id"), "distance"
         )
         return knn.topk_per_query(scored, TOPK).select(
             "query_id", "block_id", "distance", "rank"
@@ -1672,7 +1675,12 @@ def _truth_emb_cos(sf_dir, t):
     it); same offline-precompute rationale as _truth_emb."""
     return _cached(
         ("truth_emb_cos", sf_dir),
-        lambda: ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=TOPK)
+        # impl="numpy": the Arrow kernel pinned row-identical to the expr
+        # path builds the offline truth ~10× faster at sf1; the certified
+        # global_topk member keeps the expression scan
+        lambda: ann.cosine_topk_bruteforce(
+            t["embeddings"], t["queries"], k=TOPK, impl="numpy"
+        )
         .withColumnRenamed("vec_id", "block_id")
         .localCheckpoint(),
     )

@@ -100,6 +100,21 @@ def test_lsh_numpy_kernel_matches_expr(t):
     assert expr_rows == np_rows and len(np_rows) > 0
 
 
+def test_cosine_bruteforce_numpy_matches_expr(t):
+    """The Arrow pair-scoring kernel behind the lsh truth build must
+    return EXACTLY the expression brute force's rows (j-order dot/norm
+    folds, NaN zero-norm parity, half-up round, −0.0 fold)."""
+    ke = sorted(
+        map(tuple, ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=10).collect())
+    )
+    kn = sorted(
+        map(tuple, ann.cosine_topk_bruteforce(
+            t["embeddings"], t["queries"], k=10, impl="numpy"
+        ).collect())
+    )
+    assert ke == kn and len(ke) > 0
+
+
 def test_pq_numpy_kernel_matches_expr(t):
     """The Arrow ADC kernel (pq_search impl="numpy") must return exactly
     the expression path's rows: the gather-sum adds run in the same

@@ -153,6 +153,22 @@ def test_logn_cost_fit(fitted):
     assert logn["mae"] <= 2.0 * lin["mae"] + 1e-9
 
 
+def test_recall_cost_curve_numpy_matches_expr(fitted):
+    """The kernel-scored k-means curve must equal the expression-scored
+    one row-for-row (same probes, same rounded distances, same cuts)."""
+    cn = tuning.recall_cost_curve(
+        fitted["indexed"], fitted["queries"], fitted["C"], fitted["truth"],
+        k=10, nprobes=list(range(1, fitted["nlists"] + 1)), impl="numpy",
+    ).collect()
+    assert sorted(map(tuple, cn)) == sorted(map(tuple, fitted["curve"]))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="metric='l2' only"):
+        tuning.recall_cost_curve(
+            fitted["indexed"], fitted["queries"], fitted["C"], fitted["truth"],
+            k=10, metric="cosine", impl="numpy",
+        )
+
+
 def test_anchor_curve_numpy_kernel_matches_expr(t, spark, sf_dir):
     """The Arrow pair-scoring kernel (per-dim j-order accumulation,
     half-up 6-dp round) must make anchor_ivf_truth and anchor_ivf_curve

@@ -23,17 +23,83 @@ def cosine_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × scan, codegen'd distance,
-    window top-k. The oracle-checkable baseline for every ANN variant."""
-    scored = (
-        embeddings.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
-        # + 0.0 folds IEEE -0.0 (from rounding 1 - sim when sim ≈ 1+ε) to +0.0
-        .withColumn("distance", F.round(V.cosine_distance(vec_col, "query_vector"), 6) + F.lit(0.0))
-        .select("query_id", F.col(id_col).alias("block_id"), "distance")
-    )
+    window top-k. The oracle-checkable baseline for every ANN variant.
+    ``impl='numpy'`` scores the pairs through an Arrow kernel replicating
+    the expression's exact op sequence (j-order dot/norm folds, NaN on
+    zero norms, half-up 6-dp round, −0.0 fold) — pytest-pinned
+    row-identical; the certified registry member stays on 'expr'."""
+    if impl == "numpy":
+        scored = _cosine_pairs_numpy(embeddings, queries, id_col, vec_col)
+    else:
+        scored = (
+            embeddings.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
+            # + 0.0 folds IEEE -0.0 (from rounding 1 - sim when sim ≈ 1+ε) to +0.0
+            .withColumn("distance", F.round(V.cosine_distance(vec_col, "query_vector"), 6) + F.lit(0.0))
+            .select("query_id", F.col(id_col).alias("block_id"), "distance")
+        )
     w = topk_per_query(scored, k, id_col="block_id")
     return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
+
+
+def _cosine_pairs_numpy(
+    embeddings: DataFrame, queries: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, block_id, distance) for every pair via mapInPandas —
+    bit-identical to the expression path: dot and squared-norm folds
+    accumulate per-dim in the codegen fold's j-order ((0.0 + t0) ≡ t0),
+    zero denominators map to NaN (try_divide + coalesce parity), then
+    1 − sim, the half-up 6-dp round, and + 0.0 to fold −0.0. Queries
+    broadcast as one (Q, d) matrix, so each corpus vector crosses the
+    Arrow boundary once, not once per query."""
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    q_rows = queries.select("query_id", "query_vector").collect()
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, block_id long, distance double")
+    qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
+    QM = np.stack([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
+    bc = spark.sparkContext.broadcast((qids, QM))
+
+    def part(batches):
+        qids_, QM_ = bc.value
+        nq = len(qids_)
+        d = QM_.shape[1]
+        # per-query norms: the same sequential fold the expr runs per row
+        qn = np.zeros(nq)
+        for j in range(d):
+            qn = qn + QM_[:, j] * QM_[:, j]
+        qn = np.sqrt(qn)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            dot = np.zeros((len(ids), nq))
+            xn = np.zeros(len(ids))
+            for j in range(d):
+                dot = dot + X[:, j][:, None] * QM_[:, j][None, :]
+                xn = xn + X[:, j] * X[:, j]
+            xn = np.sqrt(xn)
+            den = xn[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(den == 0.0, np.nan, dot / den)
+            dist = 1.0 - sim
+            dist = np.floor(dist * 1e6 + 0.5) / 1e6 + 0.0
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids_, len(ids)),
+                    "block_id": np.repeat(ids, nq),
+                    "distance": dist.ravel(),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        part, schema="query_id long, block_id long, distance double"
+    )
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

@@ -69,14 +69,19 @@ def recall_cost_curve(
     k: int = 10,
     nprobes: list[int] | None = None,
     metric: str = "l2",
+    impl: str = "expr",
 ) -> DataFrame:
     """Measure (nprobe, recall@k, avg rows scanned, scan fraction) for every
     nprobe in one candidate scan + one window pass.
 
     ``truth`` is the exact top-k rank list (query_id, block_id) — typically
     ``knn.knn_topk_fast``; recall@k = |pred ∩ truth| / |truth| per query,
-    averaged (``common_function.py:1154`` definition).
+    averaged (``common_function.py:1154`` definition). ``impl='numpy'``
+    (l2 only) swaps the Q·N scoring pass for the Arrow kernel pinned
+    row-identical to the expression fold (:func:`_pair_scores_numpy`).
     """
+    if impl == "numpy" and metric != "l2":
+        raise ValueError("impl='numpy' supports metric='l2' only")
     spark = indexed_blocks.sparkSession
     nlists = len(centroids)
     nprobes = sorted(set(nprobes or range(1, nlists + 1)))
@@ -95,11 +100,25 @@ def recall_cost_curve(
     # top-k's (same (distance, id) comparator), so the curve is
     # unchanged while the ladder explode runs over Q·nlists·k rows
     # instead of replicating the full Q·N candidate scan ~nlists/2×.
-    dist = {"l2": V.l2_distance, "cosine": V.cosine_distance, "ip": V.neg_inner_product}[metric]
-    scored = cand.join(F.broadcast(queries.select("query_id", "query_vector")), "query_id").select(
-        "probe_rank", "query_id", "block_id",
-        F.round(dist("vector", "query_vector"), 6).alias("distance"),
-    )
+    if impl == "numpy":
+        # pair-score the corpus ONCE per batch (vectors cross the Arrow
+        # boundary once, not once per (q, vec) row), carry centroid_id
+        # through, and attach each query's probe rank via the dim-sized
+        # broadcast — same rows as the expression path below
+        scored = (
+            _pair_scores_numpy(
+                indexed_blocks, queries, id_col="block_id", vec_col="vector",
+                carry_schema="centroid_id int",
+            )
+            .join(F.broadcast(probes), ["query_id", "centroid_id"])
+            .select("probe_rank", "query_id", "block_id", "distance")
+        )
+    else:
+        dist = {"l2": V.l2_distance, "cosine": V.cosine_distance, "ip": V.neg_inner_product}[metric]
+        scored = cand.join(F.broadcast(queries.select("query_id", "query_vector")), "query_id").select(
+            "probe_rank", "query_id", "block_id",
+            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+        )
     wl = Window.partitionBy("query_id", "probe_rank").orderBy(
         F.col("distance").asc(), F.col("block_id").asc()
     )
@@ -342,12 +361,16 @@ def tune_ivf(
     target_recall: float = 0.9,
     nprobes: list[int] | None = None,
     metric: str = "l2",
+    impl: str = "expr",
 ) -> dict:
     """End-to-end parameter pass: measure curve → fit recall + cost models →
     choose nprobe. Returns the ``save_parameter_to_json``-shaped dict
     ({k, beta, a, b}, ``get_parameter.py:226``) plus the decision and the
     validation table."""
-    curve = recall_cost_curve(indexed_blocks, queries, centroids, truth, k=k, nprobes=nprobes, metric=metric)
+    curve = recall_cost_curve(
+        indexed_blocks, queries, centroids, truth, k=k, nprobes=nprobes,
+        metric=metric, impl=impl,
+    )
     rows = curve.collect()
     model = fit_recall_model([r["nprobe"] for r in rows], [r["recall_at_k"] for r in rows], topk=k)
     cost = fit_cost_model([r["nprobe"] for r in rows], [r["avg_scanned"] for r in rows])
@@ -366,23 +389,38 @@ def tune_ivf(
 # SQL-replayable curve (driver correctness gate)
 # ---------------------------------------------------------------------------
 
-def _pair_scores_numpy(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
-    """All (query_id, vec_id, distance) pairs via an Arrow kernel,
+def _pair_scores_numpy(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_schema: str | None = None,
+) -> DataFrame:
+    """All (query_id, id, distance) pairs via an Arrow kernel,
     bit-identical to the expression path: the per-dim accumulation runs
     in the SAME j-order as ``l2_distance``'s codegen fold ((0.0 + t0) ≡
     t0 in IEEE, then elementwise adds in j-order, float64 throughout —
     the r8 ADC-kernel contract from pq.py), then sqrt and the half-up
     6-dp round Spark's ``F.round`` applies. Queries broadcast as one
-    (Q, d) matrix; each corpus batch emits its R×Q long-form rows. The
-    Q·N distance scan is the anchor curve's dominant cost at scale —
-    this kernel is the throughput path; the expression path stays the
-    oracle-replayable definition, pytest-pinned row-identical."""
+    (Q, d) matrix; each corpus batch emits its R×Q long-form rows, with
+    any ``carry_schema`` columns (e.g. ``"centroid_id int"``) repeated
+    per row so callers can attach probe ranks without a corpus-sized
+    re-join. The Q·N distance scan is the tuning curves' dominant cost
+    at scale — this kernel is the throughput path; the expression path
+    stays the oracle-replayable definition, pytest-pinned
+    row-identical."""
     import pandas as pd
 
-    spark = embeddings.sparkSession
+    spark = df.sparkSession
+    carry_cols = (
+        [c.strip().split()[0] for c in carry_schema.split(",")] if carry_schema else []
+    )
+    schema = f"query_id long, {id_col} long, distance double" + (
+        f", {carry_schema}" if carry_schema else ""
+    )
     q_rows = queries.select("query_id", "query_vector").collect()
     if not q_rows:
-        return spark.createDataFrame([], "query_id long, vec_id long, distance double")
+        return spark.createDataFrame([], schema)
     qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
     QM = np.stack([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
     bc = spark.sparkContext.broadcast((qids, QM))
@@ -393,25 +431,24 @@ def _pair_scores_numpy(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            ids = pdf["vec_id"].to_numpy()
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
             D = np.zeros((len(ids), nq))
             for j in range(X.shape[1]):
                 t = X[:, j][:, None] - QM_[:, j][None, :]
                 D = D + t * t
             D = np.sqrt(D)
             D = np.floor(D * 1e6 + 0.5) / 1e6  # F.round HALF_UP on positives
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(qids_, len(ids)),
-                    "vec_id": np.repeat(ids, nq),
-                    "distance": D.ravel(),
-                }
-            )
+            data = {
+                "query_id": np.tile(qids_, len(ids)),
+                id_col: np.repeat(ids, nq),
+                "distance": D.ravel(),
+            }
+            for c in carry_cols:
+                data[c] = np.repeat(pdf[c].to_numpy(), nq)
+            yield pd.DataFrame(data)
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        part, schema="query_id long, vec_id long, distance double"
-    )
+    return df.select(id_col, vec_col, *carry_cols).mapInPandas(part, schema=schema)
 
 
 def _pair_scores(embeddings: DataFrame, queries: DataFrame, impl: str) -> DataFrame:
