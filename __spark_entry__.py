@@ -68,14 +68,18 @@ def _i(df: DataFrame, *cols: str) -> DataFrame:
 # ---------------------------------------------------------------- queries
 
 def q_rbac_prefilter_topk(spark, sf_dir):
+    # impl="numpy": the gather-kernel pre-cut pinned row-identical to the
+    # expr plan (test_knn.py); the DuckDB oracle replays either
     t = _rbac(spark, sf_dir)
-    out = knn.knn_prefilter(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    out = knn.knn_prefilter(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, impl="numpy")
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
 def q_rbac_postfilter_topk(spark, sf_dir):
+    # impl="numpy": the global phase rides local_topk's Arrow/BLAS pre-cut
+    # (the hash-green rbac_layouts kernel), pinned ≡ expr
     t = _rbac(spark, sf_dir)
-    out = knn.knn_postfilter(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, expansion=4)
+    out = knn.knn_postfilter(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, expansion=4, impl="numpy")
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
@@ -283,8 +287,10 @@ def q_rbac_topk_fast(spark, sf_dir):
 
 
 def q_cosine_topk(spark, sf_dir):
+    # impl="numpy": the Arrow pair kernel with per-batch pre-cut, pinned
+    # row-identical to the expression brute force (test_knn.py)
     t = _rbac(spark, sf_dir)
-    out = ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=TOPK)
+    out = ann.cosine_topk_bruteforce(t["embeddings"], t["queries"], k=TOPK, impl="numpy")
     return _i(out, "query_id", "vec_id", "rank")
 
 
@@ -305,19 +311,17 @@ def q_halfvec_topk(spark, sf_dir):
     t = _rbac(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", V.fp16_quantize("embedding").alias("embedding"))
     qs = t["queries"].select("query_id", V.fp16_quantize("query_vector").alias("query_vector"))
-    scored = (
-        emb.join(F.broadcast(qs), how="cross")
-        .withColumn("distance", F.round(V.l2_distance("embedding", "query_vector"), 6) + F.lit(0.0))
-        .select("query_id", "vec_id", "distance")
-    )
-    out = knn.topk_per_query(scored, TOPK, id_col="vec_id")
+    # quantization stays in the expression plan (the oracle's exact form);
+    # scoring rides the two-phase Arrow/BLAS kernel pinned ≡ expr
+    out = ann.l2_topk_bruteforce(emb, qs, k=TOPK, id_col="vec_id", impl="numpy")
     return _i(out, "query_id", "vec_id", "rank")
 
 
 def q_sparse_cosine_topk(spark, sf_dir):
     """Sparsevec cosine top-k over magnitude-sparsified embeddings."""
     t = _rbac(spark, sf_dir)
-    out = ann.sparse_cosine_topk(t["embeddings"], t["queries"], k=TOPK, threshold=0.15)
+    # impl="numpy": scatter-to-dense BLAS kernel pinned ≡ the sparse expr
+    out = ann.sparse_cosine_topk(t["embeddings"], t["queries"], k=TOPK, threshold=0.15, impl="numpy")
     return _i(out, "query_id", "vec_id", "rank")
 
 
@@ -775,7 +779,8 @@ def q_int8_topk(spark, sf_dir):
     """Int8-quantized brute-force top-k: integer dot products → bit-exact
     oracle (E19)."""
     t = _rbac(spark, sf_dir)
-    out = curation.int8_topk(t["embeddings"], t["queries"], k=TOPK)
+    # impl="numpy": one int64 matmul per Arrow batch — bit-exact, pinned
+    out = curation.int8_topk(t["embeddings"], t["queries"], k=TOPK, impl="numpy")
     return _i(out, "query_id", "vec_id")
 
 

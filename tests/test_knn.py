@@ -1232,3 +1232,57 @@ def test_role_churn_search_exact_and_delete_semantics(t, spark):
     assert pred.exceptAll(truth).count() == 0
     assert truth.exceptAll(pred).count() == 0
     assert pred.count() == truth.count() > 0
+
+
+def test_prefilter_numpy_kernel_matches_expr(t):
+    """The gather-kernel pre-cut (knn_prefilter impl="numpy") must return
+    EXACTLY the expression plan's rows — same permitted join, same rounded
+    distances, same (distance, block_id) tie order."""
+    args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    a = sorted(map(tuple, knn.knn_prefilter(*args, k=10).collect()))
+    b = sorted(map(tuple, knn.knn_prefilter(*args, k=10, impl="numpy").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_postfilter_numpy_kernel_matches_expr(t):
+    """knn_postfilter impl="numpy" (local_topk global phase) ≡ expr."""
+    args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    a = sorted(map(tuple, knn.knn_postfilter(*args, k=10, expansion=4).collect()))
+    b = sorted(map(tuple, knn.knn_postfilter(*args, k=10, expansion=4, impl="numpy").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_l2_bruteforce_numpy_kernel_matches_expr(t):
+    """l2_topk_bruteforce numpy (two-phase BLAS) ≡ expr on the fp16-quantized
+    frames the halfvec entry feeds it."""
+    from vectorsearch_rbac_spark.functions import vector as V
+
+    emb = t["embeddings"].select("vec_id", V.fp16_quantize("embedding").alias("embedding"))
+    qs = t["queries"].select("query_id", V.fp16_quantize("query_vector").alias("query_vector"))
+    a = sorted(map(tuple, ann.l2_topk_bruteforce(emb, qs, k=10).collect()))
+    b = sorted(map(tuple, ann.l2_topk_bruteforce(emb, qs, k=10, impl="numpy").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_sparse_cosine_numpy_kernel_matches_expr(t):
+    """sparse_cosine_topk impl="numpy" (scatter-to-dense BLAS) ≡ the sparse
+    expression path, including high thresholds that empty some vectors
+    (zero-norm → NaN, which must sort last in both paths)."""
+    for thr in (0.15, 1.5):
+        a = sorted(map(tuple, ann.sparse_cosine_topk(
+            t["embeddings"], t["queries"], k=10, threshold=thr).collect()))
+        b = sorted(map(tuple, ann.sparse_cosine_topk(
+            t["embeddings"], t["queries"], k=10, threshold=thr, impl="numpy").collect()))
+        assert ([x[:2] for x in a] == [x[:2] for x in b]) and len(a) > 0
+        for ra, rb in zip(a, b):
+            assert ra[3] == rb[3]
+            assert (ra[2] == rb[2]) or (ra[2] != ra[2] and rb[2] != rb[2])  # NaN == NaN
+
+
+def test_int8_numpy_kernel_matches_expr(t):
+    """int8_topk impl="numpy" (int64 matmul) ≡ expr bit-for-bit."""
+    from vectorsearch_rbac_spark.operators import curation
+
+    a = sorted(map(tuple, curation.int8_topk(t["embeddings"], t["queries"], k=10).collect()))
+    b = sorted(map(tuple, curation.int8_topk(t["embeddings"], t["queries"], k=10, impl="numpy").collect()))
+    assert a == b and len(a) > 0

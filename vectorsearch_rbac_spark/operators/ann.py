@@ -30,9 +30,9 @@ def cosine_topk_bruteforce(
     ``impl='numpy'`` scores the pairs through an Arrow kernel replicating
     the expression's exact op sequence (j-order dot/norm folds, NaN on
     zero norms, half-up 6-dp round, −0.0 fold) — pytest-pinned
-    row-identical; the certified registry member stays on 'expr'."""
+    row-identical; the sf0.01 oracle gate replays either (same rows)."""
     if impl == "numpy":
-        scored = _cosine_pairs_numpy(embeddings, queries, id_col, vec_col)
+        scored = _cosine_pairs_numpy(embeddings, queries, id_col, vec_col, k=k)
     else:
         scored = (
             embeddings.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
@@ -44,16 +44,37 @@ def cosine_topk_bruteforce(
     return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
 
 
+def _batch_topk_rows(D: "np.ndarray", ids: "np.ndarray", k: int) -> "np.ndarray":
+    """Per-batch candidate cut for two-phase top-k: for each query column
+    of the (n, Q) distance matrix, the row indices of its k best rows under
+    the SAME order the stage-2 window uses — distance asc (NaN last, as
+    Spark sorts NaN greater than any double) with id tie-breaks. Returns a
+    flat (Q·kk,) row-index array (kk = min(k, n)); stage-2's global window
+    re-ranks the survivors, so emitting a superset per batch is safe and
+    emitting exactly the per-batch top-k is the tightest safe cut."""
+    key = np.where(np.isnan(D), np.inf, D)
+    n = D.shape[0]
+    kk = min(k, n)
+    sel = [
+        np.lexsort((ids, key[:, qi]))[:kk] for qi in range(D.shape[1])
+    ]
+    return np.concatenate(sel), kk
+
+
 def _cosine_pairs_numpy(
-    embeddings: DataFrame, queries: DataFrame, id_col: str, vec_col: str
+    embeddings: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int | None = None,
 ) -> DataFrame:
-    """(query_id, block_id, distance) for every pair via mapInPandas —
-    bit-identical to the expression path: dot and squared-norm folds
-    accumulate per-dim in the codegen fold's j-order ((0.0 + t0) ≡ t0),
-    zero denominators map to NaN (try_divide + coalesce parity), then
-    1 − sim, the half-up 6-dp round, and + 0.0 to fold −0.0. Queries
-    broadcast as one (Q, d) matrix, so each corpus vector crosses the
-    Arrow boundary once, not once per query."""
+    """(query_id, block_id, distance) pairs via mapInPandas — bit-identical
+    to the expression path: dot and squared-norm folds accumulate per-dim
+    in the codegen fold's j-order ((0.0 + t0) ≡ t0), zero denominators map
+    to NaN (try_divide + coalesce parity), then 1 − sim, the half-up 6-dp
+    round, and + 0.0 to fold −0.0. Queries broadcast as one (Q, d) matrix,
+    so each corpus vector crosses the Arrow boundary once, not once per
+    query. ``k`` enables the two-phase pre-cut: each Arrow batch emits only
+    its per-query top-k (same rounded-distance + id order the global
+    window applies), so stage-2 ranks P·Q·k rows instead of N·Q — the
+    100 TB shape. ``k=None`` emits every pair (truth builds)."""
     import pandas as pd
 
     spark = embeddings.sparkSession
@@ -89,6 +110,16 @@ def _cosine_pairs_numpy(
                 sim = np.where(den == 0.0, np.nan, dot / den)
             dist = 1.0 - sim
             dist = np.floor(dist * 1e6 + 0.5) / 1e6 + 0.0
+            if k is not None:
+                sel, kk = _batch_topk_rows(dist, ids, k)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids_, kk),
+                        "block_id": ids[sel],
+                        "distance": dist[sel, np.repeat(np.arange(nq), kk)],
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "query_id": np.tile(qids_, len(ids)),
@@ -97,9 +128,81 @@ def _cosine_pairs_numpy(
                 }
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    out = embeddings.select(id_col, vec_col).mapInPandas(
         part, schema="query_id long, block_id long, distance double"
     )
+    # pandas→Arrow masks NaN as null; restore the expr path's explicit NaN
+    # (zero-norm rows must sort LAST ascending, a null would sort first)
+    return out.withColumn(
+        "distance", F.coalesce("distance", F.lit(float("nan")))
+    )
+
+
+def l2_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vector",
+    impl: str = "expr",
+) -> DataFrame:
+    """Exact L2 top-k over a single-id vector table (the halfvec / fp-tier
+    scan shape): broadcast queries × scan, 6-dp-rounded distance, window
+    top-k with id tie-breaks. ``impl='numpy'`` rides a two-phase Arrow/BLAS
+    kernel (per-batch pre-cut, then the same global window) — the identical
+    d² = |x|² + |q|² − 2x·q expansion :func:`knn.local_topk` uses on the
+    hash-green ``rbac_layouts`` path, with the half-up 6-dp round mirroring
+    ``F.round``; pytest pins numpy ≡ expr row-for-row."""
+    qsel = queries.select("query_id", query_vec_col)
+    if impl == "numpy":
+        import pandas as pd
+
+        spark = embeddings.sparkSession
+        q_rows = qsel.collect()
+        if not q_rows:
+            return spark.createDataFrame(
+                [], f"query_id long, {id_col} long, distance double, rank int"
+            )
+        qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
+        QM = np.stack([np.asarray(r[query_vec_col], dtype=np.float64) for r in q_rows])
+        bc = spark.sparkContext.broadcast((qids, QM))
+
+        def part(batches):
+            qids_, QM_ = bc.value
+            nq = len(qids_)
+            qn2 = (QM_ * QM_).sum(axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                ids = pdf[id_col].to_numpy()
+                d2 = (X * X).sum(axis=1)[:, None] + qn2[None, :] - 2.0 * (X @ QM_.T)
+                D = np.sqrt(np.maximum(d2, 0.0))
+                D = np.floor(D * 1e6 + 0.5) / 1e6 + 0.0
+                sel, kk = _batch_topk_rows(D, ids, k)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids_, kk),
+                        "block_id": ids[sel],
+                        "distance": D[sel, np.repeat(np.arange(nq), kk)],
+                    }
+                )
+
+        scored = embeddings.select(id_col, vec_col).mapInPandas(
+            part, schema="query_id long, block_id long, distance double"
+        )
+    else:
+        scored = (
+            embeddings.join(F.broadcast(qsel), how="cross")
+            .withColumn(
+                "distance",
+                F.round(V.l2_distance(vec_col, query_vec_col), 6) + F.lit(0.0),
+            )
+            .select("query_id", F.col(id_col).alias("block_id"), "distance")
+        )
+    w = topk_per_query(scored, k, id_col="block_id")
+    return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -455,10 +558,16 @@ def sparse_cosine_topk(
     threshold: float = 0.15,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact cosine top-k over magnitude-sparsified vectors (sparsevec
     search parity): both sides keep dims with |v| > threshold; distance is
-    computed on the sparse representation only."""
+    computed on the sparse representation only. ``impl='numpy'`` scatters
+    each Arrow batch's (indices, values) pairs into a dense slab and rides
+    one BLAS matmul + per-batch pre-cut — the intersection dot and the
+    stored-value norms are the SAME sums (zeros elsewhere contribute
+    nothing), zero denominators map to NaN (try_divide + coalesce parity,
+    NaN sorts last), half-up 6-dp round; pytest pins numpy ≡ expr."""
     from ..functions import sparse as SV
 
     e = embeddings.select(
@@ -467,12 +576,76 @@ def sparse_cosine_topk(
     qs = queries.select(
         "query_id", SV.sparse_from_dense("query_vector", threshold).alias("sv")
     ).select("query_id", F.col("sv.indices").alias("iq"), F.col("sv.values").alias("vq"))
-    scored = e.join(F.broadcast(qs), how="cross").select(
-        "query_id",
-        F.col(id_col).alias("block_id"),
-        # + 0.0 folds IEEE -0.0 to +0.0 (self-distance rounds to zero)
-        (F.round(SV.sparse_cosine_distance("ie", "ve", "iq", "vq"), 6) + F.lit(0.0)).alias("distance"),
-    )
+    if impl == "numpy":
+        import pandas as pd
+
+        spark = embeddings.sparkSession
+        q_rows = qs.collect()
+        if not q_rows:
+            return spark.createDataFrame(
+                [], f"query_id long, {id_col} long, distance double, rank int"
+            )
+        qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
+        q_dim = max((max(r["iq"]) if r["iq"] else 0) for r in q_rows)
+        bc = spark.sparkContext.broadcast(
+            (qids, [(np.asarray(r["iq"], dtype=np.int64),
+                     np.asarray(r["vq"], dtype=np.float64)) for r in q_rows], q_dim)
+        )
+
+        def part(batches):
+            qids_, qsparse, qd = bc.value
+            nq = len(qids_)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy()
+                n = len(ids)
+                # scatter width: covers every stored index on either side
+                # (1-indexed); dims absent from BOTH sides are zero in dot
+                # and in the stored-value norms, so padding is free
+                bd = 0
+                ie_list = [np.asarray(v, dtype=np.int64) for v in pdf["ie"]]
+                ve_list = [np.asarray(v, dtype=np.float64) for v in pdf["ve"]]
+                for iv in ie_list:
+                    if len(iv):
+                        bd = max(bd, int(iv.max()))
+                d = max(bd, qd, 1)
+                X = np.zeros((n, d))
+                for i, (iv, vv) in enumerate(zip(ie_list, ve_list)):
+                    if len(iv):
+                        X[i, iv - 1] = vv
+                QM = np.zeros((nq, d))
+                for i, (iv, vv) in enumerate(qsparse):
+                    if len(iv):
+                        QM[i, iv - 1] = vv
+                den = np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(QM, axis=1)[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.where(den == 0.0, np.nan, (X @ QM.T) / den)
+                D = 1.0 - sim
+                D = np.floor(D * 1e6 + 0.5) / 1e6 + 0.0
+                sel, kk = _batch_topk_rows(D, ids, k)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids_, kk),
+                        "block_id": ids[sel],
+                        "distance": D[sel, np.repeat(np.arange(nq), kk)],
+                    }
+                )
+
+        scored = e.mapInPandas(
+            part, schema="query_id long, block_id long, distance double"
+        ).withColumn(
+            # pandas→Arrow masks NaN as null; restore the expr path's
+            # explicit NaN (empty sparse vectors must sort LAST ascending)
+            "distance", F.coalesce("distance", F.lit(float("nan")))
+        )
+    else:
+        scored = e.join(F.broadcast(qs), how="cross").select(
+            "query_id",
+            F.col(id_col).alias("block_id"),
+            # + 0.0 folds IEEE -0.0 to +0.0 (self-distance rounds to zero)
+            (F.round(SV.sparse_cosine_distance("ie", "ve", "iq", "vq"), 6) + F.lit(0.0)).alias("distance"),
+        )
     w = topk_per_query(scored, k, id_col="block_id")
     return w.select("query_id", F.col("block_id").alias(id_col), "distance", "rank")
 

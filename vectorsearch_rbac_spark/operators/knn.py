@@ -70,23 +70,35 @@ def knn_prefilter(
     permission_assignment: DataFrame,
     k: int = 10,
     metric: str = "l2",
+    impl: str = "expr",
 ) -> DataFrame:
     """Prefilter strategy: restrict to permitted blocks, then exact top-k.
 
     Parity: ``predicate_prefilter_statistics_sql`` (common_function.py:79):
     resolve accessible document_ids, then ``ORDER BY vector <-> q LIMIT k``
     over them. Recall = 1.0 by construction.
+
+    ``impl='numpy'`` scores the SAME permitted-join rows through a
+    gather-kernel (``mapInPandas``): queries broadcast once as a (Q, d)
+    matrix, each row's distance computed against ITS query row-wise, each
+    Arrow batch pre-cut to its per-query top-k under the identical
+    (rounded distance, block_id) order — the stage-2 window then ranks
+    P·Q·k rows instead of the full permitted set. pytest pins ≡ expr.
     """
-    dist = _METRICS[metric]
-    scored = (
-        _permitted_blocks(blocks, query_roles, permission_assignment)
-        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
-        .select(
-            "query_id", "block_id", "document_id",
-            F.round(dist("vector", "query_vector"), 6).alias("distance"),
-        )  # prune the vectors BEFORE the rank shuffle: the window exchange
-        # must move (id, distance) rows, never the embedding arrays
-    )
+    permitted = _permitted_blocks(blocks, query_roles, permission_assignment)
+    if impl == "numpy":
+        scored = _gather_local_topk(permitted, queries, k, metric)
+    else:
+        dist = _METRICS[metric]
+        scored = (
+            permitted
+            .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+            .select(
+                "query_id", "block_id", "document_id",
+                F.round(dist("vector", "query_vector"), 6).alias("distance"),
+            )  # prune the vectors BEFORE the rank shuffle: the window exchange
+            # must move (id, distance) rows, never the embedding arrays
+        )
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
 
 
@@ -98,6 +110,7 @@ def knn_postfilter(
     k: int = 10,
     expansion: int = 4,
     metric: str = "l2",
+    impl: str = "expr",
 ) -> DataFrame:
     """Postfilter strategy: global top-(k·expansion) ignoring permissions,
     then drop unpermitted rows, keep ≤ k.
@@ -106,16 +119,27 @@ def knn_postfilter(
     — ANN scan with inflated LIMIT then permission join; recall < 1 when a
     user's permitted blocks are sparse among global neighbors (the
     selectivity trade-off the reference benchmarks).
+
+    ``impl='numpy'`` runs the global phase two-phase (``local_topk``'s
+    Arrow/BLAS per-batch pre-cut — the hash-green ``rbac_layouts`` kernel),
+    so the unpermissioned scan emits P·Q·(k·expansion) rows instead of
+    N·Q; the permission join and final top-k are unchanged. pytest pins
+    ≡ expr.
     """
-    dist = _METRICS[metric]
-    global_topk = topk_per_query(
-        blocks.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
-        .select(
-            "query_id", "block_id", "document_id",
-            F.round(dist("vector", "query_vector"), 6).alias("distance"),
-        ),
-        k * expansion,
-    ).drop("rank")
+    if impl == "numpy":
+        global_topk = topk_per_query(
+            local_topk(blocks, queries, k * expansion, metric), k * expansion
+        ).drop("rank")
+    else:
+        dist = _METRICS[metric]
+        global_topk = topk_per_query(
+            blocks.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
+            .select(
+                "query_id", "block_id", "document_id",
+                F.round(dist("vector", "query_vector"), 6).alias("distance"),
+            ),
+            k * expansion,
+        ).drop("rank")
 
     qdocs = (
         F.broadcast(query_roles)
@@ -403,6 +427,95 @@ def local_topk(
 
     schema = f"query_id long, {b_id} long, {d_id} long, distance double"
     return blocks.mapInPandas(part, schema=schema)
+
+
+def _gather_local_topk(
+    joined: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    vec_col: str = "vector",
+    id_cols: tuple[str, str] = ("block_id", "document_id"),
+) -> DataFrame:
+    """Stage-1 pre-cut for PRE-JOINED (query_id, id, vector) rows — the
+    prefilter shape, where each row is scored against exactly ONE query
+    (``local_topk`` scores every row against every query; here the
+    permitted join already decided the pairing). Queries broadcast once as
+    a (Q, d) matrix; each Arrow batch gathers its rows' query vectors by
+    query_id, computes row-wise distances vectorized, rounds half-up 6 dp
+    (``F.round`` parity), and emits only its per-(query) top-k under the
+    (distance, block_id) order the stage-2 window applies. Rows whose
+    query_id is absent from ``queries`` are dropped — the expr path's
+    inner join does the same."""
+    import numpy as np
+
+    q_rows = queries.select("query_id", "query_vector").collect()
+    b_id, d_id = id_cols
+    spark = joined.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"query_id long, {b_id} long, {d_id} long, distance double"
+        )
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    QM = np.array([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
+    bc = spark.sparkContext.broadcast((qids, QM))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, QM_ = bc.value
+        qmap = {int(q): i for i, q in enumerate(qids_)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qidx = pdf["query_id"].map(qmap)
+            keep = qidx.notna().to_numpy()
+            if not keep.all():
+                pdf = pdf[keep]
+                qidx = qidx[keep]
+                if len(pdf) == 0:
+                    continue
+            qidx = qidx.to_numpy().astype(np.int64)
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            QX = QM_[qidx]
+            if metric == "l2":
+                D = np.sqrt(np.maximum(((X - QX) ** 2).sum(axis=1), 0.0))
+            elif metric == "cosine":
+                den = np.linalg.norm(X, axis=1) * np.linalg.norm(QX, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = 1.0 - np.where(den == 0.0, np.nan, (X * QX).sum(axis=1) / den)
+            elif metric == "ip":
+                D = -(X * QX).sum(axis=1)
+            elif metric == "l1":
+                D = np.abs(X - QX).sum(axis=1)
+            else:
+                raise ValueError(metric)
+            D = np.floor(D * 1e6 + 0.5) / 1e6 + 0.0
+            bids = pdf[b_id].to_numpy()
+            dids = pdf[d_id].to_numpy()
+            # per-query top-k within the batch: one lexsort groups rows by
+            # query with (distance NaN-last, id) order inside each group,
+            # then rank-within-group < k selects the survivors
+            key = np.where(np.isnan(D), np.inf, D)
+            order = np.lexsort((bids, key, qidx))
+            gq = qidx[order]
+            starts = np.flatnonzero(np.r_[True, gq[1:] != gq[:-1]])
+            group_of = np.cumsum(np.r_[True, gq[1:] != gq[:-1]]) - 1
+            rank_in_group = np.arange(len(order)) - starts[group_of]
+            sel = order[rank_in_group < k]
+            yield pd.DataFrame(
+                {
+                    "query_id": qids_[qidx[sel]],
+                    b_id: bids[sel],
+                    d_id: dids[sel],
+                    "distance": D[sel],
+                }
+            )
+
+    out = joined.select("query_id", b_id, d_id, vec_col).mapInPandas(
+        part, schema=f"query_id long, {b_id} long, {d_id} long, distance double"
+    )
+    # pandas→Arrow masks NaN as null; restore the expr path's explicit NaN
+    # (cosine zero-norm rows must sort LAST ascending, a null sorts first)
+    return out.withColumn("distance", F.coalesce("distance", F.lit(float("nan"))))
 
 
 def knn_topk_fast(
