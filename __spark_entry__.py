@@ -85,13 +85,13 @@ def q_rbac_postfilter_topk(spark, sf_dir):
 
 def q_rbac_role_partition_topk(spark, sf_dir):
     t = _rbac(spark, sf_dir)
-    out = knn.knn_role_partition(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    out = knn.knn_role_partition(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, impl="numpy")
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
 def q_rbac_comb_role_topk(spark, sf_dir):
     t = _rbac(spark, sf_dir)
-    out = knn.knn_comb_role_partition(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    out = knn.knn_comb_role_partition(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, impl="numpy")
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
@@ -100,13 +100,13 @@ def q_rbac_logical_role_topk(spark, sf_dir):
     partitions over the shared vector table — the latency half of the
     logical-vs-physical trade (space_report prices the storage half)."""
     t = _rbac(spark, sf_dir)
-    out = knn.knn_role_partition_logical(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    out = knn.knn_role_partition_logical(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, impl="numpy")
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
 def q_rbac_rls_topk(spark, sf_dir):
     t = _rbac(spark, sf_dir)
-    out = knn.knn_rls(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)
+    out = knn.knn_rls(t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, impl="numpy")
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
@@ -178,7 +178,7 @@ def q_rbac_layouts_topk(spark, sf_dir):
             "query_id", F.lit(10).cast(rtype).alias("role_id")
         )
     )
-    churn_pred = dynamic.knn_role_routed(store3, pr3, qs, qr_after, pa_after, k=TOPK)
+    churn_pred = dynamic.knn_role_routed(store3, pr3, qs, qr_after, pa_after, k=TOPK, impl="numpy")
     cost_rows = decision.select(
         F.col("partition_id").alias("query_id"),
         F.col("chosen").cast("long").alias("block_id"),
@@ -187,14 +187,14 @@ def q_rbac_layouts_topk(spark, sf_dir):
         F.col("rank"),
     )
     parts = [
-        ("role_partition", knn.knn_role_partition(*args, k=TOPK)),
+        ("role_partition", knn.knn_role_partition(*args, k=TOPK, impl="numpy")),
         # r6: the POINTER variant of the same layout — membership lists
         # over one shared vector table (logical_partition_benchmark
         # pointer_hnsw_index/shared_vector_table parity); identical
         # results, replication-free storage, one fetch join at search
-        ("logical_role", knn.knn_role_partition_logical(*args, k=TOPK)),
-        ("comb_role", knn.knn_comb_role_partition(*args, k=TOPK)),
-        ("rls", knn.knn_rls(*args, k=TOPK)),
+        ("logical_role", knn.knn_role_partition_logical(*args, k=TOPK, impl="numpy")),
+        ("comb_role", knn.knn_comb_role_partition(*args, k=TOPK, impl="numpy")),
+        ("rls", knn.knn_rls(*args, k=TOPK, impl="numpy")),
         ("qdtree", knn.knn_qdtree(assigned, t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK)),
         ("role_churn", churn_pred),
         ("role_churn_cost", cost_rows),
@@ -397,7 +397,7 @@ def q_generated_rbac_topk(spark, sf_dir):
     chain is one declarative plan."""
     t = _rbac(spark, sf_dir)
     queries, qroles, pa, _ = _tree_workload(spark, t)
-    out = knn.knn_prefilter(t["documentblocks"], queries, qroles, pa, k=TOPK)
+    out = knn.knn_prefilter(t["documentblocks"], queries, qroles, pa, k=TOPK, impl="numpy")
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
@@ -424,7 +424,7 @@ def q_sharing_tree_rbac_topk(spark, sf_dir):
         .select("query_id", "role_id")
         .distinct()
     )
-    out = knn.knn_prefilter(t["documentblocks"], queries, qroles, g["permission_assignment"], k=TOPK)
+    out = knn.knn_prefilter(t["documentblocks"], queries, qroles, g["permission_assignment"], k=TOPK, impl="numpy")
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 
@@ -437,7 +437,8 @@ def q_rbac_prefilter_zipf_topk(spark, sf_dir):
     queries = derive.derive_queries_zipf(t["embeddings"], n_queries=50, seed=7)
     qroles = derive.query_roles(queries)
     out = knn.knn_prefilter(
-        t["documentblocks"], queries, qroles, t["permission_assignment"], k=TOPK
+        t["documentblocks"], queries, qroles, t["permission_assignment"], k=TOPK,
+        impl="numpy",
     )
     return _i(out, "query_id", "block_id", "document_id", "rank")
 

@@ -1286,3 +1286,38 @@ def test_int8_numpy_kernel_matches_expr(t):
     a = sorted(map(tuple, curation.int8_topk(t["embeddings"], t["queries"], k=10).collect()))
     b = sorted(map(tuple, curation.int8_topk(t["embeddings"], t["queries"], k=10, impl="numpy").collect()))
     assert a == b and len(a) > 0
+
+
+def test_role_family_numpy_kernels_match_expr(t, spark):
+    """Every role-partition-family strategy's gather-kernel path
+    (impl="numpy", grouped pre-cut where the strategy has a local window)
+    must return EXACTLY the expression plan's rows."""
+    args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    for fn, kw in (
+        (knn.knn_role_partition, {}),
+        (knn.knn_role_partition_logical, {}),
+        (knn.knn_comb_role_partition, {}),
+        (knn.knn_rls, {}),
+    ):
+        a = sorted(map(tuple, fn(*args, k=10, **kw).collect()))
+        b = sorted(map(tuple, fn(*args, k=10, impl="numpy", **kw).collect()))
+        assert a == b and len(a) > 0, fn.__name__
+
+
+def test_role_routed_numpy_kernel_matches_expr(t, spark):
+    """dynamic.knn_role_routed impl="numpy" (per-(query, partition)
+    gather pre-cut) ≡ expr on a 5-partition role store."""
+    blocks, pa, qs, qr = (
+        t["documentblocks"], t["permission_assignment"], t["queries"], t["query_roles"]
+    )
+    pr = spark.createDataFrame(
+        [(p, r) for p in range(5) for r in (2 * p, 2 * p + 1)],
+        "partition_id long, role_id int",
+    )
+    store = (
+        blocks.join(pa, "document_id").join(F.broadcast(pr), "role_id")
+        .select("partition_id", "block_id", "document_id", "vector").distinct()
+    )
+    a = sorted(map(tuple, dynamic.knn_role_routed(store, pr, qs, qr, pa, k=10).collect()))
+    b = sorted(map(tuple, dynamic.knn_role_routed(store, pr, qs, qr, pa, k=10, impl="numpy").collect()))
+    assert a == b and len(a) > 0

@@ -566,6 +566,7 @@ def knn_role_routed(
     permission_assignment: DataFrame,
     k: int = 10,
     metric: str = "l2",
+    impl: str = "expr",
 ) -> DataFrame:
     """Search the role-churned store: each query scans only the partitions
     whose role set intersects its roles, applies the row-level permission
@@ -578,7 +579,6 @@ def knn_role_routed(
     remaining role of that partition needs)."""
     from pyspark.sql import Window
 
-    dist = _METRICS[metric]
     routed = (
         F.broadcast(query_roles)
         .join(F.broadcast(partition_roles), "role_id")
@@ -591,15 +591,26 @@ def knn_role_routed(
         .select("query_id", "document_id")
         .distinct()
     )
-    scored = (
+    visible = (
         store.join(F.broadcast(routed), "partition_id")
         .join(qdocs.hint("SHUFFLE_HASH"), ["query_id", "document_id"], "left_semi")
-        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
-        .select(
-            "query_id", "partition_id", "block_id", "document_id",
-            F.round(dist("vector", "query_vector"), 6).alias("distance"),
-        )
     )
+    if impl == "numpy":
+        from .knn import _gather_local_topk
+
+        scored = _gather_local_topk(
+            visible, queries, k, metric, group_col="partition_id"
+        )
+    else:
+        dist = _METRICS[metric]
+        scored = (
+            visible
+            .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+            .select(
+                "query_id", "partition_id", "block_id", "document_id",
+                F.round(dist("vector", "query_vector"), 6).alias("distance"),
+            )
+        )
     w_local = Window.partitionBy("query_id", "partition_id").orderBy(
         F.col("distance").asc(), F.col("block_id").asc()
     )

@@ -158,6 +158,7 @@ def knn_role_partition(
     permission_assignment: DataFrame,
     k: int = 10,
     metric: str = "l2",
+    impl: str = "expr",
 ) -> DataFrame:
     """Role-partition strategy: search each of the user's role partitions
     (blocks × permission on role_id), take per-partition top-k, dedup blocks
@@ -169,17 +170,25 @@ def knn_role_partition(
     output; on disk the same layout is produced by
     ``partitioning.write_role_partitions`` (partitionBy(role_id) → partition
     pruning replaces per-table indexes).
+
+    ``impl='numpy'`` scores the SAME role-replicated rows through the
+    per-(query, role) gather-kernel pre-cut; the local window → dedup →
+    global merge is unchanged. pytest pins ≡ expr.
     """
-    dist = _METRICS[metric]
     role_blocks = blocks.join(F.broadcast(permission_assignment), "document_id")  # replicated per role
-    scored = (
-        role_blocks.join(F.broadcast(query_roles), "role_id")
-        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
-        .select(
-            "query_id", "role_id", "block_id", "document_id",
-            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+    routed = role_blocks.join(F.broadcast(query_roles), "role_id")
+    if impl == "numpy":
+        scored = _gather_local_topk(routed, queries, k, metric, group_col="role_id")
+    else:
+        dist = _METRICS[metric]
+        scored = (
+            routed
+            .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+            .select(
+                "query_id", "role_id", "block_id", "document_id",
+                F.round(dist("vector", "query_vector"), 6).alias("distance"),
+            )
         )
-    )
     # per-(query, role) local top-k bounds the merge input, then dedup + global
     w_local = Window.partitionBy("query_id", "role_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
     local = scored.withColumn("lr", F.row_number().over(w_local)).where(F.col("lr") <= k)
@@ -194,6 +203,7 @@ def knn_role_partition_logical(
     permission_assignment: DataFrame,
     k: int = 10,
     metric: str = "l2",
+    impl: str = "expr",
 ) -> DataFrame:
     """C3-LOGICAL: the reference's pointer-index variant
     (``logical_partition_benchmark/benchmark/src/pointer_hnsw_index.cpp``
@@ -214,7 +224,6 @@ def knn_role_partition_logical(
     SHUFFLE_HASH here — two fact relations, nothing to sort).
     ``sources.space.logical_vs_physical_report`` quantifies the bytes.
     """
-    dist = _METRICS[metric]
     # the pointer lists: ids only — the "index build" of the pointer
     # variant (permission dim broadcasts; the blocks fact streams)
     members = (
@@ -226,12 +235,16 @@ def knn_role_partition_logical(
     fetched = routed.join(
         blocks.select("block_id", "vector").hint("SHUFFLE_HASH"), "block_id"
     )
-    scored = fetched.join(
-        F.broadcast(queries.select("query_id", "query_vector")), "query_id"
-    ).select(
-        "query_id", "role_id", "block_id", "document_id",
-        F.round(dist("vector", "query_vector"), 6).alias("distance"),
-    )
+    if impl == "numpy":
+        scored = _gather_local_topk(fetched, queries, k, metric, group_col="role_id")
+    else:
+        dist = _METRICS[metric]
+        scored = fetched.join(
+            F.broadcast(queries.select("query_id", "query_vector")), "query_id"
+        ).select(
+            "query_id", "role_id", "block_id", "document_id",
+            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+        )
     w_local = Window.partitionBy("query_id", "role_id").orderBy(F.col("distance").asc(), F.col("block_id").asc())
     local = scored.withColumn("lr", F.row_number().over(w_local)).where(F.col("lr") <= k)
     dedup = local.groupBy("query_id", "block_id", "document_id").agg(F.min("distance").alias("distance"))
@@ -245,6 +258,7 @@ def knn_comb_role_partition(
     permission_assignment: DataFrame,
     k: int = 10,
     metric: str = "l2",
+    impl: str = "expr",
 ) -> DataFrame:
     """Combination-role strategy: one partition per *distinct user role-set*
     (canonical sorted key); each partition holds every block that role-set
@@ -256,7 +270,6 @@ def knn_comb_role_partition(
     — the win is single-partition locality, which on disk maps to
     partitionBy(comb_role) and partition pruning.
     """
-    dist = _METRICS[metric]
     comb = query_roles.groupBy("query_id").agg(
         F.array_join(F.array_sort(F.collect_list(F.col("role_id").cast("string"))), ",").alias("comb_role")
     )
@@ -270,14 +283,19 @@ def knn_comb_role_partition(
         .distinct()
         .join(blocks, "document_id")
     )
-    scored = (
-        part_blocks.join(F.broadcast(comb), "comb_role")
-        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
-        .select(
-            "query_id", "block_id", "document_id",
-            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+    routed = part_blocks.join(F.broadcast(comb), "comb_role")
+    if impl == "numpy":
+        scored = _gather_local_topk(routed, queries, k, metric)
+    else:
+        dist = _METRICS[metric]
+        scored = (
+            routed
+            .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+            .select(
+                "query_id", "block_id", "document_id",
+                F.round(dist("vector", "query_vector"), 6).alias("distance"),
+            )
         )
-    )
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
 
 
@@ -288,30 +306,41 @@ def knn_rls(
     permission_assignment: DataFrame,
     k: int = 10,
     metric: str = "l2",
+    impl: str = "expr",
 ) -> DataFrame:
     """Row-level-security semantics: the permission predicate is applied at
     the scan (a filtering view), identical results to prefilter.
 
     Parity: ``controller/baseline/pg_row_security/row_level_security.py`` —
     Postgres RLS policy ``USING (document_id IN (SELECT …))``; in Spark the
-    policy is a semi-join wrapper over the scan.
+    policy is a semi-join wrapper over the scan. ``impl='numpy'`` keeps the
+    policy semi-join at the scan and scores the surviving rows through the
+    gather kernel (the cross join then replicates ids only, never the
+    query vectors). pytest pins ≡ expr.
     """
-    dist = _METRICS[metric]
     qdocs = (
         F.broadcast(query_roles)
         .join(F.broadcast(permission_assignment), "role_id")
         .select("query_id", "document_id")
         .distinct()
     )
-    # RLS = per-query filtered view of the scan; leftsemi keeps block rows
-    scored = (
-        blocks.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
-        .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")
-        .select(
-            "query_id", "block_id", "document_id",
-            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+    if impl == "numpy":
+        visible = (
+            blocks.join(F.broadcast(queries.select("query_id")), how="cross")
+            .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")
         )
-    )
+        scored = _gather_local_topk(visible, queries, k, metric)
+    else:
+        dist = _METRICS[metric]
+        # RLS = per-query filtered view of the scan; leftsemi keeps block rows
+        scored = (
+            blocks.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
+            .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")
+            .select(
+                "query_id", "block_id", "document_id",
+                F.round(dist("vector", "query_vector"), 6).alias("distance"),
+            )
+        )
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
 
 
@@ -436,6 +465,7 @@ def _gather_local_topk(
     metric: str = "l2",
     vec_col: str = "vector",
     id_cols: tuple[str, str] = ("block_id", "document_id"),
+    group_col: str | None = None,
 ) -> DataFrame:
     """Stage-1 pre-cut for PRE-JOINED (query_id, id, vector) rows — the
     prefilter shape, where each row is scored against exactly ONE query
@@ -446,16 +476,25 @@ def _gather_local_topk(
     (``F.round`` parity), and emits only its per-(query) top-k under the
     (distance, block_id) order the stage-2 window applies. Rows whose
     query_id is absent from ``queries`` are dropped — the expr path's
-    inner join does the same."""
+    inner join does the same.
+
+    ``group_col`` (role_id / partition_id / comb_role) switches the cut to
+    per-(query, group) top-k and carries the column through — the shape
+    the role-partition family's LOCAL window needs: each batch emits a
+    superset of every (query, group) local top-k, so the downstream
+    window → dedup → global merge is row-identical to the expr plan."""
     import numpy as np
 
     q_rows = queries.select("query_id", "query_vector").collect()
     b_id, d_id = id_cols
     spark = joined.sparkSession
+    gtype = (
+        f", {group_col} {joined.schema[group_col].dataType.simpleString()}"
+        if group_col else ""
+    )
+    schema = f"query_id long, {b_id} long, {d_id} long{gtype}, distance double"
     if not q_rows:
-        return spark.createDataFrame(
-            [], f"query_id long, {b_id} long, {d_id} long, distance double"
-        )
+        return spark.createDataFrame([], schema)
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     QM = np.array([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
     bc = spark.sparkContext.broadcast((qids, QM))
@@ -491,28 +530,35 @@ def _gather_local_topk(
             D = np.floor(D * 1e6 + 0.5) / 1e6 + 0.0
             bids = pdf[b_id].to_numpy()
             dids = pdf[d_id].to_numpy()
-            # per-query top-k within the batch: one lexsort groups rows by
-            # query with (distance NaN-last, id) order inside each group,
-            # then rank-within-group < k selects the survivors
+            # segment key: query alone, or (query, group) factorized — the
+            # cut happens per segment either way
+            if group_col is not None:
+                gcodes = pd.factorize(pdf[group_col], use_na_sentinel=False)[0]
+                seg = qidx * (gcodes.max() + 1) + gcodes
+            else:
+                seg = qidx
+            # per-segment top-k within the batch: one lexsort groups rows
+            # by segment with (distance NaN-last, id) order inside each
+            # group, then rank-within-group < k selects the survivors
             key = np.where(np.isnan(D), np.inf, D)
-            order = np.lexsort((bids, key, qidx))
-            gq = qidx[order]
+            order = np.lexsort((bids, key, seg))
+            gq = seg[order]
             starts = np.flatnonzero(np.r_[True, gq[1:] != gq[:-1]])
             group_of = np.cumsum(np.r_[True, gq[1:] != gq[:-1]]) - 1
             rank_in_group = np.arange(len(order)) - starts[group_of]
             sel = order[rank_in_group < k]
-            yield pd.DataFrame(
-                {
-                    "query_id": qids_[qidx[sel]],
-                    b_id: bids[sel],
-                    d_id: dids[sel],
-                    "distance": D[sel],
-                }
-            )
+            out = {
+                "query_id": qids_[qidx[sel]],
+                b_id: bids[sel],
+                d_id: dids[sel],
+            }
+            if group_col is not None:
+                out[group_col] = pdf[group_col].to_numpy()[sel]
+            out["distance"] = D[sel]
+            yield pd.DataFrame(out)
 
-    out = joined.select("query_id", b_id, d_id, vec_col).mapInPandas(
-        part, schema=f"query_id long, {b_id} long, {d_id} long, distance double"
-    )
+    cols = ["query_id", b_id, d_id] + ([group_col] if group_col else [])
+    out = joined.select(*cols, vec_col).mapInPandas(part, schema=schema)
     # pandas→Arrow masks NaN as null; restore the expr path's explicit NaN
     # (cosine zero-norm rows must sort LAST ascending, a null sorts first)
     return out.withColumn("distance", F.coalesce("distance", F.lit(float("nan"))))
