@@ -1321,3 +1321,38 @@ def test_role_routed_numpy_kernel_matches_expr(t, spark):
     a = sorted(map(tuple, dynamic.knn_role_routed(store, pr, qs, qr, pa, k=10).collect()))
     b = sorted(map(tuple, dynamic.knn_role_routed(store, pr, qs, qr, pa, k=10, impl="numpy").collect()))
     assert a == b and len(a) > 0
+
+
+def test_gather_kernel_ip_and_zero_norm_cosine_parity(t, spark):
+    """Edge-metric parity for the gather kernel: ip distances are NEGATIVE
+    (half-away rounding must match F.round), and a zero-norm corpus vector
+    under cosine must yield NaN that sorts LAST in both paths (the
+    pandas→Arrow NaN→null mask would otherwise rank it first)."""
+    args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    for metric in ("ip", "l1"):
+        a = sorted(map(tuple, knn.knn_prefilter(*args, k=10, metric=metric).collect()))
+        b = sorted(map(tuple, knn.knn_prefilter(*args, k=10, metric=metric, impl="numpy").collect()))
+        assert a == b and len(a) > 0, metric
+    # synthetic zero-norm row: it must never beat a real neighbor
+    dim = len(t["queries"].select("query_vector").first()[0])
+    blocks = t["documentblocks"].limit(20).select(
+        "block_id", "document_id", "vector"
+    ).unionByName(spark.createDataFrame(
+        [(999999, 999999, [0.0] * dim)], "block_id long, document_id long, vector array<double>"
+    ))
+    q = t["queries"].limit(3)
+    joined = blocks.crossJoin(F.broadcast(q.select("query_id")))
+    a = sorted(map(tuple, knn.topk_per_query(
+        joined.join(F.broadcast(q.select("query_id", "query_vector")), "query_id")
+        .select("query_id", "block_id", "document_id",
+                F.round(__import__("vectorsearch_rbac_spark.functions.vector", fromlist=["cosine_distance"]).cosine_distance("vector", "query_vector"), 6).alias("distance")),
+        25).collect()))
+    b = sorted(map(tuple, knn.topk_per_query(
+        knn._gather_local_topk(joined, q, 25, metric="cosine"), 25).collect()))
+    assert len(a) == len(b) == 3 * 21
+    for ra, rb in zip(a, b):
+        assert ra[:3] == rb[:3] and ra[4] == rb[4]
+        assert (ra[3] == rb[3]) or (ra[3] != ra[3] and rb[3] != rb[3])
+    # the zero-norm row is ranked LAST for every query in both paths
+    assert all(r[4] == 21 for r in a if r[1] == 999999)
+    assert sum(1 for r in b if r[1] == 999999) == 3

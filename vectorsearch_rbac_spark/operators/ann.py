@@ -46,18 +46,33 @@ def cosine_topk_bruteforce(
 
 def _batch_topk_rows(D: "np.ndarray", ids: "np.ndarray", k: int) -> "np.ndarray":
     """Per-batch candidate cut for two-phase top-k: for each query column
-    of the (n, Q) distance matrix, the row indices of its k best rows under
-    the SAME order the stage-2 window uses — distance asc (NaN last, as
-    Spark sorts NaN greater than any double) with id tie-breaks. Returns a
-    flat (Q·kk,) row-index array (kk = min(k, n)); stage-2's global window
-    re-ranks the survivors, so emitting a superset per batch is safe and
-    emitting exactly the per-batch top-k is the tightest safe cut."""
-    key = np.where(np.isnan(D), np.inf, D)
+    of the (n, Q) score matrix (float distances or negated integer dots),
+    the row indices of its k best rows under the SAME order the stage-2
+    window uses — score asc (NaN last, as Spark sorts NaN greater than any
+    double) with id tie-breaks. Returns a flat (Q·kk,) row-index array
+    (kk = min(k, n)); stage-2's global window re-ranks the survivors, so
+    emitting a superset per batch is safe and emitting exactly the
+    per-batch top-k is the tightest safe cut.
+
+    Selection is argpartition-then-sort-candidates (the ``local_topk``
+    idiom): a candidate threshold from a partial partition, then only the
+    at-or-below-threshold rows compete under the deterministic full order —
+    near-linear instead of Q full sorts per batch."""
+    if np.issubdtype(D.dtype, np.floating):
+        key = np.where(np.isnan(D), np.inf, D)
+    else:
+        key = D
     n = D.shape[0]
     kk = min(k, n)
-    sel = [
-        np.lexsort((ids, key[:, qi]))[:kk] for qi in range(D.shape[1])
-    ]
+    part_idx = np.argpartition(key, kk - 1, axis=0)[:kk] if kk < n else None
+    sel = []
+    for qi in range(D.shape[1]):
+        col = key[:, qi]
+        if part_idx is None:
+            cand = np.arange(n)
+        else:
+            cand = np.flatnonzero(col <= col[part_idx[:, qi]].max())
+        sel.append(cand[np.lexsort((ids[cand], col[cand]))][:kk])
     return np.concatenate(sel), kk
 
 
@@ -149,10 +164,11 @@ def l2_topk_bruteforce(
 ) -> DataFrame:
     """Exact L2 top-k over a single-id vector table (the halfvec / fp-tier
     scan shape): broadcast queries × scan, 6-dp-rounded distance, window
-    top-k with id tie-breaks. ``impl='numpy'`` rides a two-phase Arrow/BLAS
-    kernel (per-batch pre-cut, then the same global window) — the identical
-    d² = |x|² + |q|² − 2x·q expansion :func:`knn.local_topk` uses on the
-    hash-green ``rbac_layouts`` path, with the half-up 6-dp round mirroring
+    top-k with id tie-breaks. ``impl='numpy'`` rides a two-phase Arrow
+    kernel (per-batch pre-cut, then the same global window) that is
+    BIT-identical to the expression fold: the squared-distance accumulates
+    per-dim in the codegen fold's j-order ((x_j−q_j)² added left-to-right,
+    (0.0 + t0) ≡ t0), then sqrt and the half-up 6-dp round mirroring
     ``F.round``; pytest pins numpy ≡ expr row-for-row."""
     qsel = queries.select("query_id", query_vec_col)
     if impl == "numpy":
@@ -171,14 +187,18 @@ def l2_topk_bruteforce(
         def part(batches):
             qids_, QM_ = bc.value
             nq = len(qids_)
-            qn2 = (QM_ * QM_).sum(axis=1)
+            d = QM_.shape[1]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 ids = pdf[id_col].to_numpy()
-                d2 = (X * X).sum(axis=1)[:, None] + qn2[None, :] - 2.0 * (X @ QM_.T)
-                D = np.sqrt(np.maximum(d2, 0.0))
+                # per-dim j-order fold ≡ the expr's sequential (x−q)² sum
+                d2 = np.zeros((len(ids), nq))
+                for j in range(d):
+                    t = X[:, j][:, None] - QM_[:, j][None, :]
+                    d2 = d2 + t * t
+                D = np.sqrt(d2)
                 D = np.floor(D * 1e6 + 0.5) / 1e6 + 0.0
                 sel, kk = _batch_topk_rows(D, ids, k)
                 yield pd.DataFrame(
@@ -191,6 +211,10 @@ def l2_topk_bruteforce(
 
         scored = embeddings.select(id_col, vec_col).mapInPandas(
             part, schema="query_id long, block_id long, distance double"
+        ).withColumn(
+            # pandas→Arrow masks NaN as null (a NaN input component would
+            # surface as a null distance and sort FIRST); restore NaN
+            "distance", F.coalesce("distance", F.lit(float("nan")))
         )
     else:
         scored = (
@@ -563,11 +587,14 @@ def sparse_cosine_topk(
     """Exact cosine top-k over magnitude-sparsified vectors (sparsevec
     search parity): both sides keep dims with |v| > threshold; distance is
     computed on the sparse representation only. ``impl='numpy'`` scatters
-    each Arrow batch's (indices, values) pairs into a dense slab and rides
-    one BLAS matmul + per-batch pre-cut — the intersection dot and the
-    stored-value norms are the SAME sums (zeros elsewhere contribute
-    nothing), zero denominators map to NaN (try_divide + coalesce parity,
-    NaN sorts last), half-up 6-dp round; pytest pins numpy ≡ expr."""
+    each Arrow batch's (indices, values) pairs into a dense slab and folds
+    dot and norms per-dim in ascending index order — BIT-identical to the
+    expression folds: the expr iterates a's stored pairs ascending probing
+    b (absent → 0.0 term) and sparse_norm folds stored values ascending;
+    the dense j-loop adds the same nonzero terms in the same order with
+    exact-identity 0.0 terms between them. Zero denominators map to NaN
+    (try_divide + coalesce parity, NaN sorts last), half-up 6-dp round;
+    pytest pins numpy ≡ expr."""
     from ..functions import sparse as SV
 
     e = embeddings.select(
@@ -618,9 +645,18 @@ def sparse_cosine_topk(
                 for i, (iv, vv) in enumerate(qsparse):
                     if len(iv):
                         QM[i, iv - 1] = vv
-                den = np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(QM, axis=1)[None, :]
+                # per-dim j-order folds ≡ the expr's sequential sums (the
+                # scattered zeros are exact additive identities)
+                dot = np.zeros((n, nq))
+                xn2 = np.zeros(n)
+                qn2 = np.zeros(nq)
+                for j in range(d):
+                    dot = dot + X[:, j][:, None] * QM[:, j][None, :]
+                    xn2 = xn2 + X[:, j] * X[:, j]
+                    qn2 = qn2 + QM[:, j] * QM[:, j]
+                den = np.sqrt(xn2)[:, None] * np.sqrt(qn2)[None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    sim = np.where(den == 0.0, np.nan, (X @ QM.T) / den)
+                    sim = np.where(den == 0.0, np.nan, dot / den)
                 D = 1.0 - sim
                 D = np.floor(D * 1e6 + 0.5) / 1e6 + 0.0
                 sel, kk = _batch_topk_rows(D, ids, k)

@@ -361,6 +361,8 @@ def int8_topk(
         bc = spark.sparkContext.broadcast((qids, QM))
 
         def part(batches):
+            from .ann import _batch_topk_rows
+
             qids_, QM_ = bc.value
             nq = len(qids_)
             for pdf in batches:
@@ -369,11 +371,9 @@ def int8_topk(
                 X = np.stack(pdf["qe"].to_numpy()).astype(np.int64)
                 ids = pdf[id_col].to_numpy()
                 dot = X @ QM_.T
-                n = len(ids)
-                kk = min(k, n)
-                sel = np.concatenate(
-                    [np.lexsort((ids, -dot[:, qi]))[:kk] for qi in range(nq)]
-                )
+                # shared cut on the NEGATED integer dots — same (-dot, id)
+                # order the window applies; integer matmul is bit-exact
+                sel, kk = _batch_topk_rows(-dot, ids, k)
                 yield pd.DataFrame(
                     {
                         "query_id": np.repeat(qids_, kk),

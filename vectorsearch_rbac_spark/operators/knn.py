@@ -78,20 +78,26 @@ def knn_prefilter(
     resolve accessible document_ids, then ``ORDER BY vector <-> q LIMIT k``
     over them. Recall = 1.0 by construction.
 
-    ``impl='numpy'`` scores the SAME permitted-join rows through a
-    gather-kernel (``mapInPandas``): queries broadcast once as a (Q, d)
-    matrix, each row's distance computed against ITS query row-wise, each
-    Arrow batch pre-cut to its per-query top-k under the identical
-    (rounded distance, block_id) order — the stage-2 window then ranks
-    P·Q·k rows instead of the full permitted set. pytest pins ≡ expr.
+    ``impl='numpy'`` runs the permission predicate AS DATA: a per-doc
+    query-BITMASK column (Q bits ≈ Q/8 bytes, :func:`_query_doc_masks`)
+    broadcast-joins the blocks scan ONCE, and the masked ``local_topk``
+    kernel scores each batch against the whole query matrix with the
+    expression folds' j-order, excluding masked pairs from the per-batch
+    cut — so the scan streams each vector exactly once instead of the
+    expr plan's per-(query, permitted-block) join that replicates the
+    vector payload per query. Same rows (pytest-pinned ≡ expr; the
+    sf0.01 oracle replays the expr form).
     """
-    permitted = _permitted_blocks(blocks, query_roles, permission_assignment)
     if impl == "numpy":
-        scored = _gather_local_topk(permitted, queries, k, metric)
+        masks = _query_doc_masks(queries, query_roles, permission_assignment)
+        scored = local_topk(
+            blocks.join(F.broadcast(masks), "document_id"),
+            queries, k, metric, mask_col="qmask",
+        )
     else:
         dist = _METRICS[metric]
         scored = (
-            permitted
+            _permitted_blocks(blocks, query_roles, permission_assignment)
             .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
             .select(
                 "query_id", "block_id", "document_id",
@@ -124,9 +130,12 @@ def knn_postfilter(
     Arrow/BLAS per-batch pre-cut — the hash-green ``rbac_layouts`` kernel),
     so the unpermissioned scan emits P·Q·(k·expansion) rows instead of
     N·Q; the permission join and final top-k are unchanged. pytest pins
-    ≡ expr.
+    ≡ expr. Kernel-routed only for the metrics ``local_topk`` reproduces
+    exactly (l2/ip); cosine (expr: zero-norm → NaN-sorts-last) and l1
+    (no kernel branch) fall back to the expression plan rather than
+    silently diverge.
     """
-    if impl == "numpy":
+    if impl == "numpy" and metric in ("l2", "ip"):
         global_topk = topk_per_query(
             local_topk(blocks, queries, k * expansion, metric), k * expansion
         ).drop("rank")
@@ -392,19 +401,33 @@ def local_topk(
     metric: str = "l2",
     vec_col: str = "vector",
     id_cols: tuple[str, str] = ("block_id", "document_id"),
+    mask_col: str | None = None,
 ) -> DataFrame:
     """Stage-1 of two-phase top-k: per scan-partition top-k for every query,
     vectorized with numpy over Arrow batches (``mapInPandas``).
 
     This is the 100 TB path: each executor partition emits at most Q×k rows
     regardless of partition size, so the global merge (stage-2 window) sees
-    P×Q×k rows instead of N×Q. BLAS does the distance matrix; nothing is
+    P×Q×k rows instead of N×Q. Distances accumulate per-dim in the codegen
+    fold's j-order (bit-identical to the expression plan); nothing is
     collected on the driver — queries arrive at executors via a broadcast
     local collect of a dim-sized DataFrame.
+
+    ``mask_col`` names an ``array<long>`` per-row query-BITMASK column
+    (bit p set = query at sorted position p may see this row — built by
+    :func:`_query_doc_masks`): masked-out (row, query) pairs are excluded
+    from the cut and never emitted, which turns this into the PREFILTER
+    kernel — the permission predicate travels as ~Q/8 bytes per row
+    instead of a per-(query, block) join that replicates the vector
+    payload Q times. Permitted NaN distances (cosine zero-norm) still
+    sort last-but-emitted, exactly as the expr plan ranks them.
     """
     import numpy as np
 
-    q_rows = queries.select("query_id", "query_vector").collect()
+    q_rows = sorted(
+        queries.select("query_id", "query_vector").collect(),
+        key=lambda r: r["query_id"],
+    )  # sorted: bitmask bit p ≡ p-th query id (the _query_doc_masks contract)
     qids = np.array([r["query_id"] for r in q_rows])
     Q = np.array([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
     bc = blocks.sparkSession.sparkContext.broadcast((qids, Q))
@@ -412,50 +435,151 @@ def local_topk(
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, Q_ = bc.value
-        qn2 = (Q_ * Q_).sum(axis=1)
+        # j-order query-norm fold (the same sequential sum the expr runs)
+        qn2 = np.zeros(Q_.shape[0])
+        for j in range(Q_.shape[1]):
+            qn2 = qn2 + Q_[:, j] * Q_[:, j]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if metric == "l2":
-                d2 = (X * X).sum(axis=1)[:, None] + qn2[None, :] - 2.0 * (X @ Q_.T)
-                D = np.sqrt(np.maximum(d2, 0.0))
+                # per-dim j-order fold ≡ the expr's sequential (x−q)² sum
+                # (vector.py's left-to-right _dsum contract)
+                d2 = np.zeros((X.shape[0], Q_.shape[0]))
+                for j in range(Q_.shape[1]):
+                    t = X[:, j][:, None] - Q_[:, j][None, :]
+                    d2 = d2 + t * t
+                D = np.sqrt(d2)
             elif metric == "cosine":
-                xn = np.linalg.norm(X, axis=1)
-                D = 1.0 - (X @ Q_.T) / np.maximum(xn[:, None] * np.sqrt(qn2)[None, :], 1e-30)
+                dot = np.zeros((X.shape[0], Q_.shape[0]))
+                xn2 = np.zeros(X.shape[0])
+                for j in range(Q_.shape[1]):
+                    dot = dot + X[:, j][:, None] * Q_[:, j][None, :]
+                    xn2 = xn2 + X[:, j] * X[:, j]
+                den = np.sqrt(xn2)[:, None] * np.sqrt(qn2)[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = 1.0 - np.where(den == 0.0, np.nan, dot / den)
             elif metric == "ip":
-                D = -(X @ Q_.T)
+                dot = np.zeros((X.shape[0], Q_.shape[0]))
+                for j in range(Q_.shape[1]):
+                    dot = dot + X[:, j][:, None] * Q_[:, j][None, :]
+                D = -dot
+            elif metric == "l1":
+                acc = np.zeros((X.shape[0], Q_.shape[0]))
+                for j in range(Q_.shape[1]):
+                    acc = acc + np.abs(X[:, j][:, None] - Q_[:, j][None, :])
+                D = acc
             else:
                 raise ValueError(metric)
             # Select on ROUNDED distances with (distance, block_id) order so
             # boundary ties resolve exactly as the stage-2 merge / the exact
             # window plan do — argpartition picks a candidate threshold, then
             # every row at-or-below it competes under the deterministic order.
-            Dr = np.round(D, 6)
+            # Half-AWAY-from-zero ≡ F.round (np.round's half-even diverges at
+            # exact halves); NaN (cosine zero-norm) keyed to +inf sorts last.
+            with np.errstate(invalid="ignore"):
+                Dr = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D) / 1e6 + 0.0
             bids = pdf[b_id].to_numpy()
             dids = pdf[d_id].to_numpy()
             n = Dr.shape[0]
             kk = min(k, n)
-            part_idx = np.argpartition(Dr, kk - 1, axis=0)[:kk] if kk < n else None
+            # NaN → +inf for SELECTION (NaN sorts last, never silently
+            # dropped — a query whose batch is all zero-norm rows still
+            # gets kk rows, as the window plan would rank them). With a
+            # mask: excluded pairs key to +inf and are dropped AFTER the
+            # cut; permitted NaN keys to DBL_MAX so it outranks excluded
+            # rows but still sorts after every real distance.
+            if mask_col is not None:
+                mb = np.stack(pdf[mask_col].to_numpy()).astype(np.int64)
+                perm = np.unpackbits(
+                    mb.view(np.uint8).reshape(n, -1), axis=1, bitorder="little"
+                )[:, : len(qids_)].astype(bool)
+                key = np.where(
+                    perm,
+                    np.where(np.isnan(Dr), np.finfo(np.float64).max, Dr),
+                    np.inf,
+                )
+            else:
+                perm = None
+                key = np.where(np.isnan(Dr), np.inf, Dr)
+            part_idx = np.argpartition(key, kk - 1, axis=0)[:kk] if kk < n else None
             sel_rows = []
+            qcols = []
             for qi in range(len(qids_)):
-                col = Dr[:, qi]
+                col = key[:, qi]
                 if part_idx is None:
                     cand = np.arange(n)
                 else:
                     cand = np.flatnonzero(col <= col[part_idx[:, qi]].max())
-                sel_rows.append(cand[np.lexsort((bids[cand], col[cand]))][:kk])
+                pick = cand[np.lexsort((bids[cand], col[cand]))][:kk]
+                if perm is not None:
+                    pick = pick[perm[pick, qi]]
+                sel_rows.append(pick)
+                qcols.append(np.full(len(pick), qi, dtype=np.int64))
             sel = np.concatenate(sel_rows)
+            qsel = np.concatenate(qcols)
             out = {
-                "query_id": np.repeat(qids_, kk),
+                "query_id": qids_[qsel],
                 b_id: bids[sel],
                 d_id: dids[sel],
-                "distance": Dr[sel, np.repeat(np.arange(len(qids_)), kk)],
+                "distance": Dr[sel, qsel],
             }
             yield pd.DataFrame(out)
 
     schema = f"query_id long, {b_id} long, {d_id} long, distance double"
-    return blocks.mapInPandas(part, schema=schema)
+    out = blocks.mapInPandas(part, schema=schema)
+    # pandas→Arrow masks NaN as null; restore the expr path's explicit NaN
+    # (zero-norm cosine rows must sort LAST ascending, a null sorts first)
+    return out.withColumn("distance", F.coalesce("distance", F.lit(float("nan"))))
+
+
+def _query_doc_masks(
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+) -> DataFrame:
+    """(document_id, qmask array<long>): bit p of the packed mask set iff
+    the query at sorted position p (ascending query_id — the order
+    ``local_topk`` broadcasts) may access the document. The predicate-as-
+    data side of the prefilter kernel: Q bits ≈ Q/8 bytes per DOC, joined
+    to the blocks scan once, instead of a per-(query, block) join that
+    replicates the vector payload per query. Docs visible to no query are
+    absent (the expr path's inner join drops them too).
+
+    Built entirely in expressions: roles → permitted (query, doc) pairs →
+    per-doc sorted-position set → packed 64-bit words. All inputs are
+    dim-sized; the output is ≤ one row per permissioned document."""
+    qpos = queries.select("query_id").distinct().withColumn(
+        "qpos", F.row_number().over(Window.orderBy("query_id")) - 1
+    )
+    n_q = qpos.count()
+    n_words = max(1, (n_q + 63) // 64)
+    qdocs = (
+        F.broadcast(query_roles)
+        .join(F.broadcast(permission_assignment), "role_id")
+        .join(F.broadcast(qpos), "query_id")
+        .select("document_id", "qpos")
+        .distinct()
+    )
+    lists = qdocs.groupBy("document_id").agg(F.collect_list("qpos").alias("ps"))
+    return lists.select(
+        "document_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda w: F.aggregate(
+                F.filter(F.col("ps"), lambda p: F.floor(p / 64).cast("int") == w.cast("int")),
+                F.lit(0).cast("long"),
+                # call_function: the Python shiftleft wrapper only takes a
+                # literal bit count; the SQL function accepts a column
+                lambda acc, p: acc.bitwiseOR(
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                    )
+                ),
+            ),
+        ).alias("qmask"),
+    )
 
 
 def _gather_local_topk(
@@ -515,19 +639,43 @@ def _gather_local_topk(
             qidx = qidx.to_numpy().astype(np.int64)
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             QX = QM_[qidx]
+            n = len(qidx)
+            d = QM_.shape[1]
+            # per-dim j-order folds ≡ the expression folds bit-for-bit
+            # (vector.py's left-to-right _dsum contract; (0.0 + t0) ≡ t0)
             if metric == "l2":
-                D = np.sqrt(np.maximum(((X - QX) ** 2).sum(axis=1), 0.0))
+                acc = np.zeros(n)
+                for j in range(d):
+                    t = X[:, j] - QX[:, j]
+                    acc = acc + t * t
+                D = np.sqrt(acc)
             elif metric == "cosine":
-                den = np.linalg.norm(X, axis=1) * np.linalg.norm(QX, axis=1)
+                dot = np.zeros(n)
+                xa = np.zeros(n)
+                xb = np.zeros(n)
+                for j in range(d):
+                    dot = dot + X[:, j] * QX[:, j]
+                    xa = xa + X[:, j] * X[:, j]
+                    xb = xb + QX[:, j] * QX[:, j]
+                den = np.sqrt(xa) * np.sqrt(xb)
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    D = 1.0 - np.where(den == 0.0, np.nan, (X * QX).sum(axis=1) / den)
+                    D = 1.0 - np.where(den == 0.0, np.nan, dot / den)
             elif metric == "ip":
-                D = -(X * QX).sum(axis=1)
+                dot = np.zeros(n)
+                for j in range(d):
+                    dot = dot + X[:, j] * QX[:, j]
+                D = -dot
             elif metric == "l1":
-                D = np.abs(X - QX).sum(axis=1)
+                acc = np.zeros(n)
+                for j in range(d):
+                    acc = acc + np.abs(X[:, j] - QX[:, j])
+                D = acc
             else:
                 raise ValueError(metric)
-            D = np.floor(D * 1e6 + 0.5) / 1e6 + 0.0
+            # half-AWAY-from-zero 6-dp round (F.round parity — ip distances
+            # are negative); + 0.0 folds −0.0 (BigDecimal has no −0)
+            with np.errstate(invalid="ignore"):
+                D = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D) / 1e6 + 0.0
             bids = pdf[b_id].to_numpy()
             dids = pdf[d_id].to_numpy()
             # segment key: query alone, or (query, group) factorized — the
