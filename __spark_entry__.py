@@ -2248,7 +2248,7 @@ def q_rbac_dynamic_budget_topk(spark, sf_dir):
     # Store build + routed search still run per call.
     opt = _cached(("budget_opt", sf_dir), _optimize)
     store = layout.build_budget_store(t["documentblocks"], t["permission_assignment"], opt["assignment"])
-    out = layout.knn_budget(store, t["queries"], t["query_roles"], opt["routing"], opt["assignment"], k=TOPK)
+    out = layout.knn_budget(store, t["queries"], t["query_roles"], opt["routing"], opt["assignment"], k=TOPK, impl="numpy")
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
 

@@ -494,6 +494,7 @@ def knn_budget(
     assignment: DataFrame,
     k: int = 10,
     metric: str = "l2",
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact top-k over the optimized layout.
 
@@ -510,15 +511,23 @@ def knn_budget(
     WindowGroupLimit pushdown — no post-scan distinct, no duplicate rows
     shuffled. At 100 TB the scan-plan join also prunes partitions: only
     (partition, atom) slices some query reads are materialized."""
-    dist = _METRICS[metric]
     scan_plan = budget_scan_plan(query_roles, routing, assignment)
+    routed = store.join(F.broadcast(scan_plan), ["partition_id", "atom_key"])
+    if impl == "numpy":
+        # the metadata-level scan plan already pairs each (query, block)
+        # exactly once — the gather kernel scores the pair rows with the
+        # expression folds' j-order and pre-cuts per batch (pinned ≡ expr)
+        from .knn import _gather_local_topk
 
-    scored = (
-        store.join(F.broadcast(scan_plan), ["partition_id", "atom_key"])
-        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
-        .select(
-            "query_id", "block_id", "document_id",
-            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+        scored = _gather_local_topk(routed, queries, k, metric)
+    else:
+        dist = _METRICS[metric]
+        scored = (
+            routed
+            .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+            .select(
+                "query_id", "block_id", "document_id",
+                F.round(dist("vector", "query_vector"), 6).alias("distance"),
+            )
         )
-    )
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")

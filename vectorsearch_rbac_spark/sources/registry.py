@@ -49,16 +49,16 @@ def get_spark(app: str = "vectorsearch-rbac-spark", shuffle_partitions: int = 32
         .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # scan-split size: the bench tables are single parquet files (the
-        # sf1 embeddings ≈ 30 MB), so the 128 MB default yields 1-2 scan
-        # partitions and every map-side kernel (local_topk & co) runs on
-        # 1-2 of the 32 cores. 16 MB splits spread the scans without any
-        # shuffle; AQE re-coalesces downstream exchanges, so small-sf
-        # plans are unchanged. On a real cluster leave the default (or
-        # size so a split's vectors fit executor memory) via the env var.
+        # scan-split knob, default = Spark's 128 MB. Measured A/B at sf1:
+        # smaller splits (16 MB) barely move the warm map-side kernels
+        # (their wall is compute, and the pre-cut means little follows
+        # the scan) but cost explode-heavy JVM entries ~15-20% in task
+        # overhead — so the default stays; the env var exists to size
+        # splits so a partition's vectors fit executor memory at larger
+        # scale factors.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
