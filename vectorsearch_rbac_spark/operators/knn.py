@@ -547,14 +547,18 @@ def _query_doc_masks(
     replicates the vector payload per query. Docs visible to no query are
     absent (the expr path's inner join drops them too).
 
-    Built entirely in expressions: roles → permitted (query, doc) pairs →
-    per-doc sorted-position set → packed 64-bit words. All inputs are
-    dim-sized; the output is ≤ one row per permissioned document."""
-    qpos = queries.select("query_id").distinct().withColumn(
-        "qpos", F.row_number().over(Window.orderBy("query_id")) - 1
+    Built in expressions over one dim-sized collect: roles → permitted
+    (query, doc) pairs → per-doc sorted-position set → packed 64-bit
+    words. The query→position map is Q rows (the same bounded collect
+    ``local_topk`` makes for the query matrix), created as a literal
+    DataFrame — no count job, no global-window shuffle. The output is
+    ≤ one row per permissioned document."""
+    spark = queries.sparkSession
+    qids = sorted(r[0] for r in queries.select("query_id").distinct().collect())
+    qpos = spark.createDataFrame(
+        [(int(q), i) for i, q in enumerate(qids)], "query_id long, qpos int"
     )
-    n_q = qpos.count()
-    n_words = max(1, (n_q + 63) // 64)
+    n_words = max(1, (len(qids) + 63) // 64)
     qdocs = (
         F.broadcast(query_roles)
         .join(F.broadcast(permission_assignment), "role_id")
