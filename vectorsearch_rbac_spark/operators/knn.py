@@ -71,6 +71,7 @@ def knn_prefilter(
     k: int = 10,
     metric: str = "l2",
     impl: str = "expr",
+    doc_masks: DataFrame | None = None,
 ) -> DataFrame:
     """Prefilter strategy: restrict to permitted blocks, then exact top-k.
 
@@ -86,10 +87,16 @@ def knn_prefilter(
     cut — so the scan streams each vector exactly once instead of the
     expr plan's per-(query, permitted-block) join that replicates the
     vector payload per query. Same rows (pytest-pinned ≡ expr; the
-    sf0.01 oracle replays the expr form).
+    sf0.01 oracle replays the expr form). ``doc_masks`` accepts a
+    PREBUILT mask table (:func:`_query_doc_masks` output, checkpointed
+    per workload) — the build-once/search-many contract every other
+    offline index artifact here follows.
     """
     if impl == "numpy":
-        masks = _query_doc_masks(queries, query_roles, permission_assignment)
+        masks = (
+            doc_masks if doc_masks is not None
+            else _query_doc_masks(queries, query_roles, permission_assignment)
+        )
         scored = local_topk(
             blocks.join(F.broadcast(masks), "document_id"),
             queries, k, metric, mask_col="qmask",
