@@ -308,6 +308,21 @@ def _force(df) -> int:
     return r[0]
 
 
+def _calibrate() -> float:
+    """Fixed-work single-core spin (~0.5 s on an idle host): its wall time
+    is a direct read of how contended this host is RIGHT NOW. Recorded
+    before/between/after timing passes so any run self-reports its host
+    state — two same-code runs that disagree on the warm total will also
+    disagree here, turning 'was the host loaded?' from prose adjudication
+    into data (r8/r9 both needed manual noise adjudication)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(8_000_000):
+        x += i
+    assert x == 31999996000000
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
@@ -319,38 +334,49 @@ def main() -> None:
     # what the timings measure.
     spark.range(1).count()
     qs["rbac_prefilter_topk"](spark, "/root/testdata/sf0.001").count()
-    # Steady-state timing: each query runs 3×; "cold" records run 1 (plan
-    # analysis + whole-stage-codegen JIT for that plan shape — a fixed cost
-    # irrelevant at cluster scale), "warm" the best of runs 2-3 (the engine's
-    # actual execution throughput). Reporting both makes round-over-round
-    # deltas readable: the warm total is the steady-state anchor.
+    # Contention-robust timing (r10): INTERLEAVED round-robin passes —
+    # pass 0 runs every query once ("cold": plan analysis + codegen JIT, a
+    # fixed cost irrelevant at cluster scale), then 3 warm passes run the
+    # whole list again in order (A,B,C,…,A,B,C,… instead of A,A,A,B,B,B);
+    # the reported warm time is the PER-QUERY MIN across the 3 passes.
+    # Interleaving decorrelates a transient host-load spike from any single
+    # query (it would have to persist across the whole list's cycle time to
+    # poison all 3 samples), and the min is the right estimator for the
+    # engine's uncontended throughput. loadavg + a fixed-work calibration
+    # spin are recorded around every pass so the run self-reports its host
+    # state next to the numbers.
+    fns = {name: (EXTRA.get(name) or qs.get(name)) for name in HEADLINE}
+    calib = [_calibrate()]
+    loads = [round(os.getloadavg()[0], 2)]
     cold: dict[str, float] = {}
+    warm_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows_n: dict[str, int] = {}
+    for pass_i in range(4):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = fns[name](spark, SF_DIR)
+            n = _force(df)
+            el = time.time() - t0
+            if pass_i == 0:
+                cold[name] = round(el, 3)
+                rows_n[name] = n
+            else:
+                warm_runs[name].append(el)
+        calib.append(_calibrate())
+        loads.append(round(os.getloadavg()[0], 2))
     lat: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
-        # EXTRA wins: it holds member functions benched under a registry
-        # entry's name when the entry grew into a union (tfidf_top_terms)
-        fn = EXTRA.get(name) or qs.get(name)
-        runs, n = [], 0
-        for _ in range(3):
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = _force(df)
-            runs.append(time.time() - t0)
-        cold[name] = round(runs[0], 3)
-        timings[name] = round(min(runs[1:]), 3)
+        w = sorted(warm_runs[name])
+        timings[name] = round(w[0], 3)
         # warm-run latency spread (run_search_experiment parity: the
         # reference reports latency distributions next to QPS). The cold
-        # run is EXCLUDED — with it, the max would just re-report the
-        # plan-compile cost value_cold already carries. With two warm
-        # samples these are honestly the MIN and MAX of the spread, not
-        # percentiles — labeled as such so round-over-round comparisons
-        # don't mistake them for distribution statistics.
-        w = sorted(runs[1:])
-        lat[name] = {
-            "warm_min": round(w[0], 3),
-            "warm_max": round(w[-1], 3),
-        }
-        print(f"# {name}: {n} rows in {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
+        # pass is EXCLUDED — with it, the max would just re-report the
+        # plan-compile cost value_cold already carries. min/max of 3
+        # interleaved warm samples — labeled as such, not percentiles.
+        lat[name] = {"warm_min": round(w[0], 3), "warm_max": round(w[-1], 3)}
+        print(f"# {name}: {rows_n[name]} rows in {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
+    host = {"calib_sec": calib, "loadavg1": loads, "cpus": os.cpu_count()}
+    print(f"# host: {host}", file=sys.stderr)
     # store_lifecycle is the biggest single bench line; time its sections
     # once (warm — the dirs/stream artifacts are already cached from the 3
     # registry runs) so member-level drift is visible round-over-round
@@ -389,6 +415,7 @@ def main() -> None:
         json.dumps(
             {
                 "detail": "bench_full",
+                "host": host,
                 "queries_cold": cold,
                 "latency": lat,
                 "store_lifecycle_sections": sections,
@@ -410,6 +437,9 @@ def main() -> None:
             "warm_min_total": round(sum(v["warm_min"] for v in lat.values()), 2),
             "warm_max_total": round(sum(v["warm_max"] for v in lat.values()), 2),
         },
+        # host-state self-report: worst calibration spin (idle ≈ its min
+        # across runs) + worst 1-min loadavg seen around the timing passes
+        "host": {"calib_max": max(calib), "load1_max": max(loads)},
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
     }

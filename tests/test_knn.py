@@ -1304,6 +1304,54 @@ def test_role_family_numpy_kernels_match_expr(t, spark):
         assert a == b and len(a) > 0, fn.__name__
 
 
+def test_qdtree_mask_kernel_matches_expr(t):
+    """knn_qdtree impl="numpy" (leaf-pruned scan → Q-bit masked local_topk)
+    must return EXACTLY the expression plan's rows — the r10 plan-shape fix
+    for the last strategy that replicated the vector payload per
+    (query, permitted block)."""
+    args = (t["queries"], t["query_roles"], t["permission_assignment"])
+    assigned = partitioning.qdtree_assignment(
+        t["documentblocks"], t["permission_assignment"], max_leaf_size=64, max_depth=4
+    )
+    a = sorted(map(tuple, knn.knn_qdtree(assigned, *args, k=10).collect()))
+    b = sorted(map(tuple, knn.knn_qdtree(assigned, *args, k=10, impl="numpy").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_local_topk_query_chunking_row_identical(t):
+    """Query-axis chunking (q_chunk) must be row-identical to the unchunked
+    kernel, masked and unmasked — the per-dim folds are elementwise per
+    (row, query) and the cut is per-query-column independent."""
+    blocks, qs = t["documentblocks"], t["queries"]
+    for metric in ("l2", "cosine"):
+        a = sorted(map(tuple, knn.local_topk(blocks, qs, 10, metric).collect()))
+        b = sorted(map(tuple, knn.local_topk(blocks, qs, 10, metric, q_chunk=3).collect()))
+        assert a == b and len(a) > 0, metric
+    masks = knn._query_doc_masks(qs, t["query_roles"], t["permission_assignment"])
+    joined = blocks.join(F.broadcast(masks), "document_id")
+    a = sorted(map(tuple, knn.local_topk(joined, qs, 10, mask_col="qmask").collect()))
+    b = sorted(map(tuple, knn.local_topk(joined, qs, 10, mask_col="qmask", q_chunk=7).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_stale_doc_masks_fail_loudly(t):
+    """A doc_masks table built over a DIFFERENT query set must raise at
+    kernel time (word-count contract), never misalign bit positions and
+    return wrong rows silently (ADVICE r9)."""
+    blocks, qs = t["documentblocks"], t["queries"]
+    good = knn._query_doc_masks(qs, t["query_roles"], t["permission_assignment"])
+    # pad to one extra word: a mask built for a larger query set than the
+    # one being searched (ceil(Q/64)+1 words vs ceil(Q/64) expected)
+    stale = good.withColumn(
+        "qmask", F.concat(F.col("qmask"), F.array(F.lit(0).cast("long")))
+    )
+    with pytest.raises(Exception, match="qmask word count"):
+        knn.knn_prefilter(
+            blocks, qs, t["query_roles"], t["permission_assignment"],
+            k=5, impl="numpy", doc_masks=stale,
+        ).collect()
+
+
 def test_role_routed_numpy_kernel_matches_expr(t, spark):
     """dynamic.knn_role_routed impl="numpy" (per-(query, partition)
     gather pre-cut) ≡ expr on a 5-partition role store."""

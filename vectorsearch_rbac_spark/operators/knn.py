@@ -323,31 +323,38 @@ def knn_rls(
     k: int = 10,
     metric: str = "l2",
     impl: str = "expr",
+    doc_masks: DataFrame | None = None,
 ) -> DataFrame:
     """Row-level-security semantics: the permission predicate is applied at
     the scan (a filtering view), identical results to prefilter.
 
     Parity: ``controller/baseline/pg_row_security/row_level_security.py`` —
     Postgres RLS policy ``USING (document_id IN (SELECT …))``; in Spark the
-    policy is a semi-join wrapper over the scan. ``impl='numpy'`` keeps the
-    policy semi-join at the scan and scores the surviving rows through the
-    gather kernel (the cross join then replicates ids only, never the
-    query vectors). pytest pins ≡ expr.
+    policy is a semi-join wrapper over the scan. RLS ≡ prefilter semantics
+    (the policy restricts the scan to permitted rows), so ``impl='numpy'``
+    rides the SAME predicate-as-data Q-bit mask kernel as
+    :func:`knn_prefilter`: the mask join IS the scan-level policy, applied
+    once per row instead of a per-(query, block) cross join that would
+    replicate the vector payload Q times — the 100×-scale shape. pytest
+    pins ≡ expr; the expr form remains the oracle-replayable plan.
     """
-    qdocs = (
-        F.broadcast(query_roles)
-        .join(F.broadcast(permission_assignment), "role_id")
-        .select("query_id", "document_id")
-        .distinct()
-    )
     if impl == "numpy":
-        visible = (
-            blocks.join(F.broadcast(queries.select("query_id")), how="cross")
-            .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")
+        masks = (
+            doc_masks if doc_masks is not None
+            else _query_doc_masks(queries, query_roles, permission_assignment)
         )
-        scored = _gather_local_topk(visible, queries, k, metric)
+        scored = local_topk(
+            blocks.join(F.broadcast(masks), "document_id"),
+            queries, k, metric, mask_col="qmask",
+        )
     else:
         dist = _METRICS[metric]
+        qdocs = (
+            F.broadcast(query_roles)
+            .join(F.broadcast(permission_assignment), "role_id")
+            .select("query_id", "document_id")
+            .distinct()
+        )
         # RLS = per-query filtered view of the scan; leftsemi keeps block rows
         scored = (
             blocks.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
@@ -367,6 +374,8 @@ def knn_qdtree(
     permission_assignment: DataFrame,
     k: int = 10,
     metric: str = "l2",
+    impl: str = "expr",
+    doc_masks: DataFrame | None = None,
 ) -> DataFrame:
     """Qd-tree-partitioned search: route each query to the tree leaves that
     hold ≥1 of its permitted documents, scan only those, permission-check,
@@ -378,8 +387,15 @@ def knn_qdtree(
     ``partitioning.qdtree_assignment``; on disk (partitionBy(partition_id))
     the routing join becomes Catalyst partition pruning. Exact (recall 1.0):
     routing only ever removes leaves with zero permitted docs.
+
+    ``impl='numpy'``: leaf pruning stays PARTITION-granular — a broadcast
+    semi-join keeps only leaves holding ≥1 permitted doc for ≥1 query (on
+    disk: partition pruning) — and the per-(query, block) check rides the
+    prefilter family's Q-bit mask kernel instead of an expression join
+    that replicates the vector payload per (query, permitted block). The
+    leaf-routing join already produces exactly the per-query visibility
+    the mask encodes, so rows are pytest-pinned ≡ expr.
     """
-    dist = _METRICS[metric]
     qdocs = (
         F.broadcast(query_roles)
         .join(F.broadcast(permission_assignment), "role_id")
@@ -389,15 +405,29 @@ def knn_qdtree(
     # leaf routing table: query → partitions containing ≥1 permitted doc
     doc_parts = assigned_blocks.select("document_id", "partition_id").distinct()
     qparts = qdocs.join(doc_parts, "document_id").select("query_id", "partition_id").distinct()
-    scored = (
-        assigned_blocks.join(F.broadcast(qparts), "partition_id")  # leaf pruning
-        .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")  # per-block check
-        .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
-        .select(
-            "query_id", "block_id", "document_id",
-            F.round(dist("vector", "query_vector"), 6).alias("distance"),
+    if impl == "numpy":
+        masks = (
+            doc_masks if doc_masks is not None
+            else _query_doc_masks(queries, query_roles, permission_assignment)
         )
-    )
+        live_leaves = qparts.select("partition_id").distinct()
+        scored = local_topk(
+            assigned_blocks
+            .join(F.broadcast(live_leaves), "partition_id", "leftsemi")  # leaf pruning
+            .join(F.broadcast(masks), "document_id"),
+            queries, k, metric, mask_col="qmask",
+        )
+    else:
+        dist = _METRICS[metric]
+        scored = (
+            assigned_blocks.join(F.broadcast(qparts), "partition_id")  # leaf pruning
+            .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")  # per-block check
+            .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
+            .select(
+                "query_id", "block_id", "document_id",
+                F.round(dist("vector", "query_vector"), 6).alias("distance"),
+            )
+        )
     return topk_per_query(scored, k).select("query_id", "block_id", "document_id", "distance", "rank")
 
 
@@ -409,6 +439,7 @@ def local_topk(
     vec_col: str = "vector",
     id_cols: tuple[str, str] = ("block_id", "document_id"),
     mask_col: str | None = None,
+    q_chunk: int | None = None,
 ) -> DataFrame:
     """Stage-1 of two-phase top-k: per scan-partition top-k for every query,
     vectorized with numpy over Arrow batches (``mapInPandas``).
@@ -428,6 +459,13 @@ def local_topk(
     instead of a per-(query, block) join that replicates the vector
     payload Q times. Permitted NaN distances (cosine zero-norm) still
     sort last-but-emitted, exactly as the expr plan ranks them.
+
+    ``q_chunk`` caps the query-axis width of the per-batch distance
+    matrix (rows × q_chunk float64); default auto-sizes to a ~32 MB
+    budget so a 10⁴-query production batch never materializes a
+    multi-GB (rows × Q) matrix. Chunking is row-identical to the
+    unchunked kernel (pytest-pinned): the per-dim folds are elementwise
+    per (row, query) pair and the cut is per-query-column independent.
     """
     import numpy as np
 
@@ -436,13 +474,24 @@ def local_topk(
         key=lambda r: r["query_id"],
     )  # sorted: bitmask bit p ≡ p-th query id (the _query_doc_masks contract)
     qids = np.array([r["query_id"] for r in q_rows])
+    if mask_col is not None and len(np.unique(qids)) != len(qids):
+        # a duplicated query_id would shift every later bit position —
+        # wrong rows with no error; fail at plan time instead
+        raise ValueError("local_topk(mask_col=): duplicate query_id in queries")
+    b_id, d_id = id_cols
+    schema = f"query_id long, {b_id} long, {d_id} long, distance double"
+    if not q_rows:
+        return blocks.sparkSession.createDataFrame([], schema)
     Q = np.array([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
     bc = blocks.sparkSession.sparkContext.broadcast((qids, Q))
-    b_id, d_id = id_cols
+    _Q_CHUNK_BYTES = 32 << 20  # ~32 MB distance-matrix budget per batch
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, Q_ = bc.value
-        # j-order query-norm fold (the same sequential sum the expr runs)
+        nq = len(qids_)
+        # j-order query-norm fold (the same sequential sum the expr runs);
+        # computed once over the full matrix, sliced per chunk — the fold
+        # is elementwise per query so slicing cannot change any value
         qn2 = np.zeros(Q_.shape[0])
         for j in range(Q_.shape[1]):
             qn2 = qn2 + Q_[:, j] * Q_[:, j]
@@ -450,91 +499,123 @@ def local_topk(
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if metric == "l2":
-                # per-dim j-order fold ≡ the expr's sequential (x−q)² sum
-                # (vector.py's left-to-right _dsum contract)
-                d2 = np.zeros((X.shape[0], Q_.shape[0]))
-                for j in range(Q_.shape[1]):
-                    t = X[:, j][:, None] - Q_[:, j][None, :]
-                    d2 = d2 + t * t
-                D = np.sqrt(d2)
-            elif metric == "cosine":
-                dot = np.zeros((X.shape[0], Q_.shape[0]))
-                xn2 = np.zeros(X.shape[0])
-                for j in range(Q_.shape[1]):
-                    dot = dot + X[:, j][:, None] * Q_[:, j][None, :]
-                    xn2 = xn2 + X[:, j] * X[:, j]
-                den = np.sqrt(xn2)[:, None] * np.sqrt(qn2)[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    D = 1.0 - np.where(den == 0.0, np.nan, dot / den)
-            elif metric == "ip":
-                dot = np.zeros((X.shape[0], Q_.shape[0]))
-                for j in range(Q_.shape[1]):
-                    dot = dot + X[:, j][:, None] * Q_[:, j][None, :]
-                D = -dot
-            elif metric == "l1":
-                acc = np.zeros((X.shape[0], Q_.shape[0]))
-                for j in range(Q_.shape[1]):
-                    acc = acc + np.abs(X[:, j][:, None] - Q_[:, j][None, :])
-                D = acc
-            else:
-                raise ValueError(metric)
-            # Select on ROUNDED distances with (distance, block_id) order so
-            # boundary ties resolve exactly as the stage-2 merge / the exact
-            # window plan do — argpartition picks a candidate threshold, then
-            # every row at-or-below it competes under the deterministic order.
-            # Half-AWAY-from-zero ≡ F.round (np.round's half-even diverges at
-            # exact halves); NaN (cosine zero-norm) keyed to +inf sorts last.
-            with np.errstate(invalid="ignore"):
-                Dr = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D) / 1e6 + 0.0
+            n = X.shape[0]
             bids = pdf[b_id].to_numpy()
             dids = pdf[d_id].to_numpy()
-            n = Dr.shape[0]
             kk = min(k, n)
-            # NaN → +inf for SELECTION (NaN sorts last, never silently
-            # dropped — a query whose batch is all zero-norm rows still
-            # gets kk rows, as the window plan would rank them). With a
-            # mask: excluded pairs key to +inf and are dropped AFTER the
-            # cut; permitted NaN keys to DBL_MAX so it outranks excluded
-            # rows but still sorts after every real distance.
             if mask_col is not None:
-                mb = np.stack(pdf[mask_col].to_numpy()).astype(np.int64)
-                perm = np.unpackbits(
+                # '<i8' pins little-endian byte order BEFORE the uint8
+                # view — on a big-endian executor the plain int64 view
+                # would scramble bit positions silently (no-op copy-free
+                # on little-endian hosts)
+                mb = np.stack(pdf[mask_col].to_numpy()).astype("<i8")
+                exp_words = (nq + 63) // 64
+                if mb.shape[1] != exp_words:
+                    # a stale/mismatched doc_masks checkpoint would
+                    # misalign bit positions and return wrong rows —
+                    # fail loudly instead
+                    raise ValueError(
+                        f"qmask word count {mb.shape[1]} != ceil(Q/64)="
+                        f"{exp_words}: doc_masks was built over a different "
+                        "query set (stale checkpoint?)"
+                    )
+                perm_all = np.unpackbits(
                     mb.view(np.uint8).reshape(n, -1), axis=1, bitorder="little"
-                )[:, : len(qids_)].astype(bool)
-                key = np.where(
-                    perm,
-                    np.where(np.isnan(Dr), np.finfo(np.float64).max, Dr),
-                    np.inf,
-                )
+                )[:, :nq].astype(bool)
             else:
-                perm = None
-                key = np.where(np.isnan(Dr), np.inf, Dr)
-            part_idx = np.argpartition(key, kk - 1, axis=0)[:kk] if kk < n else None
-            sel_rows = []
-            qcols = []
-            for qi in range(len(qids_)):
-                col = key[:, qi]
-                if part_idx is None:
-                    cand = np.arange(n)
+                perm_all = None
+            # query-axis chunking: the (n × chunk) float64 distance matrix
+            # stays under the ~32 MB budget however many queries arrive
+            step = q_chunk if q_chunk else max(1, _Q_CHUNK_BYTES // (8 * n))
+            sel_rows: list = []
+            qcols: list = []
+            dvals: list = []
+            for q0 in range(0, nq, step):
+                Qc = Q_[q0:q0 + step]
+                nc = Qc.shape[0]
+                if metric == "l2":
+                    # per-dim j-order fold ≡ the expr's sequential (x−q)² sum
+                    # (vector.py's left-to-right _dsum contract)
+                    d2 = np.zeros((n, nc))
+                    for j in range(Q_.shape[1]):
+                        t = X[:, j][:, None] - Qc[:, j][None, :]
+                        d2 = d2 + t * t
+                    D = np.sqrt(d2)
+                elif metric == "cosine":
+                    dot = np.zeros((n, nc))
+                    xn2 = np.zeros(n)
+                    for j in range(Q_.shape[1]):
+                        dot = dot + X[:, j][:, None] * Qc[:, j][None, :]
+                        xn2 = xn2 + X[:, j] * X[:, j]
+                    den = np.sqrt(xn2)[:, None] * np.sqrt(qn2[q0:q0 + step])[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        D = 1.0 - np.where(den == 0.0, np.nan, dot / den)
+                elif metric == "ip":
+                    dot = np.zeros((n, nc))
+                    for j in range(Q_.shape[1]):
+                        dot = dot + X[:, j][:, None] * Qc[:, j][None, :]
+                    D = -dot
+                elif metric == "l1":
+                    acc = np.zeros((n, nc))
+                    for j in range(Q_.shape[1]):
+                        acc = acc + np.abs(X[:, j][:, None] - Qc[:, j][None, :])
+                    D = acc
                 else:
-                    cand = np.flatnonzero(col <= col[part_idx[:, qi]].max())
-                pick = cand[np.lexsort((bids[cand], col[cand]))][:kk]
-                if perm is not None:
-                    pick = pick[perm[pick, qi]]
-                sel_rows.append(pick)
-                qcols.append(np.full(len(pick), qi, dtype=np.int64))
+                    raise ValueError(metric)
+                # Select on ROUNDED distances with (distance, block_id) order
+                # so boundary ties resolve exactly as the stage-2 merge / the
+                # exact window plan do — argpartition picks a candidate
+                # threshold, then every row at-or-below it competes under the
+                # deterministic order. Half-AWAY-from-zero ≡ F.round
+                # (np.round's half-even diverges at exact halves). Boundary
+                # caveat: F.round rounds HALF_UP on the SHORTEST-DECIMAL
+                # BigDecimal of the double, while this kernel rounds the
+                # binary value ×1e6 — a distance whose shortest decimal ends
+                # in an exact half at the 7th digit could differ in the last
+                # ulp of the 6th decimal. Unobserved for sqrt/division
+                # outputs across every hash-green gate since r7; the pytest
+                # parity pins would surface any occurrence.
+                with np.errstate(invalid="ignore"):
+                    Dr = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D) / 1e6 + 0.0
+                # NaN → +inf for SELECTION (NaN sorts last, never silently
+                # dropped — a query whose batch is all zero-norm rows still
+                # gets kk rows, as the window plan would rank them). With a
+                # mask: excluded pairs key to +inf and are dropped AFTER the
+                # cut; permitted NaN keys to DBL_MAX so it outranks excluded
+                # rows but still sorts after every real distance.
+                if perm_all is not None:
+                    perm = perm_all[:, q0:q0 + step]
+                    key = np.where(
+                        perm,
+                        np.where(np.isnan(Dr), np.finfo(np.float64).max, Dr),
+                        np.inf,
+                    )
+                else:
+                    perm = None
+                    key = np.where(np.isnan(Dr), np.inf, Dr)
+                part_idx = np.argpartition(key, kk - 1, axis=0)[:kk] if kk < n else None
+                for ci in range(nc):
+                    col = key[:, ci]
+                    if part_idx is None:
+                        cand = np.arange(n)
+                    else:
+                        cand = np.flatnonzero(col <= col[part_idx[:, ci]].max())
+                    pick = cand[np.lexsort((bids[cand], col[cand]))][:kk]
+                    if perm is not None:
+                        pick = pick[perm[pick, ci]]
+                    sel_rows.append(pick)
+                    qcols.append(np.full(len(pick), q0 + ci, dtype=np.int64))
+                    dvals.append(Dr[pick, ci])
             sel = np.concatenate(sel_rows)
             qsel = np.concatenate(qcols)
             out = {
                 "query_id": qids_[qsel],
                 b_id: bids[sel],
                 d_id: dids[sel],
-                "distance": Dr[sel, qsel],
+                "distance": np.concatenate(dvals),
             }
             yield pd.DataFrame(out)
 
-    schema = f"query_id long, {b_id} long, {d_id} long, distance double"
     out = blocks.mapInPandas(part, schema=schema)
     # pandas→Arrow masks NaN as null; restore the expr path's explicit NaN
     # (zero-norm cosine rows must sort LAST ascending, a null sorts first)
