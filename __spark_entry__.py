@@ -193,6 +193,12 @@ def q_rbac_layouts_topk(spark, sf_dir):
         F.coalesce(F.col("cost"), F.lit(-1.0)).alias("distance"),
         F.col("rank"),
     )
+    # one Q-bit mask serves both masked-kernel members below; built
+    # INSIDE this timed call (the r10 measurement contract), just not
+    # twice for the same workload
+    layout_masks = knn._query_doc_masks(
+        t["queries"], t["query_roles"], t["permission_assignment"]
+    )
     parts = [
         ("role_partition", knn.knn_role_partition(*args, k=TOPK, impl="numpy")),
         # r6: the POINTER variant of the same layout — membership lists
@@ -201,8 +207,8 @@ def q_rbac_layouts_topk(spark, sf_dir):
         # results, replication-free storage, one fetch join at search
         ("logical_role", knn.knn_role_partition_logical(*args, k=TOPK, impl="numpy")),
         ("comb_role", knn.knn_comb_role_partition(*args, k=TOPK, impl="numpy")),
-        ("rls", knn.knn_rls(*args, k=TOPK, impl="numpy")),
-        ("qdtree", knn.knn_qdtree(assigned, t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, impl="numpy")),
+        ("rls", knn.knn_rls(*args, k=TOPK, impl="numpy", doc_masks=layout_masks)),
+        ("qdtree", knn.knn_qdtree(assigned, t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, impl="numpy", doc_masks=layout_masks)),
         ("role_churn", churn_pred),
         ("role_churn_cost", cost_rows),
     ]

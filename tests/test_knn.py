@@ -1350,6 +1350,16 @@ def test_stale_doc_masks_fail_loudly(t):
             blocks, qs, t["query_roles"], t["permission_assignment"],
             k=5, impl="numpy", doc_masks=stale,
         ).collect()
+    # same word count but a DIFFERENT query-id set: the per-row query-set
+    # fingerprint must catch what the word count cannot
+    sq = qs.withColumn("query_id", F.col("query_id") + 1)
+    sqr = t["query_roles"].withColumn("query_id", F.col("query_id") + 1)
+    wrongset = knn._query_doc_masks(sq, sqr, t["permission_assignment"])
+    with pytest.raises(Exception, match="query-set hash"):
+        knn.knn_prefilter(
+            blocks, qs, t["query_roles"], t["permission_assignment"],
+            k=5, impl="numpy", doc_masks=wrongset,
+        ).collect()
 
 
 def test_role_routed_numpy_kernel_matches_expr(t, spark):

@@ -483,11 +483,12 @@ def local_topk(
     if not q_rows:
         return blocks.sparkSession.createDataFrame([], schema)
     Q = np.array([np.asarray(r["query_vector"], dtype=np.float64) for r in q_rows])
-    bc = blocks.sparkSession.sparkContext.broadcast((qids, Q))
+    qh = _qset_hash(qids) if mask_col is not None else 0
+    bc = blocks.sparkSession.sparkContext.broadcast((qids, Q, qh))
     _Q_CHUNK_BYTES = 32 << 20  # ~32 MB distance-matrix budget per batch
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, Q_ = bc.value
+        qids_, Q_, qh_ = bc.value
         nq = len(qids_)
         # j-order query-norm fold (the same sequential sum the expr runs);
         # computed once over the full matrix, sliced per chunk — the fold
@@ -519,6 +520,14 @@ def local_topk(
                         f"{exp_words}: doc_masks was built over a different "
                         "query set (stale checkpoint?)"
                     )
+                if "qset_hash" in pdf.columns:
+                    got = pdf["qset_hash"].iloc[0]
+                    if int(got) != qh_:
+                        raise ValueError(
+                            f"qmask query-set hash {got} != expected {qh_}: "
+                            "doc_masks was built over a different query set "
+                            "(stale checkpoint?)"
+                        )
                 perm_all = np.unpackbits(
                     mb.view(np.uint8).reshape(n, -1), axis=1, bitorder="little"
                 )[:, :nq].astype(bool)
@@ -622,6 +631,17 @@ def local_topk(
     return out.withColumn("distance", F.coalesce("distance", F.lit(float("nan"))))
 
 
+def _qset_hash(qids) -> int:
+    """63-bit stable hash of the sorted query-id list — stamped on every
+    mask row by :func:`_query_doc_masks` and checked by the kernel, so a
+    stale ``doc_masks`` artifact with the RIGHT word count but the WRONG
+    query set still fails loudly instead of misaligning bit positions."""
+    import hashlib
+
+    payload = ",".join(str(int(q)) for q in qids).encode()
+    return int.from_bytes(hashlib.md5(payload).digest()[:8], "little") >> 1
+
+
 def _query_doc_masks(
     queries: DataFrame,
     query_roles: DataFrame,
@@ -671,6 +691,10 @@ def _query_doc_masks(
                 ),
             ),
         ).alias("qmask"),
+        # per-row query-set fingerprint, checked by the kernel (8 bytes
+        # per doc row; turns word-count-identical stale masks into a
+        # loud error instead of silent bit-position misalignment)
+        F.lit(_qset_hash(qids)).cast("long").alias("qset_hash"),
     )
 
 
