@@ -1245,7 +1245,13 @@ def test_prefilter_numpy_kernel_matches_expr(t):
 
 
 def test_postfilter_numpy_kernel_matches_expr(t):
-    """knn_postfilter impl="numpy" (local_topk global phase) ≡ expr."""
+    """knn_postfilter impl="numpy" (local_topk global phase) ≡ expr,
+    for every metric (the r10 gate-widening pin)."""
+    args2 = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    for metric in ("cosine", "l1", "ip"):
+        a = sorted(map(tuple, knn.knn_postfilter(*args2, k=10, expansion=4, metric=metric).collect()))
+        b = sorted(map(tuple, knn.knn_postfilter(*args2, k=10, expansion=4, metric=metric, impl="numpy").collect()))
+        assert a == b and len(a) > 0, metric
     args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
     a = sorted(map(tuple, knn.knn_postfilter(*args, k=10, expansion=4).collect()))
     b = sorted(map(tuple, knn.knn_postfilter(*args, k=10, expansion=4, impl="numpy").collect()))

@@ -218,6 +218,44 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
     assert "SortMergeJoin" in p
 
 
+def test_logical_role_fetch_join_colocates_when_bucketed(spark, sf_dir, tmp_path):
+    """The C3-logical layout's scale contract, demonstrated: the pointer
+    lists (role_id → block_id) and the shared vector table, both bucketed
+    on block_id, fetch-join with ZERO shuffle exchanges — the id-keyed
+    fetch the logical layout pays per search moves no vector payload
+    across the cluster when the tables are laid out as documented
+    (SURVEY C3-logical; reference logical_partition_benchmark
+    shared_vector_table.cpp keeps one vector copy and resolves pointers
+    locally — bucketing is the Spark equivalent)."""
+    from vectorsearch_rbac_spark.operators import partitioning
+    from vectorsearch_rbac_spark.rbac import derive
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    t = derive.derive_rbac(cust, docs, emb)
+    blocks = t["documentblocks"].select("block_id", "vector")
+    members = (
+        t["documentblocks"].select("document_id", "block_id")
+        .join(t["permission_assignment"], "document_id")
+        .select("role_id", "block_id")
+    )
+    partitioning.write_bucketed(blocks, "t_vec_shared", "block_id", 4, str(tmp_path / "vb"))
+    partitioning.write_bucketed(members, "t_role_ptrs", "block_id", 4, str(tmp_path / "mb"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_role_ptrs").join(spark.table("t_vec_shared"), "block_id")
+        p = j._jdf.queryExecution().executedPlan().toString()
+        n = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_vec_shared")
+        spark.sql("DROP TABLE IF EXISTS t_role_ptrs")
+    assert n == members.count()
+    assert "Exchange" not in p, "bucketed pointer-fetch join must not shuffle"
+
+
 def test_cosine_neardup_exact_path_is_driver_free(spark, sf_dir):
     """The exact all-pairs path must be a pure distributed plan: building it
     may not collect (or otherwise pull) the embedding relation to the driver

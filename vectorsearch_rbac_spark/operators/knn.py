@@ -136,13 +136,12 @@ def knn_postfilter(
     ``impl='numpy'`` runs the global phase two-phase (``local_topk``'s
     Arrow/BLAS per-batch pre-cut — the hash-green ``rbac_layouts`` kernel),
     so the unpermissioned scan emits P·Q·(k·expansion) rows instead of
-    N·Q; the permission join and final top-k are unchanged. pytest pins
-    ≡ expr. Kernel-routed only for the metrics ``local_topk`` reproduces
-    exactly (l2/ip); cosine (expr: zero-norm → NaN-sorts-last) and l1
-    (no kernel branch) fall back to the expression plan rather than
-    silently diverge.
+    N·Q; the permission join and final top-k are unchanged. All four
+    metrics route through the kernel (r10 — ``local_topk`` grew exact l1
+    and NaN-sorts-last cosine branches in r9, so the old l2/ip gate was
+    stale); pytest pins every metric ≡ expr.
     """
-    if impl == "numpy" and metric in ("l2", "ip"):
+    if impl == "numpy":
         global_topk = topk_per_query(
             local_topk(blocks, queries, k * expansion, metric), k * expansion
         ).drop("rank")
