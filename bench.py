@@ -364,6 +364,7 @@ def main() -> None:
                 warm_runs[name].append(el)
         calib.append(_calibrate())
         loads.append(round(os.getloadavg()[0], 2))
+        print(f"# pass {pass_i} done: calib={calib[-1]}s load1={loads[-1]}", file=sys.stderr)
     lat: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         w = sorted(warm_runs[name])

@@ -1368,6 +1368,21 @@ def test_stale_doc_masks_fail_loudly(t):
         ).collect()
 
 
+def test_doc_masks_persist_roundtrip(t, spark, tmp_path):
+    """The build-once/search-many arm end-to-end THROUGH PERSISTENCE: a
+    mask table written to parquet and reloaded in a fresh read must
+    produce exactly the in-call rows (fingerprint column survives the
+    round trip and validates green)."""
+    args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
+    masks = knn._query_doc_masks(t["queries"], t["query_roles"], t["permission_assignment"])
+    path = str(tmp_path / "doc_masks")
+    masks.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = sorted(map(tuple, knn.knn_prefilter(*args, k=10, impl="numpy").collect()))
+    b = sorted(map(tuple, knn.knn_prefilter(*args, k=10, impl="numpy", doc_masks=reloaded).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_role_routed_numpy_kernel_matches_expr(t, spark):
     """dynamic.knn_role_routed impl="numpy" (per-(query, partition)
     gather pre-cut) ≡ expr on a 5-partition role store."""
