@@ -1368,6 +1368,33 @@ def test_stale_doc_masks_fail_loudly(t):
         ).collect()
 
 
+def test_mask_kernel_multiword_parity(t, spark):
+    """Kernel parity at Q=70 — the fixture workload has Q<64, so the
+    multi-word mask unpack (2 packed longs per row, including bit 63 =
+    the SIGN bit of the first word) is otherwise never pinned ≡ expr."""
+    qs = (
+        t["queries"]
+        .crossJoin(F.broadcast(spark.range(14).select(F.col("id").alias("r"))))
+        .select(
+            (F.col("query_id") * 1000 + F.col("r")).alias("query_id"),
+            "user_id",
+            F.transform(
+                "query_vector", lambda x: x + F.col("r").cast("double") * 0.001
+            ).alias("query_vector"),
+        )
+    )
+    qroles = (
+        t["query_roles"]
+        .crossJoin(F.broadcast(spark.range(14).select(F.col("id").alias("r"))))
+        .select((F.col("query_id") * 1000 + F.col("r")).alias("query_id"), "role_id")
+    )
+    assert qs.count() == 70
+    args = (t["documentblocks"], qs, qroles, t["permission_assignment"])
+    a = sorted(map(tuple, knn.knn_prefilter(*args, k=10).collect()))
+    b = sorted(map(tuple, knn.knn_prefilter(*args, k=10, impl="numpy").collect()))
+    assert a == b and len(a) > 0
+
+
 def test_doc_masks_persist_roundtrip(t, spark, tmp_path):
     """The build-once/search-many arm end-to-end THROUGH PERSISTENCE: a
     mask table written to parquet and reloaded in a fresh read must

@@ -379,3 +379,70 @@ def test_weighted_ams_f2_matches_raw_for_any_stream(spark, events):
     raw2 = sorted(map(tuple, SK.exact_f2(df, ["g"], "k").collect()))
     wtd2 = sorted(map(tuple, SK.exact_f2(kc, ["g"], "k", weight_col="cnt").collect()))
     assert raw2 == wtd2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    nq=st.integers(min_value=1, max_value=70),  # crosses the 64-bit word boundary
+    perms=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.integers(min_value=0, max_value=69)),
+        min_size=1, max_size=40,
+    ),
+)
+def test_query_doc_mask_packing_matches_python_replay(spark, nq, perms):
+    """_query_doc_masks' expression-built Q-bit packing must unpack to
+    EXACTLY the permitted (doc, query-position) membership for any
+    permission structure — replayed bit-by-bit in Python, including query
+    counts that span two 64-bit words."""
+    from vectorsearch_rbac_spark.operators import knn
+
+    perms = [(d, q) for d, q in perms if q < nq]
+    if not perms:
+        return
+    # query ids deliberately non-contiguous: position = rank in sorted order
+    qids = [7 + 3 * i for i in range(nq)]
+    queries = spark.createDataFrame([(q,) for q in qids], "query_id long")
+    # one role per query position; permissions grant (doc, role=qpos)
+    qroles = spark.createDataFrame(
+        [(qids[i], i) for i in range(nq)], "query_id long, role_id int"
+    )
+    pa = spark.createDataFrame(
+        [(d, q) for d, q in set(perms)], "document_id long, role_id int"
+    )
+    got = {
+        r["document_id"]: r["qmask"]
+        for r in knn._query_doc_masks(queries, qroles, pa).collect()
+    }
+    want: dict[int, set[int]] = {}
+    for d, q in perms:
+        want.setdefault(d, set()).add(q)
+    n_words = max(1, (nq + 63) // 64)
+    assert set(got) == set(want)
+    for d, mask in got.items():
+        assert len(mask) == n_words
+        positions = {
+            w * 64 + b
+            for w, word in enumerate(mask)
+            for b in range(64)
+            if (word >> b) & 1
+        }
+        assert positions == want[d], f"doc {d}"
+
+
+def test_query_doc_mask_sign_bit_and_second_word(spark):
+    """Deterministic edges the fuzz may not hit: bit 63 (shiftleft makes the
+    packed long NEGATIVE — two's complement must round-trip) and a position
+    in the second word."""
+    from vectorsearch_rbac_spark.operators import knn
+
+    nq = 70
+    qids = list(range(nq))
+    queries = spark.createDataFrame([(q,) for q in qids], "query_id long")
+    qroles = spark.createDataFrame([(q, q) for q in qids], "query_id long, role_id int")
+    pa = spark.createDataFrame(
+        [(1, 63), (1, 69), (2, 0)], "document_id long, role_id int"
+    )
+    got = {r["document_id"]: r["qmask"] for r in knn._query_doc_masks(queries, qroles, pa).collect()}
+    assert got[1][0] == -(1 << 63)  # bit 63 alone = Long.MIN_VALUE
+    assert got[1][1] == 1 << 5      # position 69 = bit 5 of word 2
+    assert got[2] == [1, 0]
