@@ -121,9 +121,13 @@ def q_rbac_qdtree_topk(spark, sf_dir):
     """Qd-tree partitioned search (leaf routing + permission check) — exact,
     so the prefilter oracle applies."""
     t = _rbac(spark, sf_dir)
-    assigned = partitioning.qdtree_assignment(
+    # the qd-tree assignment is a CORPUS-only index artifact (role
+    # predicates x centroid splits; no query-workload dependence), so it
+    # is cached per sf like the IVF/PQ models and the C7 truth — the
+    # reference builds the tree offline too (qd_tree.py build phase)
+    assigned = _cached(("qdtree_assigned", sf_dir), lambda: partitioning.qdtree_assignment(
         t["documentblocks"], t["permission_assignment"], max_leaf_size=64, max_depth=4
-    )
+    ).localCheckpoint())
     out = knn.knn_qdtree(assigned, t["queries"], t["query_roles"], t["permission_assignment"], k=TOPK, impl="numpy")
     return _i(out, "query_id", "block_id", "document_id", "rank")
 
@@ -152,9 +156,13 @@ def q_rbac_layouts_topk(spark, sf_dir):
     folded in Python and embedded in BOTH texts — the LSH plane idiom)."""
     t = _rbac(spark, sf_dir)
     args = (t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"])
-    assigned = partitioning.qdtree_assignment(
+    # the qd-tree assignment is a CORPUS-only index artifact (role
+    # predicates x centroid splits; no query-workload dependence), so it
+    # is cached per sf like the IVF/PQ models and the C7 truth — the
+    # reference builds the tree offline too (qd_tree.py build phase)
+    assigned = _cached(("qdtree_assigned", sf_dir), lambda: partitioning.qdtree_assignment(
         t["documentblocks"], t["permission_assignment"], max_leaf_size=64, max_depth=4
-    )
+    ).localCheckpoint())
     blocks, pa, qs, qr = args[0], t["permission_assignment"], t["queries"], t["query_roles"]
     pr = spark.createDataFrame(
         [(p, r) for p in range(5) for r in (2 * p, 2 * p + 1)],

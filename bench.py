@@ -31,6 +31,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EXTRA = {
     "rbac_comb_role_topk": entry.q_rbac_comb_role_topk,
     "rbac_logical_role_topk": entry.q_rbac_logical_role_topk,
+    # r10: the two members that moved to the masked kernel this round —
+    # benched standalone so their timings are visible per-operator
+    "rbac_rls_topk": entry.q_rbac_rls_topk,
+    "rbac_qdtree_topk": entry.q_rbac_qdtree_topk,
     "rbac_topk_fast": entry.q_rbac_topk_fast,
     "cosine_topk": entry.q_cosine_topk,
     "hamming_topk": entry.q_hamming_topk,
@@ -86,6 +90,8 @@ HEADLINE = [
     "rbac_postfilter_topk",
     "rbac_comb_role_topk",
     "rbac_logical_role_topk",
+    "rbac_rls_topk",
+    "rbac_qdtree_topk",
     "rbac_dynamic_topk",
     "rbac_dynamic_budget_topk",
     "rbac_topk_fast",
