@@ -523,8 +523,11 @@ def cosine_neardup_pairs(
         ab = lsh_bucket(embeddings, planes, vec_col=vec_col)
         a2 = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
         b2 = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-        pairs = a2.join(b2, ["bucket"]).where(F.col("id_a") < F.col("id_b")).drop("bucket").distinct()
-    return (
+        # score-then-distinct: cosine is deterministic per pair, so the
+        # dedup shuffle sees only (id, id, sim) survivor rows instead of
+        # every bucket collision carrying BOTH full vector payloads
+        pairs = a2.join(b2, ["bucket"]).where(F.col("id_a") < F.col("id_b")).drop("bucket")
+    out = (
         pairs.withColumn("cosine_sim", F.round(V.cosine_similarity("va", "vb"), 6))
         # NaN-safe: a zero-norm vector's similarity is NaN (r7 guard),
         # and Spark comparisons treat NaN as larger than any value — an
@@ -532,6 +535,9 @@ def cosine_neardup_pairs(
         .where((F.col("cosine_sim") >= threshold) & ~F.isnan("cosine_sim"))
         .select("id_a", "id_b", "cosine_sim")
     )
+    # only the LSH path can emit a pair once per shared probe bucket; the
+    # blocked-matmul path sees each pair in exactly one (ga, gb) task
+    return out.distinct() if n_planes > 0 else out
 
 
 def hamming_topk(

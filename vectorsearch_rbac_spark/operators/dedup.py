@@ -332,16 +332,18 @@ def simhash_neardup_pairs_banded(
     )
     a = chunks.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "c", "chunk_val")
     b = chunks.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "c", "chunk_val")
-    cand = (
+    # hamming-filter BEFORE the distinct: the popcount verification runs
+    # pipelined in the join stage, so the dedup shuffle sees only the true
+    # near-dup pairs (a pair matching on several chunks emits the same
+    # (id_a, id_b, hamming) row each time — distinct on survivors is the
+    # same set), not the full banded candidate blow-up.
+    return (
         a.join(b, ["c", "chunk_val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
