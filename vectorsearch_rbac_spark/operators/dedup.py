@@ -317,7 +317,20 @@ def simhash_neardup_pairs_banded(
     """Pigeonhole-banded SimHash near-dup: any pair within hamming t must
     agree exactly on ≥ 1 of t+1 disjoint bit-chunks → equi-join per chunk.
     Same result set as the all-pairs version, candidate-bounded for scale."""
-    sig = simhash_signatures(documents, id_col, text_col, bits)
+    # materialize the signatures once. Two reasons, both measured at sf1:
+    # (a) both join sides (one becomes the broadcast build) would re-run
+    # the tokenize + per-bit fold aggregation; (b) UNCACHED, AQE coalesces
+    # the tiny signature-aggregate exchange (one 16-byte row per doc ≪ the
+    # 1 MB min partition size) to a single partition — and the banded
+    # self-join that FANS OUT of it (Σ bucket², 285M candidate rows at
+    # sf1) inherits that ONE task: 34 s single-threaded vs 4 s parallel.
+    # Cached plans are exempt from AQE output-partitioning changes
+    # (canChangeCachedPlanOutputPartitioning=false), so the probe stage
+    # keeps the aggregate's doc-hashed partitioning — which also spreads
+    # hot buckets evenly, unlike repartitioning by the band join key.
+    # CacheManager dedupes by canonicalized plan, so repeated calls over
+    # the same source reuse one entry (the ngram sh idiom).
+    sig = simhash_signatures(documents, id_col, text_col, bits).persist()
     nb = max_hamming + 1
     chunk = bits // nb
     chunk_exprs = F.array(*[
