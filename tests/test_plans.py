@@ -538,3 +538,21 @@ def test_sql_surface_matches_dataframe_plan(spark, sf_dir):
     # and ordinary analytics run over the same session's views
     n = spark.sql("SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey").first()[0]
     assert n > 0
+
+
+def test_simhash_banded_probe_reads_cached_signatures(spark, sf_dir):
+    """The banded SimHash self-join must probe CACHED signatures: uncached,
+    AQE coalesces the tiny signature-aggregate exchange (one 16-byte row
+    per doc ≪ the 1 MB min partition size) to a single partition, and the
+    Σ bucket² candidate fan-out that follows inherits that ONE task — 34 s
+    single-threaded vs 4 s parallel at sf1. Cached plans are exempt from
+    AQE output-partitioning changes, so an InMemoryTableScan on the probe
+    side IS the parallelism guarantee."""
+    from vectorsearch_rbac_spark.operators import dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    df = dedup.simhash_neardup_pairs_banded(docs, bits=32, max_hamming=3)
+    p = _plan(df)
+    assert "InMemoryTableScan" in p, "banded self-join must read cached signatures"
+    # and the fan-out join is still the broadcast-banded equi-join shape
+    assert "SortMergeJoin" not in p
