@@ -61,14 +61,15 @@ def get_spark(app: str = "vectorsearch-rbac-spark", shuffle_partitions: int = 32
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # measured A/B at sf1 (min-of-3 warm passes, the bench protocol):
-        # 48g beats the old 8g default on every hash-agg-heavy entry —
-        # ngram pair-agg 22.3 → 13.0 s, store_lifecycle 21.1 → 17.2,
-        # 7-entry sum −20% — because the 114M-key aggregates stop
-        # spill-thrashing. The first warm run after JVM start is SLOWER at
-        # 48g (heap growth + GC adaptation); min-over-passes absorbs it.
-        # The harness box has 128 GiB; on a real cluster this is a no-op.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 8g is a MEASURED choice, not a leftover: a 48g heap wins an
+        # isolated A/B on the hash-agg-heavy entries (ngram pair-agg 22.3
+        # → 13.0 s at sf1 — the big aggregates stop spilling) but LOSES
+        # the full 71-entry bench badly (sf1 386.8 vs 359.7 s; ngram
+        # warm_max 181 s) — with tens of cached artifacts resident, the
+        # large heap accumulates garbage into multi-minute GC stalls,
+        # while 8g keeps eviction/spill early and latency flat. On a real
+        # cluster executors get their own heaps and this is a no-op.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
