@@ -230,12 +230,30 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    pairs = a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+    # The co-occurrence count is the dominant cost: one hash aggregate
+    # over Σ df² join rows with ~one group per co-occurring pair (114.8M
+    # groups at sf1 — most pairs share exactly one shingle). When ids fit
+    # 31 bits, pack the pair into ONE long key: half the key bytes per
+    # hash-table entry cuts the aggregate ~25% measured (16.9 → 12.8 s
+    # at sf1), exactly — unpack is two bit-ops after the agg. The bounds
+    # probe is a sub-second scan of the already-persisted shingle
+    # relation; out-of-range ids (e.g. 64-bit hash ids at corpus scale)
+    # keep the two-column aggregate, which is the same result.
+    bounds = sh.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    if bounds.lo is not None and bounds.lo >= 0 and bounds.hi < (1 << 31):
+        inter = (
+            pairs.select((F.shiftleft(F.col("id_a"), 32) + F.col("id_b")).alias("pk"))
+            .groupBy("pk")
+            .agg(F.count("*").alias("inter"))
+            .select(
+                F.shiftright("pk", 32).alias("id_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+                "inter",
+            )
+        )
+    else:
+        inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
