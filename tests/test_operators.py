@@ -1673,3 +1673,38 @@ def test_r6_second_session_degenerate_inputs(spark):
     )
     e = curation.hash_embed(docs, dim=4)
     assert {r["doc_id"] for r in e.collect()} == {1}
+
+
+def test_ngram_jaccard_int32_ids_pack_correct(spark):
+    """ADVICE r10 (medium): the packed pair key must cast to long BEFORE
+    shifting — on an int32 id column Java masks the shift count mod 32, so
+    `int << 32` is a no-op and pairs with equal id sums collide ((1,4) ≡
+    (2,3)), silently merging their intersection counts. Ids 1..4 with two
+    disjoint duplicate groups is exactly the colliding-sum construction."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (4, "alpha beta gamma delta epsilon"),
+        (2, "zeta eta theta iota kappa"),
+        (3, "zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert got == {(1, 4, 1.0), (2, 3, 1.0)}
+    dedup.release_dedup_caches()
+
+
+def test_release_dedup_caches_unpersists(spark):
+    """The registered-cache hook (ADVICE r10): persisted shingle/signature
+    relations are released on demand so long-lived sessions sweeping many
+    corpora don't accumulate resident cache entries."""
+    docs = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    dedup.simhash_neardup_pairs_banded(docs, bits=32, max_hamming=3).collect()
+    assert dedup.release_dedup_caches() >= 2
+    assert dedup.release_dedup_caches() == 0

@@ -25,8 +25,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import md5_long
+from .hints import gated_broadcast, memoized_stat
 
 _WS = r"\s+"
+
+# Relations this module persists for intra-operator reuse (the shingle
+# relation in ngram_jaccard_pairs, the signature relation in
+# simhash_neardup_pairs_banded). CacheManager dedupes identical canonical
+# plans, so repeated calls over the SAME source reuse one entry — but a
+# long-lived session sweeping many corpora/params accumulates one entry per
+# distinct plan. Call :func:`release_dedup_caches` between corpora to drop
+# them (resident cached artifacts are the measured GC-stall driver at the
+# default driver heap).
+_CACHED: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _CACHED.append(df.persist())
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every relation this module cached; returns how many."""
+    n = len(_CACHED)
+    for df in _CACHED:
+        df.unpersist()
+    _CACHED.clear()
+    return n
 
 
 def normalize_text(col) -> F.Column:
@@ -214,10 +239,17 @@ def ngram_jaccard_pairs(
     near-zero Jaccard anyway). Distances computed on the surviving shingle
     sets are approximate-high by a bounded amount, so the default (None)
     keeps exact oracle parity and the knob is opt-in.
+
+    EAGER NOTE: construction runs two cheap stats jobs before returning —
+    an id-bounds aggregate over the persisted shingle relation (picks the
+    packed pair key; a single scan of the cache the returned plan reuses)
+    and a metadata-cheap source count (size-gates the size-table
+    broadcasts) — so this operator is not fully lazy. Cached relations are
+    registered for :func:`release_dedup_caches`.
     """
     # the shingle relation feeds the self-join (twice) and the size
     # aggregate — materialize once instead of re-running the explode+regex
-    sh = word_shingles(documents, id_col, text_col, n).persist()
+    sh = _register_cache(word_shingles(documents, id_col, text_col, n))
     if max_df_frac is not None:
         n_docs = documents.select(F.countDistinct(id_col).alias("n"))
         df_ = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
@@ -241,9 +273,20 @@ def ngram_jaccard_pairs(
     # relation; out-of-range ids (e.g. 64-bit hash ids at corpus scale)
     # keep the two-column aggregate, which is the same result.
     bounds = sh.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    # size-table row bound for the broadcast gate: ≤ one row per input doc,
+    # priced by a metadata-cheap count on the SOURCE relation (a
+    # countDistinct folded into the bounds probe would force an expand
+    # over the whole persisted shingle relation — measured +0.4 s at sf0.1)
+    n_docs_bound = memoized_stat(documents, "n_rows", documents.count)
     if bounds.lo is not None and bounds.lo >= 0 and bounds.hi < (1 << 31):
         inter = (
-            pairs.select((F.shiftleft(F.col("id_a"), 32) + F.col("id_b")).alias("pk"))
+            # cast BEFORE the shift: on an int32 id column, Java masks the
+            # shift count mod 32 so `int << 32` is a NO-OP and distinct
+            # pairs would collide ((1,4) ≡ (2,3)) — silently wrong counts
+            pairs.select(
+                (F.shiftleft(F.col("id_a").cast("long"), 32)
+                 + F.col("id_b").cast("long")).alias("pk")
+            )
             .groupBy("pk")
             .agg(F.count("*").alias("inter"))
             .select(
@@ -256,9 +299,13 @@ def ngram_jaccard_pairs(
         inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # size-gated hint: the per-doc size table is one (long, long) row per
+    # doc — broadcast while the probe's doc count says it fits, else join
+    # on the id key (bucketable on document id at corpus scale)
+    sz_est = int(n_docs_bound) * 24
     return (
-        inter.join(F.broadcast(sza), "id_a")
-        .join(F.broadcast(szb), "id_b")
+        inter.join(gated_broadcast(sza, sz_est), "id_a")
+        .join(gated_broadcast(szb, sz_est), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
@@ -347,8 +394,10 @@ def simhash_neardup_pairs_banded(
     # keeps the aggregate's doc-hashed partitioning — which also spreads
     # hot buckets evenly, unlike repartitioning by the band join key.
     # CacheManager dedupes by canonicalized plan, so repeated calls over
-    # the same source reuse one entry (the ngram sh idiom).
-    sig = simhash_signatures(documents, id_col, text_col, bits).persist()
+    # the same source reuse one entry (the ngram sh idiom); registered so
+    # long-lived sessions can release it between corpora
+    # (:func:`release_dedup_caches`).
+    sig = _register_cache(simhash_signatures(documents, id_col, text_col, bits))
     nb = max_hamming + 1
     chunk = bits // nb
     chunk_exprs = F.array(*[
@@ -481,8 +530,10 @@ def neardup_clusters(
         labels = spark.createDataFrame(
             [(n, find(n)) for n in root], "node long, cluster_id long"
         )
+        # label count is known exactly on the driver — gate the hint on it
         return docs.join(
-            F.broadcast(labels.withColumnRenamed("node", id_col)), id_col, "left"
+            gated_broadcast(labels.withColumnRenamed("node", id_col), len(root) * 24),
+            id_col, "left",
         ).select(
             id_col, F.coalesce("cluster_id", F.col(id_col)).cast("long").alias("cluster_id")
         )
@@ -559,8 +610,10 @@ def neardup_clusters(
         labels = new
         if changed == 0:
             break
+    # nodes ≤ 2·edges; the edge count is already materialized — gate on it
     return docs.join(
-        F.broadcast(labels.withColumnRenamed("node", id_col)), id_col, "left"
+        gated_broadcast(labels.withColumnRenamed("node", id_col), 2 * n_edges * 24),
+        id_col, "left",
     ).select(id_col, F.coalesce("cluster_id", F.col(id_col)).cast("long").alias("cluster_id"))
 
 
@@ -671,10 +724,11 @@ def pagerank_scores(
     ONLY on the candidate subgraph — per iteration one edge×rank equi-join
     plus a keyed sum, lineage truncated per round. The rank and degree
     tables are node-sized (candidate-graph nodes, orders of magnitude
-    below the corpus) and are broadcast explicitly — the same
+    below the corpus) and carry a SIZE-GATED broadcast hint — the same
     small-side-of-the-subgraph policy as the CC union-find fallback; past
-    broadcastable node counts, drop the hints and the same plan runs as a
-    co-partitioned (src) join reused round to round. Isolated docs are the
+    the gate's byte limit the hint is dropped automatically and the same
+    plan runs as a co-partitioned (src) join reused round to round.
+    Isolated docs are the
     caller's concern (LEFT-join and coalesce to the no-inlink fixed point
     0.15).
     """
@@ -685,11 +739,15 @@ def pagerank_scores(
         .localCheckpoint()
     )
     deg = sym.groupBy("src").agg(F.count("*").cast("double").alias("deg")).localCheckpoint()
+    # node-sized rank/degree tables: broadcast while the node count (a
+    # free count over the checkpointed degree table) says they fit, else
+    # the same plan runs as a src-keyed shuffle join round to round
+    node_est = deg.count() * 24
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     for _ in range(iters):
         contrib = (
-            sym.join(F.broadcast(pr), pr["node"] == sym["src"])
-            .join(F.broadcast(deg), "src")
+            sym.join(gated_broadcast(pr, node_est), pr["node"] == sym["src"])
+            .join(gated_broadcast(deg, node_est), "src")
             .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
         )
         pr = (
@@ -708,7 +766,11 @@ def canonical_by_pagerank(
     """Join cluster labels with PageRank and pick each cluster's canonical
     doc = max centrality, ties by min id. Singletons (no pairs) get the
     isolated-node fixed point 0.15 and are trivially canonical."""
-    scored = clusters.join(F.broadcast(pr), clusters[id_col] == pr["node"], "left").select(
+    # one count job prices the node-sized rank table for the hint gate
+    scored = clusters.join(
+        gated_broadcast(pr, memoized_stat(pr, "n_rows", pr.count) * 24),
+        clusters[id_col] == pr["node"], "left",
+    ).select(
         id_col, "cluster_id", F.round(F.coalesce("pr", F.lit(0.15)), 6).alias("pagerank")
     )
     w = Window.partitionBy("cluster_id").orderBy(F.col("pagerank").desc(), F.col(id_col).asc())

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from . import hints
 
 
 _METRICS = {
@@ -98,7 +99,7 @@ def knn_prefilter(
             else _query_doc_masks(queries, query_roles, permission_assignment)
         )
         scored = local_topk(
-            blocks.join(F.broadcast(masks), "document_id"),
+            _join_masks(blocks, masks, queries, permission_assignment),
             queries, k, metric, mask_col="qmask",
         )
     else:
@@ -343,7 +344,7 @@ def knn_rls(
             else _query_doc_masks(queries, query_roles, permission_assignment)
         )
         scored = local_topk(
-            blocks.join(F.broadcast(masks), "document_id"),
+            _join_masks(blocks, masks, queries, permission_assignment),
             queries, k, metric, mask_col="qmask",
         )
     else:
@@ -411,9 +412,11 @@ def knn_qdtree(
         )
         live_leaves = qparts.select("partition_id").distinct()
         scored = local_topk(
-            assigned_blocks
-            .join(F.broadcast(live_leaves), "partition_id", "leftsemi")  # leaf pruning
-            .join(F.broadcast(masks), "document_id"),
+            _join_masks(
+                assigned_blocks
+                .join(F.broadcast(live_leaves), "partition_id", "leftsemi"),  # leaf pruning
+                masks, queries, permission_assignment,
+            ),
             queries, k, metric, mask_col="qmask",
         )
     else:
@@ -639,6 +642,47 @@ def _qset_hash(qids) -> int:
 
     payload = ",".join(str(int(q)) for q in qids).encode()
     return int.from_bytes(hashlib.md5(payload).digest()[:8], "little") >> 1
+
+
+def _join_masks(
+    blocks: DataFrame,
+    masks: DataFrame,
+    queries: DataFrame,
+    permission_assignment: DataFrame,
+) -> DataFrame:
+    """Join the Q-bit mask table into the blocks scan with a SIZE-GATED
+    broadcast hint.
+
+    The mask table holds ≤ one row per permissioned document — KB-MB at
+    benchmark scale (hint exactly right), but tens of GB at 10⁹ docs, where
+    a hard hint would not degrade, it would ABORT (8 GB broadcast ceiling /
+    driver OOM). The gate prices the relation from its INPUTS, never by
+    re-running the mask build: rows ≤ countDistinct(document_id) over the
+    permission relation (one linear partial-aggregated job) and word width
+    = ceil(Q/64) from the query count (a dim-sized job) — together far
+    cheaper than the distinct+groupBy the mask table itself costs — and
+    MEMOIZED per relation (:func:`hints.memoized_stat`): the stats are
+    artifact-scale properties, priced once per session like table
+    statistics, so repeated searches over the same corpus/workload pay no
+    per-call job (the per-call form measurably cost +0.2-1.0 s per bench
+    entry). The mask BUILD itself stays timed in-call (the r10 honesty
+    decision). The bound is an overestimate for masks restricted to a
+    query subset — conservative: it can only skip a broadcast that would
+    have fit. Under :data:`hints.BROADCAST_LIMIT_BYTES` the hint
+    broadcasts; above it, the join shuffles on document_id — bucketable,
+    the same fallback shape as the ACORN metadata join (SURVEY D5). Both
+    regimes are plan-tested.
+    """
+    n_q = hints.memoized_stat(queries, "n_rows", queries.count)
+    n_docs = hints.memoized_stat(
+        permission_assignment, "n_distinct_docs",
+        lambda: permission_assignment.agg(
+            F.countDistinct("document_id").alias("n")
+        ).first()["n"] or 0,
+    )
+    # per-row: document_id 8 + qset_hash 8 + array header ~16 + 8·words
+    est = int(n_docs or 0) * (32 + 8 * max(1, (int(n_q) + 63) // 64))
+    return blocks.join(hints.gated_broadcast(masks, est), "document_id")
 
 
 def _query_doc_masks(
