@@ -2054,6 +2054,51 @@ def q_graph_recall(spark, sf_dir):
     return knn.recall_at_k(pred, truth)
 
 
+def q_graph_postfilter_recall(spark, sf_dir):
+    """Global-graph POSTFILTER strategy — the reference's
+    ``main_global_postfilter_comparison.cpp`` comparison-matrix row the
+    repo previously covered only piecewise: ONE global persisted NSW index
+    (single-part, the global hnswlib index), beam search at k·expansion
+    candidates ignoring permissions, then the permission join and final
+    top-k — the indexed form of ``knn_postfilter``'s exact two-phase scan.
+    Recall@k vs the EXACT postfilter answer (the gate entry stays the
+    exact scan), so the number isolates what the graph beam loses, not
+    what postfilter semantics lose. Approximate → rows-only; reuses the
+    per-sf cached global graph (build-once/search-many); zero driver
+    collects (the Q×k·e candidate set broadcasts into the corpus join)."""
+    from vectorsearch_rbac_spark.operators import graph_ann
+
+    t = _rbac(spark, sf_dir)
+    g = _cached(
+        ("nsw_graph", sf_dir),
+        lambda: graph_ann.build_nsw_graph(
+            t["documentblocks"], m=8
+        ).localCheckpoint(),
+    )
+    expansion = 4
+    cand = graph_ann.nsw_search_indexed(
+        t["documentblocks"], g, t["queries"], k=TOPK * expansion, ef=96,
+        stale="error",
+    )
+    qdocs = (
+        F.broadcast(t["query_roles"])
+        .join(F.broadcast(t["permission_assignment"]), "role_id")
+        .select("query_id", "document_id")
+        .distinct()
+    )
+    pred = knn.topk_per_query(
+        F.broadcast(cand.drop("rank"))
+        .join(t["documentblocks"].select("block_id", "document_id"), "block_id")
+        .join(F.broadcast(qdocs), ["query_id", "document_id"]),
+        TOPK,
+    )
+    truth = _cached(
+        ("truth_postfilter", sf_dir),
+        lambda: q_rbac_postfilter_topk(spark, sf_dir).localCheckpoint(),
+    )
+    return knn.recall_at_k(pred, truth)
+
+
 def q_acorn_recall(spark, sf_dir):
     """D5 completed — ACORN-1 predicate-aware graph traversal (2-hop
     expansion through failing nodes; acorn_benchmark parity) vs the EXACT
@@ -2187,11 +2232,13 @@ def q_rbac_graph_recall(spark, sf_dir):
 
 
 def q_ann_recall(spark, sf_dir):
-    """All eight ANN recall checks in ONE entry (registry curation): per-
+    """All nine ANN recall checks in ONE entry (registry curation): per-
     query recall@10 vs exact ground truth for D1 IVF (nprobe=10/16), E8
     hyperplane LSH (5 planes × 8 tables), D6 PQ+refine (ksub=64, exp=8),
     D11 IVF-PQ residual (IVFADC: coarse route + residual ADC + refine),
-    D2 graph NSW (partition-local kNN graph + ef-beam search), D2×D4
+    D2 graph NSW (partition-local kNN graph + ef-beam search), (r11) the
+    global-graph POSTFILTER strategy vs the exact postfilter answer
+    (main_global_postfilter_comparison.cpp row), D2×D4
     role-routed per-partition graph search vs the exact dynamic answer,
     D5 ACORN-1 predicate-aware traversal vs the exact permitted answer,
     and (r6) D5 ACORN-γ dense-graph neighbor-truncation traversal (both
@@ -2204,6 +2251,7 @@ def q_ann_recall(spark, sf_dir):
         ("pq", q_pq_recall(spark, sf_dir)),
         ("ivfpq", q_ivfpq_recall(spark, sf_dir)),
         ("graph", q_graph_recall(spark, sf_dir)),
+        ("graph_postfilter", q_graph_postfilter_recall(spark, sf_dir)),
         ("rbac_graph", q_rbac_graph_recall(spark, sf_dir)),
         ("acorn", q_acorn_recall(spark, sf_dir)),
         ("acorn_gamma", q_acorn_gamma_recall(spark, sf_dir)),

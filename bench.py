@@ -56,6 +56,7 @@ EXTRA = {
     "pq_recall": entry.q_pq_recall,
     "ivfpq_recall": entry.q_ivfpq_recall,
     "graph_recall": entry.q_graph_recall,
+    "graph_postfilter_recall": entry.q_graph_postfilter_recall,
     "rbac_graph_recall": entry.q_rbac_graph_recall,
     "acorn_recall": entry.q_acorn_recall,
     "acorn_gamma_recall": entry.q_acorn_gamma_recall,
@@ -160,6 +161,7 @@ HEADLINE = [
     "pq_recall",
     "ivfpq_recall",
     "graph_recall",
+    "graph_postfilter_recall",
     "rbac_graph_recall",
     "acorn_recall",
     "acorn_gamma_recall",
@@ -230,6 +232,7 @@ def _strategy_recalls(spark) -> dict[str, dict[str, float]]:
         ("pq", entry.q_pq_recall),
         ("ivfpq", entry.q_ivfpq_recall),
         ("graph", entry.q_graph_recall),
+        ("graph_postfilter", entry.q_graph_postfilter_recall),
         ("rbac_graph", entry.q_rbac_graph_recall),
         ("acorn", entry.q_acorn_recall),
         ("acorn_gamma", entry.q_acorn_gamma_recall),

@@ -1462,3 +1462,100 @@ def test_gather_kernel_ip_and_zero_norm_cosine_parity(t, spark):
     # the zero-norm row is ranked LAST for every query in both paths
     assert all(r[4] == 21 for r in a if r[1] == 999999)
     assert sum(1 for r in b if r[1] == 999999) == 3
+
+
+def test_global_graph_postfilter_recall_floor(spark, sf_dir):
+    """The global-graph postfilter strategy (r11 — the reference's
+    main_global_postfilter_comparison.cpp row): a global persisted NSW
+    beam at k·expansion, permission filter, top-k. Measured against the
+    EXACT postfilter answer, so the floor pins only the beam's loss."""
+    import __spark_entry__ as e
+
+    rec = e.q_graph_postfilter_recall(spark, sf_dir).agg(F.avg("recall")).first()[0]
+    assert rec >= 0.7
+
+
+def test_scan_cost_routing4_bands(spark):
+    """r11: the FOUR-way router's regime picture — with a clustered layout
+    the read volume differs between scan arms, so the model prices an
+    explicit read term and the qd-tree leaf scan WINS ITS BAND (mid-low
+    selectivity with effective pruning), between acorn's constant beam and
+    postfilter's dense-permission regime. Deterministic literal costs:
+    N=10⁴, k·e=40 → post=40/s; ef·m=384; read_cost=0.1."""
+    from vectorsearch_rbac_spark.plans.strategy import scan_cost_routing
+
+    queries = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "query_id long, user_id long"
+    )
+    sel = spark.createDataFrame(
+        [(10, 0.9), (20, 0.02), (30, 0.001), (40, 0.02)],
+        "user_id long, selectivity double",
+    )
+    lf = spark.createDataFrame(
+        # q4 has no leaf_frac row → coalesces to 1.0 (no pruning): its
+        # qd cost ties prefilter's at (0.1+0.02)·10⁴=1200, and acorn's
+        # constant 384 undercuts both — the unpruned query falls back to
+        # the beam, never to a more expensive scan
+        [(1, 0.9), (2, 0.1), (3, 0.5)], "query_id long, leaf_frac double"
+    )
+    got = {
+        r["query_id"]: r["strategy"]
+        for r in scan_cost_routing(queries, sel, 10_000, leaf_fracs=lf).collect()
+    }
+    # q1: post=44.4 beats all; q2: qd=(0.01+0.02)·10⁴=300 < ac=384 < pre;
+    # q3: ac=384 < qd=510 < pre; q4: ac=384 < qd=pre=1200
+    assert got == {1: "postfilter", 2: "qdtree", 3: "acorn", 4: "acorn"}
+    # and the 3-way form is untouched: same inputs, no leaf_fracs →
+    # the certified cost3 decisions (sel·N model, no read term)
+    got3 = {
+        r["query_id"]: r["strategy"]
+        for r in scan_cost_routing(queries, sel, 10_000).collect()
+    }
+    # without a layout there is no read-term difference: sel·N stays tiny
+    # (10-200) and prefilter wins everywhere post doesn't
+    assert got3 == {1: "postfilter", 2: "prefilter", 3: "prefilter", 4: "prefilter"}
+
+
+def test_adaptive_knn_cost4_qdtree_arm(t, spark):
+    """cost4 end-to-end: the routed union covers every query, the qd-tree
+    arm actually serves some of them, and — because the qd-tree scan is
+    EXACT — every qdtree-routed query's rows equal the exact permitted
+    answer."""
+    from vectorsearch_rbac_spark.plans.strategy import adaptive_knn
+
+    blocks = t["documentblocks"]
+    assigned = partitioning.qdtree_assignment(
+        blocks, t["permission_assignment"], max_leaf_size=32, max_depth=4
+    ).localCheckpoint()
+    # knobs that put the testdata workload (sel 0.3-0.4, leaf_frac ~0.7,
+    # N=500) inside the qd-tree band: expansion=24 lifts the postfilter
+    # walk cost (k·e/s ≥ 600) above the pruned scan's ~185-235, and the
+    # default ef·m=384 beam sits above it too
+    out = adaptive_knn(
+        blocks, t["queries"], t["query_roles"], t["permission_assignment"],
+        t["user_roles"], k=10, routing_mode="cost4", n_corpus=blocks.count(),
+        qdtree_blocks=assigned, expansion=24,
+    ).localCheckpoint()
+    assert out.select("query_id").distinct().count() == t["queries"].count()
+    strategies = {r["strategy"] for r in out.select("strategy").distinct().collect()}
+    assert "qdtree" in strategies, f"no query routed to the qd-tree arm: {strategies}"
+    qd_q = out.where(F.col("strategy") == "qdtree").select("query_id").distinct()
+    truth = knn.knn_prefilter(
+        blocks,
+        t["queries"].join(qd_q, "query_id", "left_semi"),
+        t["query_roles"].join(qd_q, "query_id", "left_semi"),
+        t["permission_assignment"], k=10,
+    )
+    got = _ids(out.where(F.col("strategy") == "qdtree"))
+    assert got == _ids(truth)
+
+    with pytest.raises(ValueError, match="cost4 routing requires qdtree_blocks"):
+        adaptive_knn(
+            blocks, t["queries"], t["query_roles"], t["permission_assignment"],
+            t["user_roles"], k=10, routing_mode="cost4",
+        )
+    with pytest.raises(ValueError, match="qdtree_blocks requires"):
+        adaptive_knn(
+            blocks, t["queries"], t["query_roles"], t["permission_assignment"],
+            t["user_roles"], k=10, routing_mode="cost3", qdtree_blocks=assigned,
+        )

@@ -79,6 +79,46 @@ def strategy_routing(
     )
 
 
+def qdtree_leaf_fracs(
+    assigned_blocks: DataFrame,
+    queries: DataFrame,
+    query_roles: DataFrame,
+    permission_assignment: DataFrame,
+) -> DataFrame:
+    """(query_id, leaf_frac): the fraction of corpus ROWS inside qd-tree
+    leaves holding ≥1 of the query's permitted docs — the read volume the
+    leaf-routed scan (:func:`~..operators.knn.knn_qdtree`) actually pays
+    after partition pruning. Built from the same per-leaf populations
+    ``qdtree_search_stats`` reports; rounded 6 dp so the routing decision
+    it feeds stays SQL-replayable. Dim-sized output (one row per query)."""
+    from ..operators.partitioning import qdtree_search_stats
+
+    stats = qdtree_search_stats(assigned_blocks)
+    qdocs = (
+        F.broadcast(query_roles)
+        .join(F.broadcast(permission_assignment), "role_id")
+        .select("query_id", "document_id")
+        .distinct()
+    )
+    qparts = (
+        assigned_blocks.select("document_id", "partition_id").distinct()
+        .join(F.broadcast(qdocs), "document_id")
+        .select("query_id", "partition_id")
+        .distinct()
+    )
+    total = stats.agg(F.sum("n_blocks").alias("_tot"))
+    return (
+        qparts.join(F.broadcast(stats), "partition_id")
+        .groupBy("query_id")
+        .agg(F.sum("n_blocks").alias("_leaf_rows"))
+        .join(F.broadcast(total), how="cross")
+        .select(
+            "query_id",
+            F.round(F.col("_leaf_rows") / F.col("_tot"), 6).alias("leaf_frac"),
+        )
+    )
+
+
 def scan_cost_routing(
     queries: DataFrame,
     selectivity: DataFrame,
@@ -87,6 +127,8 @@ def scan_cost_routing(
     expansion: int = 4,
     acorn_ef: int = 48,
     acorn_m: int = 8,
+    leaf_fracs: DataFrame | None = None,
+    read_cost: float = 0.1,
 ) -> DataFrame:
     """THREE-way predicted-scan-cost routing — the ACORN paper's regime
     argument made the decision rule (its Fig. 1 pitch: prefilter wins at
@@ -105,18 +147,51 @@ def scan_cost_routing(
     argmin with a deterministic tie order (postfilter ≥ acorn ≥
     prefilter), every cost from the same 6-dp-rounded selectivity and
     plain literals, so a SQL oracle replays the DECISION bit-for-bit.
-    Dim-sized broadcast join, same as :func:`strategy_routing`."""
+    Dim-sized broadcast join, same as :func:`strategy_routing`.
+
+    ``leaf_fracs`` (r11) adds the FOURTH regime — the qd-tree leaf scan:
+    a (query_id, leaf_frac) relation from :func:`qdtree_leaf_fracs`.
+    With a clustered layout available the read volume DIFFERS between
+    scan arms, so the model grows an explicit read term (``read_cost`` =
+    cost of reading a row relative to scoring one):
+
+    - prefilter: ``(read_cost + sel)·N`` — full corpus read, sel·N scored;
+    - qd-tree:  ``(read_cost·leaf_frac + sel)·N`` — partition-pruned read,
+      same rows scored. Dominates prefilter whenever pruning prunes
+      (leaf_frac < 1), exactly the truth the 3-way model couldn't see —
+      without a layout every scan arm pays the same read term, which is
+      why the 3-way costs omit it (and why the two routers' prefilter
+      costs differ by a constant, never in ordering, at leaf_frac = 1).
+
+    Tie order: postfilter ≥ acorn ≥ qdtree ≥ prefilter. The 3-way form
+    (``leaf_fracs=None``) is byte-identical to r8 — the certified
+    ``rbac_adaptive_topk`` decisions are untouched."""
     s = F.coalesce(F.col("selectivity"), F.lit(0.0))
-    pre = s * F.lit(float(n_corpus))
     post = F.when(s > 0, F.lit(float(k * expansion)) / s).otherwise(F.lit(1e18))
     ac = F.lit(float(acorn_ef * acorn_m))
+    if leaf_fracs is None:
+        pre = s * F.lit(float(n_corpus))
+        strat = (
+            F.when((post <= ac) & (post <= pre), F.lit("postfilter"))
+            .when(ac <= pre, F.lit("acorn"))
+            .otherwise(F.lit("prefilter"))
+        )
+        return (
+            queries.join(F.broadcast(selectivity), "user_id", "left")
+            .select("query_id", strat.alias("strategy"))
+        )
+    lf = F.coalesce(F.col("leaf_frac"), F.lit(1.0))
+    pre = (F.lit(float(read_cost)) + s) * F.lit(float(n_corpus))
+    qd = (F.lit(float(read_cost)) * lf + s) * F.lit(float(n_corpus))
     strat = (
-        F.when((post <= ac) & (post <= pre), F.lit("postfilter"))
-        .when(ac <= pre, F.lit("acorn"))
+        F.when((post <= ac) & (post <= qd) & (post <= pre), F.lit("postfilter"))
+        .when((ac <= qd) & (ac <= pre), F.lit("acorn"))
+        .when(qd <= pre, F.lit("qdtree"))
         .otherwise(F.lit("prefilter"))
     )
     return (
         queries.join(F.broadcast(selectivity), "user_id", "left")
+        .join(F.broadcast(leaf_fracs), "query_id", "left")
         .select("query_id", strat.alias("strategy"))
     )
 
@@ -136,6 +211,8 @@ def adaptive_knn(
     acorn_m: int = 8,
     n_corpus: int | None = None,
     acorn_impl=None,
+    qdtree_blocks: DataFrame | None = None,
+    read_cost: float = 0.1,
 ) -> DataFrame:
     """Route each query to the strategy its selectivity warrants, then union.
 
@@ -170,6 +247,15 @@ def adaptive_knn(
     when ``None`` it falls back to ``blocks.count()`` — a real scan per
     routing call at 100 TB, so production callers should pass the known
     size (or table statistics) like every other offline artifact.
+
+    ``routing_mode='cost4'`` (r11) adds the QD-TREE arm: pass
+    ``qdtree_blocks`` (the corpus with ``partition_id`` from
+    ``partitioning.qdtree_assignment`` — the clustered layout artifact,
+    built offline like every index here). Per-query leaf fractions come
+    from :func:`qdtree_leaf_fracs` and the router prices the pruned read
+    (see :func:`scan_cost_routing`); routed queries run
+    :func:`~..operators.knn.knn_qdtree` (exact — the routed union stays
+    exact-certifiable). The certified cost3 decisions are untouched.
     """
     # selectivity only for the WORKLOAD's users (the routing left-joins by
     # user_id, so non-query users' rows were dead weight): a full-user
@@ -183,27 +269,38 @@ def adaptive_knn(
         ),
         permission_assignment, blocks,
     )
-    if acorn_impl is not None and routing_mode != "cost3":
-        # only cost3 HAS an ACORN arm — silently ignoring the hook would
-        # leave the caller believing the priced bounded beam is serving
-        # mid-selectivity queries when nothing routes there
-        raise ValueError("acorn_impl requires routing_mode='cost3'")
-    if routing_mode == "cost3":
+    if acorn_impl is not None and routing_mode not in ("cost3", "cost4"):
+        # only cost3/cost4 HAVE an ACORN arm — silently ignoring the hook
+        # would leave the caller believing the priced bounded beam is
+        # serving mid-selectivity queries when nothing routes there
+        raise ValueError("acorn_impl requires routing_mode='cost3' or 'cost4'")
+    if routing_mode == "cost4" and qdtree_blocks is None:
+        raise ValueError("cost4 routing requires qdtree_blocks (the "
+                         "partition_id-assigned clustered layout)")
+    if qdtree_blocks is not None and routing_mode != "cost4":
+        raise ValueError("qdtree_blocks requires routing_mode='cost4'")
+    if routing_mode in ("cost3", "cost4"):
         if metric != "l2":
-            raise ValueError("cost3 routing (ACORN arm) requires metric='l2'")
+            raise ValueError(f"{routing_mode} routing (ACORN arm) requires metric='l2'")
         if has_partition_layout:
             # scan_cost_routing never emits 'comb_partition'; registering
             # the arm would silently drop the layout feature (a dead
             # branch scanning the corpus on every call) — refuse instead
             raise ValueError(
-                "cost3 routing has no comb_partition arm — use "
+                f"{routing_mode} routing has no comb_partition arm — use "
                 "routing_mode='cost' with has_partition_layout, or route "
                 "to knn_comb_role_partition explicitly"
             )
+        leaf_fracs = (
+            qdtree_leaf_fracs(qdtree_blocks, queries, query_roles,
+                              permission_assignment)
+            if routing_mode == "cost4" else None
+        )
         routing = scan_cost_routing(
             queries, sel, n_corpus if n_corpus is not None else blocks.count(),
             k=k, expansion=expansion,
             acorn_ef=acorn_ef, acorn_m=acorn_m,
+            leaf_fracs=leaf_fracs, read_cost=read_cost,
         )
     else:
         pf_threshold = (
@@ -247,12 +344,19 @@ def adaptive_knn(
         return knn.knn_postfilter(blocks, qs, qr, pa, k=k,
                                   expansion=expansion, metric=metric)
 
+    def _qdtree_arm(blocks, qs, qr, pa, k=k, metric=metric):
+        # the clustered layout replaces the plain corpus for this arm —
+        # leaf routing + per-(query, block) permission check, exact
+        return knn.knn_qdtree(qdtree_blocks, qs, qr, pa, k=k, metric=metric)
+
     impl = {
         "prefilter": knn.knn_prefilter,
         "postfilter": _post_arm,
     }
-    if routing_mode == "cost3":
+    if routing_mode in ("cost3", "cost4"):
         impl["acorn"] = _acorn_arm
+    if routing_mode == "cost4":
+        impl["qdtree"] = _qdtree_arm
     if has_partition_layout:
         impl["comb_partition"] = knn.knn_comb_role_partition
 
