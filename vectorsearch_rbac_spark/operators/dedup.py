@@ -249,16 +249,27 @@ def ngram_jaccard_pairs(
     """
     # the shingle relation feeds the self-join (twice) and the size
     # aggregate — materialize once instead of re-running the explode+regex
-    sh = _register_cache(word_shingles(documents, id_col, text_col, n))
+    sh = word_shingles(documents, id_col, text_col, n)
     if max_df_frac is not None:
-        n_docs = documents.select(F.countDistinct(id_col).alias("n"))
-        df_ = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+        # The guard runs BEFORE the persist so the df aggregate + keep-set
+        # join compute exactly ONCE at cache materialization (an earlier
+        # form filtered the already-persisted relation, re-embedding the
+        # aggregate in every consumer — sizes + both join sides — measured
+        # +35 s at sf2 even when the cap dropped nothing). word_shingles
+        # emits DISTINCT (doc_id, shingle) rows, so df is a plain
+        # partial-combined count, and the keep set is vocabulary-sized —
+        # AQE converts the semi-join to a runtime broadcast.
+        n_docs = memoized_stat(
+            documents, "n_distinct_ids",
+            lambda: documents.select(F.countDistinct(id_col)).first()[0] or 0,
+        )
         keep = (
-            df_.join(F.broadcast(n_docs), how="cross")
-            .where(F.col("df") <= F.col("n") * max_df_frac)
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= F.lit(float(n_docs * max_df_frac)))
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
+    sh = _register_cache(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
