@@ -390,7 +390,12 @@ def q_rbac_adaptive_topk(spark, sf_dir):
     workload whose {1/27, 1/9, 1/3, 1} selectivity tiers spread the
     decisions (acorn knobs ef=12·m=4 put the constant between the
     tiers' scan costs); across the two sections all three arms populate
-    at the gate's query count."""
+    at the gate's query count. r11 adds two COST4 sections ('cost4' =
+    base workload, 'cost4gen' = tree workload) over the SQL-replayable
+    permission-residue clustered layout (partition_id = document_id %
+    10): the FOUR-way router prices the pruned read per query
+    (leaf_frac) and the oracle replays layout, leaf fractions, the
+    4-way decision, and every arm's exact semantics."""
     from vectorsearch_rbac_spark.plans.strategy import adaptive_knn
 
     t = _rbac(spark, sf_dir)
@@ -405,7 +410,40 @@ def q_rbac_adaptive_topk(spark, sf_dir):
         routing_mode="cost3", acorn_ef=12, acorn_m=4,
     ).select(F.lit("gen").alias("section"), "*")
 
-    return _i(base.unionAll(gen), "query_id", "block_id", "document_id", "rank")
+    # r11: cost4 sections — the qd-tree regime CERTIFIED under the hash
+    # gate. The recursive sampled qd-tree itself is not SQL-replayable, so
+    # the certification layout is the clustered layout its role-predicate
+    # splits LEARN on this data: partition_id = document_id % 10 (the
+    # permission residue — each role's docs live in exactly 2 of 10
+    # partitions), trivially replayable in SQL; the true-qd-tree variant
+    # stays pytest-certified (test_adaptive_knn_cost4_qdtree_arm). Knobs
+    # spread the decisions (N=500, expansion=8 → post 80/s): base
+    # (s=lf ∈ {0.3, 0.4}) with ef·m=208 splits qdtree (s=.3: qd 165 <
+    # ac < post) / postfilter (s=.4: post 200 ≤ ac ≤ qd 220); the tree
+    # workload's queried users sit at s ∈ {0.036, 0.108} with lf=1.0
+    # (≥18 permitted docs always light all 10 partitions), qd = 68/104,
+    # so ef·m=80 splits qdtree (68 < 80) / acorn (80 < 104). prefilter
+    # is provably vestigial under cost4 (qd ≤ pre whenever lf ≤ 1 —
+    # with a clustered layout the pruned scan dominates the unpruned
+    # scan).
+    qdb = t["documentblocks"].withColumn(
+        "partition_id", (F.col("document_id") % 10).cast("long")
+    )
+    c4 = adaptive_knn(
+        t["documentblocks"], t["queries"], t["query_roles"], t["permission_assignment"],
+        t["user_roles"], k=TOPK, routing_mode="cost4", qdtree_blocks=qdb,
+        expansion=8, acorn_ef=52, acorn_m=4,
+    ).select(F.lit("cost4").alias("section"), "*")
+    c4g = adaptive_knn(
+        t["documentblocks"], gqs, gqroles, gpa, gusers, k=TOPK,
+        routing_mode="cost4", qdtree_blocks=qdb,
+        expansion=8, acorn_ef=20, acorn_m=4,
+    ).select(F.lit("cost4gen").alias("section"), "*")
+
+    return _i(
+        base.unionAll(gen).unionAll(c4).unionAll(c4g),
+        "query_id", "block_id", "document_id", "rank",
+    )
 
 
 def q_generated_rbac_topk(spark, sf_dir):
@@ -3277,10 +3315,154 @@ gen_out AS (
          u.rank, r.strategy
   FROM (SELECT * FROM gpre UNION ALL SELECT * FROM gpost) u
   JOIN groute r USING (query_id)
+),
+-- r11 cost4 sections: FOUR-way routing over the permission-residue
+-- clustered layout partition_id = document_id % 10 (qdtree_leaf_fracs /
+-- scan_cost_routing(leaf_fracs=...) parity). Knobs: expansion=8 → post
+-- 80/s, ef·m = 52·4 = 208, read_cost = 0.1. Tie order postfilter ≥
+-- acorn ≥ qdtree ≥ prefilter; qd ≤ pre always at lf ≤ 1 (prefilter is
+-- vestigial under a clustered layout, by design).
+pstat AS (
+  SELECT document_id % 10 AS pid, CAST(COUNT(*) AS DOUBLE) AS nbp
+  FROM blocks GROUP BY 1
+),
+qlf AS (
+  SELECT l.query_id,
+         ROUND(SUM(p.nbp) / (SELECT COUNT(*) FROM blocks), 6) AS lf
+  FROM (SELECT DISTINCT d.query_id, b.document_id % 10 AS pid
+        FROM qdocs d JOIN blocks b USING (document_id)) l
+  JOIN pstat p USING (pid)
+  GROUP BY l.query_id
+),
+route4 AS (
+  SELECT query_id,
+         CASE WHEN post <= ac AND post <= qd AND post <= pre THEN 'postfilter'
+              WHEN ac <= qd AND ac <= pre THEN 'acorn'
+              WHEN qd <= pre THEN 'qdtree'
+              ELSE 'prefilter' END AS strategy
+  FROM (
+    SELECT sq.query_id,
+           CASE WHEN sq.s > 0 THEN 80.0 / sq.s ELSE 1e18 END AS post,
+           208.0 AS ac,
+           (0.1 * COALESCE(l.lf, 1.0) + sq.s) * nb.n AS qd,
+           (0.1 + sq.s) * nb.n AS pre
+    FROM selq sq LEFT JOIN qlf l USING (query_id), nb
+  )
+),
+-- prefilter/acorn/qdtree arms are all EXACT over the permitted set
+-- (leaf pruning is lossless: a permitted doc's partition is always
+-- live), so they replay as the prefilter shape
+c4_scored_pre AS (
+  SELECT d.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM qdocs d
+  JOIN blocks b USING (document_id)
+  JOIN qs q ON q.query_id = d.query_id
+  WHERE d.query_id IN (SELECT query_id FROM route4 WHERE strategy IN ('prefilter', 'acorn', 'qdtree'))
+),
+c4_pre AS (
+  SELECT query_id, block_id, document_id, distance, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+    FROM c4_scored_pre
+  ) WHERE rank <= 10
+),
+c4_scored_post AS (
+  SELECT q.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM blocks b CROSS JOIN qs q
+  WHERE q.query_id IN (SELECT query_id FROM route4 WHERE strategy = 'postfilter')
+),
+c4_g AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS grank
+    FROM c4_scored_post
+  ) WHERE grank <= 80
+),
+c4_filtered AS (
+  SELECT g.query_id, g.block_id, g.document_id, g.distance
+  FROM c4_g g JOIN qdocs d ON d.query_id = g.query_id AND d.document_id = g.document_id
+),
+c4_post AS (
+  SELECT query_id, block_id, document_id, distance, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+    FROM c4_filtered
+  ) WHERE rank <= 10
+),
+c4_out AS (
+  SELECT 'cost4' AS section, u.query_id, u.block_id, u.document_id, u.distance,
+         u.rank, r.strategy
+  FROM (SELECT * FROM c4_pre UNION ALL SELECT * FROM c4_post) u
+  JOIN route4 r USING (query_id)
+),
+gqlf AS (
+  SELECT l.query_id,
+         ROUND(SUM(p.nbp) / (SELECT COUNT(*) FROM blocks), 6) AS lf
+  FROM (SELECT DISTINCT d.query_id, b.document_id % 10 AS pid
+        FROM gqdocs d JOIN blocks b USING (document_id)) l
+  JOIN pstat p USING (pid)
+  GROUP BY l.query_id
+),
+groute4 AS (
+  SELECT query_id,
+         CASE WHEN post <= ac AND post <= qd AND post <= pre THEN 'postfilter'
+              WHEN ac <= qd AND ac <= pre THEN 'acorn'
+              WHEN qd <= pre THEN 'qdtree'
+              ELSE 'prefilter' END AS strategy
+  FROM (
+    SELECT sq.query_id,
+           CASE WHEN sq.s > 0 THEN 80.0 / sq.s ELSE 1e18 END AS post,
+           80.0 AS ac,
+           (0.1 * COALESCE(l.lf, 1.0) + sq.s) * nb.n AS qd,
+           (0.1 + sq.s) * nb.n AS pre
+    FROM gselq sq LEFT JOIN gqlf l USING (query_id), nb
+  )
+),
+gc4_scored_pre AS (
+  SELECT d.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM gqdocs d
+  JOIN blocks b USING (document_id)
+  JOIN qs q ON q.query_id = d.query_id
+  WHERE d.query_id IN (SELECT query_id FROM groute4 WHERE strategy IN ('prefilter', 'acorn', 'qdtree'))
+),
+gc4_pre AS (
+  SELECT query_id, block_id, document_id, distance, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+    FROM gc4_scored_pre
+  ) WHERE rank <= 10
+),
+gc4_scored_post AS (
+  SELECT q.query_id, b.block_id, b.document_id,
+         ROUND(list_distance(b.vector::DOUBLE[], q.query_vector::DOUBLE[]), 6) AS distance
+  FROM blocks b CROSS JOIN qs q
+  WHERE q.query_id IN (SELECT query_id FROM groute4 WHERE strategy = 'postfilter')
+),
+gc4_g AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS grank
+    FROM gc4_scored_post
+  ) WHERE grank <= 80
+),
+gc4_filtered AS (
+  SELECT g.query_id, g.block_id, g.document_id, g.distance
+  FROM gc4_g g JOIN gqdocs d ON d.query_id = g.query_id AND d.document_id = g.document_id
+),
+gc4_post AS (
+  SELECT query_id, block_id, document_id, distance, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, block_id) AS rank
+    FROM gc4_filtered
+  ) WHERE rank <= 10
+),
+gc4_out AS (
+  SELECT 'cost4gen' AS section, u.query_id, u.block_id, u.document_id, u.distance,
+         u.rank, r.strategy
+  FROM (SELECT * FROM gc4_pre UNION ALL SELECT * FROM gc4_post) u
+  JOIN groute4 r USING (query_id)
 )
 SELECT section, query_id, block_id, document_id, distance,
        CAST(rank AS BIGINT) AS rank, strategy
-FROM (SELECT * FROM base_out UNION ALL SELECT * FROM gen_out)
+FROM (SELECT * FROM base_out UNION ALL SELECT * FROM gen_out
+      UNION ALL SELECT * FROM c4_out UNION ALL SELECT * FROM gc4_out)
 """
 
 # sharing_tree_rbac(num_roles=40, branching=3, seed=42) in SQL: docs with

@@ -1559,3 +1559,22 @@ def test_adaptive_knn_cost4_qdtree_arm(t, spark):
             blocks, t["queries"], t["query_roles"], t["permission_assignment"],
             t["user_roles"], k=10, routing_mode="cost3", qdtree_blocks=assigned,
         )
+
+
+def test_adaptive_entry_cost4_sections_cover_live_arms(spark, sf_dir):
+    """The r11 cost4 registry sections (oracle-certified 4-way decisions
+    over the SQL-replayable permission-residue layout) must populate every
+    LIVE arm across the two sections — prefilter is provably vestigial
+    under cost4 (qd ≤ pre whenever lf ≤ 1), so the live set is
+    {postfilter, acorn, qdtree}. Pins the knob tuning: a knob drift that
+    collapses a section to one arm un-certifies a regime."""
+    import __spark_entry__ as e
+
+    df = e.q_rbac_adaptive_topk(spark, sf_dir).where("section like 'cost4%'")
+    arms = {
+        (r["section"], r["strategy"])
+        for r in df.select("section", "strategy").distinct().collect()
+    }
+    assert {s for _, s in arms} == {"postfilter", "acorn", "qdtree"}
+    assert {s for sec, s in arms if sec == "cost4"} == {"postfilter", "qdtree"}
+    assert {s for sec, s in arms if sec == "cost4gen"} == {"acorn", "qdtree"}
