@@ -629,6 +629,41 @@ def test_dedup_size_tables_broadcast_gate_both_regimes(spark, sf_dir, monkeypatc
     dedup.release_dedup_caches()
 
 
+def test_bm25_permitted_and_incremental_batch_gates(spark, sf_dir, monkeypatch):
+    """r11 audit sweep: the two remaining doc-cardinality hints ride the
+    same size gate — bm25_rank's permitted (query_id, doc_id) semi-join
+    (Q × accessible docs) and incremental_dedup's new-batch side (a 1/mod
+    corpus slice). Hint under the limit, keyed shuffle join above it,
+    identical rows."""
+    from vectorsearch_rbac_spark.operators import dedup, hints, retrieval
+
+    docs = load_table(spark, "documents", sf_dir)
+    qt = spark.createDataFrame(
+        [(1, ["the", "data"]), (2, ["spark", "query"])],
+        "query_id long, terms array<string>",
+    )
+    permitted = docs.select(F.lit(1).alias("query_id"), "doc_id").where(
+        F.col("doc_id") % 2 == 0
+    ).unionAll(docs.select(F.lit(2).alias("query_id"), "doc_id"))
+    with _with_auto_broadcast_off(spark):
+        on_bm = retrieval.bm25_topk(docs, qt, k=5, permitted=permitted)
+        assert "BroadcastHashJoin" in _plan(on_bm)
+        rows_on = {tuple(r) for r in on_bm.collect()}
+        on_incr = dedup.incremental_dedup_pairs(docs)
+        assert "BroadcastHashJoin" in _plan(on_incr)
+        incr_on = {tuple(r) for r in on_incr.collect()}
+
+        monkeypatch.setattr(hints, "BROADCAST_LIMIT_BYTES", 0)
+        off_bm = retrieval.bm25_topk(docs, qt, k=5, permitted=permitted)
+        p = _plan(off_bm)
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+        assert rows_on == {tuple(r) for r in off_bm.collect()}
+        off_incr = dedup.incremental_dedup_pairs(docs)
+        p = _plan(off_incr)
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+        assert incr_on == {tuple(r) for r in off_incr.collect()}
+
+
 def test_memoized_stat_prices_once_per_relation(spark):
     """The gate's input stats are artifact-scale properties priced ONCE per
     semantically identical relation (like table statistics) — the per-call

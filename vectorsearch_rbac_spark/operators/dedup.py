@@ -932,12 +932,17 @@ def incremental_dedup_pairs(
     Scale shape: shingle→minhash→band runs ONCE over the union (on a real
     pipeline the old side is the persisted band index — H2's bucketed
     layout — and only the new batch is computed); the new batch is tiny
-    relative to the corpus, so both tiers broadcast the NEW side against
-    the corpus-sized index, never shuffling the old corpus. New-new pairs
-    are intentionally out of scope (they belong to the batch's own
-    intra-dedup, E2).
+    relative to the corpus, so both tiers hint the NEW side broadcast
+    against the corpus-sized index, never shuffling the old corpus — but
+    the hint is SIZE-GATED on the batch bound n_docs/mod (a 1/mod slice
+    of a 10⁹-doc corpus is 10⁸ rows: past the gate both tiers fall back
+    to keyed shuffle joins, bucketable on content_hash / band key).
+    New-new pairs are intentionally out of scope (they belong to the
+    batch's own intra-dedup, E2).
     """
     is_new = F.pmod(F.col(id_col), F.lit(mod)) == F.lit(rem)
+    # batch bound from the memoized source count: ≤ n_docs/mod rows
+    batch_bound = memoized_stat(documents, "n_rows", documents.count) // mod + 1
 
     hashed = documents.select(
         F.col(id_col).alias("doc_id"),
@@ -948,8 +953,9 @@ def incremental_dedup_pairs(
         hashed.where(~F.col("is_new"))
         .select(F.col("doc_id").alias("id_b"), "content_hash")
         .join(
-            F.broadcast(
-                hashed.where("is_new").select(F.col("doc_id").alias("id_a"), "content_hash")
+            gated_broadcast(
+                hashed.where("is_new").select(F.col("doc_id").alias("id_a"), "content_hash"),
+                batch_bound * 16,
             ),
             "content_hash",
         )
@@ -966,7 +972,10 @@ def incremental_dedup_pairs(
     near = (
         old_b.select(F.col("doc_id").alias("id_b"), "band", "band_sig")
         .join(
-            F.broadcast(new_b.select(F.col("doc_id").alias("id_a"), "band", "band_sig")),
+            gated_broadcast(
+                new_b.select(F.col("doc_id").alias("id_a"), "band", "band_sig"),
+                batch_bound * (num_hashes // band_size) * 32,
+            ),
             ["band", "band_sig"],
         )
         .groupBy("id_a", "id_b")

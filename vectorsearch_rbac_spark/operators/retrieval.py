@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from .hints import gated_broadcast, memoized_stat
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -72,11 +73,16 @@ def bm25_rank(
     permitted: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k rank over a `bm25_scores` table: optional RBAC semi-join BEFORE
-    the rank window (prefilter semantics), ties by doc id."""
+    the rank window (prefilter semantics), ties by doc id.
+
+    The permitted (query_id, doc_id) relation is Q × accessible-docs —
+    doc-cardinality, so its broadcast hint is SIZE-GATED (the knn.py
+    `_join_masks` idiom): hinted while a memoized one-time count says it
+    fits, else the semi-join shuffles on its keys (bucketable on doc_id)."""
     if permitted is not None:
-        scored = scored.join(
-            F.broadcast(permitted.select("query_id", F.col("doc_id"))), ["query_id", "doc_id"], "left_semi"
-        )
+        p = permitted.select("query_id", F.col("doc_id"))
+        est = memoized_stat(p, "n_rows", p.count) * 24
+        scored = scored.join(gated_broadcast(p, est), ["query_id", "doc_id"], "left_semi")
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
