@@ -922,8 +922,13 @@ def q_rbac_bm25_topk(spark, sf_dir):
     qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
     qdocs = (
         t["query_roles"].join(t["permission_assignment"], "role_id")
+        # no distinct (r11, guide §2.4): the permitted relation is consumed
+        # by bm25_rank's LEFT SEMI join, which is insensitive to build-side
+        # duplicates — the dedup was a full extra Exchange + aggregate per
+        # call. The gate's memoized row-count estimate now counts the
+        # role-expanded pairs (an overestimate: it can only skip a
+        # broadcast that would have fit — conservative by construction).
         .select("query_id", F.col("document_id").alias("doc_id"))
-        .distinct()
     )
     return retrieval.bm25_topk(t["documents"], qt, k=TOPK, permitted=qdocs)
 
@@ -980,8 +985,9 @@ def q_retrieval_topk(spark, sf_dir):
     scored = retrieval.bm25_scores(docs, qt).localCheckpoint(eager=False)
     qdocs = (
         t["query_roles"].join(t["permission_assignment"], "role_id")
+        # no distinct (r11): left-semi consumer, duplicates harmless —
+        # same reasoning as q_rbac_bm25_topk
         .select("query_id", F.col("document_id").alias("doc_id"))
-        .distinct()
     )
     # hybrid branch: BM25 top-50 (from the shared table) × cosine top-50
     n_docs = docs.count()

@@ -396,21 +396,30 @@ def knn_qdtree(
     leaf-routing join already produces exactly the per-query visibility
     the mask encodes, so rows are pytest-pinned ≡ expr.
     """
-    qdocs = (
-        F.broadcast(query_roles)
-        .join(F.broadcast(permission_assignment), "role_id")
-        .select("query_id", "document_id")
-        .distinct()
-    )
-    # leaf routing table: query → partitions containing ≥1 permitted doc
-    doc_parts = assigned_blocks.select("document_id", "partition_id").distinct()
-    qparts = qdocs.join(doc_parts, "document_id").select("query_id", "partition_id").distinct()
     if impl == "numpy":
         masks = (
             doc_masks if doc_masks is not None
             else _query_doc_masks(queries, query_roles, permission_assignment)
         )
-        live_leaves = qparts.select("partition_id").distinct()
+        # live leaves = partitions holding ≥1 block of ≥1 permitted doc.
+        # r11 (guide §2.4): computed with ONE corpus pass + a broadcast
+        # semi-join + one tiny partition_id distinct, replacing the old
+        # qdocs-distinct → doc_parts-distinct → qparts-distinct chain
+        # (three Exchanges, one of them corpus-sized, to reach the same
+        # set — the per-QUERY routing table the chain built is only
+        # needed by the expression path below). Duplicates on the
+        # semi-join's build side are harmless by semi-join semantics.
+        permitted_docs = (
+            F.broadcast(query_roles)
+            .join(F.broadcast(permission_assignment), "role_id")
+            .select("document_id")
+        )
+        live_leaves = (
+            assigned_blocks
+            .join(F.broadcast(permitted_docs), "document_id", "leftsemi")
+            .select("partition_id")
+            .distinct()
+        )
         scored = local_topk(
             _join_masks(
                 assigned_blocks
@@ -421,6 +430,15 @@ def knn_qdtree(
         )
     else:
         dist = _METRICS[metric]
+        qdocs = (
+            F.broadcast(query_roles)
+            .join(F.broadcast(permission_assignment), "role_id")
+            .select("query_id", "document_id")
+            .distinct()
+        )
+        # per-QUERY leaf routing table: query → partitions with ≥1 permitted doc
+        doc_parts = assigned_blocks.select("document_id", "partition_id").distinct()
+        qparts = qdocs.join(doc_parts, "document_id").select("query_id", "partition_id").distinct()
         scored = (
             assigned_blocks.join(F.broadcast(qparts), "partition_id")  # leaf pruning
             .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")  # per-block check
@@ -715,9 +733,16 @@ def _query_doc_masks(
         .join(F.broadcast(permission_assignment), "role_id")
         .join(F.broadcast(qpos), "query_id")
         .select("document_id", "qpos")
-        .distinct()
     )
-    lists = qdocs.groupBy("document_id").agg(F.collect_list("qpos").alias("ps"))
+    # ONE doc-keyed exchange, not two (r11, guide §2.4): the OR-fold below
+    # is idempotent in qpos, so the (document_id, qpos) dedup that used to
+    # run as a separate distinct (its own Exchange + aggregate over the
+    # role-expanded pair relation) folds into the collect_set aggregate —
+    # partial (map-side) set-merge dedupes before the shuffle, and the
+    # set's nondeterministic element order cannot reach the output because
+    # bitwiseOR is commutative. Mask values are pytest-pinned unchanged
+    # (test_properties round-trip + ≡-expr parity).
+    lists = qdocs.groupBy("document_id").agg(F.collect_set("qpos").alias("ps"))
     return lists.select(
         "document_id",
         F.transform(
