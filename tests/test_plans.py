@@ -683,3 +683,43 @@ def test_memoized_stat_prices_once_per_relation(spark):
     assert len(calls) == 1
     # a different tag over the same relation is a distinct stat
     assert hints.memoized_stat(df, "t_memo_other", lambda: 42) == 42
+
+
+def test_mask_build_single_doc_exchange(spark):
+    """r11: _query_doc_masks folds the (document_id, qpos) dedup into its
+    collect_set aggregate — the OR-fold packing is idempotent, so the old
+    separate distinct (a second Exchange + HashAggregate over the
+    role-expanded pair relation) must not reappear. Over literal inputs
+    (no derived-relation exchanges) the build contributes exactly ONE
+    hash-partitioned exchange: the doc-keyed aggregate."""
+    queries = spark.createDataFrame([(1,), (2,)], "query_id long")
+    qroles = spark.createDataFrame([(1, "r1"), (2, "r1"), (2, "r2")],
+                                   "query_id long, role_id string")
+    pa = spark.createDataFrame([("r1", 10), ("r2", 10), ("r2", 11)],
+                               "role_id string, document_id long")
+    p = _plan(knn._query_doc_masks(queries, qroles, pa))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "ObjectHashAggregate" in p  # the collect_set aggregate
+
+
+def test_qdtree_masked_path_has_no_per_query_routing_exchange(t, sf_dir):
+    """r11: the masked qd-tree path derives live leaves from one corpus
+    pass + a broadcast semi-join; the per-(query_id, partition_id) routing
+    distinct belongs only to the expression path. Its exchange must not
+    appear in the masked plan — and must still appear in the expr plan,
+    which genuinely routes per query."""
+    from vectorsearch_rbac_spark.operators import partitioning
+
+    assigned = partitioning.qdtree_assignment(
+        t["documentblocks"], t["permission_assignment"], max_leaf_size=64
+    )
+    args = (assigned, t["queries"], t["query_roles"], t["permission_assignment"])
+    import re
+
+    def _norm(plan: str) -> str:
+        return re.sub(r"#\d+L?", "", plan)
+
+    p_masked = _norm(_plan(knn.knn_qdtree(*args, k=10, impl="numpy")))
+    assert "hashpartitioning(query_id, partition_id" not in p_masked, p_masked
+    p_expr = _norm(_plan(knn.knn_qdtree(*args, k=10, impl="expr")))
+    assert "hashpartitioning(query_id, partition_id" in p_expr, p_expr
