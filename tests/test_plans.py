@@ -664,6 +664,66 @@ def test_bm25_permitted_and_incremental_batch_gates(spark, sf_dir, monkeypatch):
         assert incr_on == {tuple(r) for r in off_incr.collect()}
 
 
+def test_permitted_relation_gates_both_regimes(t, monkeypatch):
+    """r12 (VERDICT r11 item 1): the remaining hard hints on the
+    role-expanded permitted relation are size-gated — the qd-tree leaf
+    pruning semi-join (numpy path), the expr path's per-block qdocs semi,
+    qdtree_leaf_fracs' routing join, and the mask build's permission hint.
+    Under the limit the plans keep their broadcasts (bench scale is
+    unchanged); above it the doc-keyed joins fall back to shuffle joins on
+    document_id and the rows are identical."""
+    from vectorsearch_rbac_spark.operators import hints, partitioning
+    from vectorsearch_rbac_spark.plans.strategy import qdtree_leaf_fracs
+
+    spark = t["documentblocks"].sparkSession
+    assigned = partitioning.qdtree_assignment(
+        t["documentblocks"], t["permission_assignment"], max_leaf_size=64
+    )
+    args = (assigned, t["queries"], t["query_roles"], t["permission_assignment"])
+    frac_args = (assigned, t["queries"], t["query_roles"], t["permission_assignment"])
+    with _with_auto_broadcast_off(spark):
+        on_numpy = knn.knn_qdtree(*args, k=10, impl="numpy")
+        assert "BroadcastHashJoin" in _plan(on_numpy)
+        rows_on = {tuple(r) for r in on_numpy.collect()}
+        expr_on = {tuple(r) for r in knn.knn_qdtree(*args, k=10, impl="expr").collect()}
+        fracs_on = {tuple(r) for r in qdtree_leaf_fracs(*frac_args).collect()}
+        masks_on = {
+            (r["document_id"], tuple(r["qmask"]))
+            for r in knn._query_doc_masks(
+                t["queries"], t["query_roles"], t["permission_assignment"]
+            ).collect()
+        }
+
+        monkeypatch.setattr(hints, "BROADCAST_LIMIT_BYTES", 0)
+        off_numpy = knn.knn_qdtree(*args, k=10, impl="numpy")
+        p = _plan(off_numpy)
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), (
+            "gated-off leaf pruning must shuffle on document_id"
+        )
+        assert rows_on == {tuple(r) for r in off_numpy.collect()}
+
+        off_expr = knn.knn_qdtree(*args, k=10, impl="expr")
+        p = _plan(off_expr)
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+        assert expr_on == {tuple(r) for r in off_expr.collect()}
+
+        off_fracs = qdtree_leaf_fracs(*frac_args)
+        p = _plan(off_fracs)
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+        assert fracs_on == {tuple(r) for r in off_fracs.collect()}
+
+        # mask build: the permission hint is gated off but the dim-side
+        # hints (query_roles, qpos) remain, so the build still broadcasts
+        # only dim relations — and the mask VALUES are unchanged
+        masks_off = {
+            (r["document_id"], tuple(r["qmask"]))
+            for r in knn._query_doc_masks(
+                t["queries"], t["query_roles"], t["permission_assignment"]
+            ).collect()
+        }
+        assert masks_on == masks_off
+
+
 def test_memoized_stat_prices_once_per_relation(spark):
     """The gate's input stats are artifact-scale properties priced ONCE per
     semantically identical relation (like table statistics) — the per-call

@@ -47,7 +47,15 @@ def build_store(blocks: DataFrame, permission_assignment: DataFrame) -> DataFram
     partition per distinct document access-set, each block stored exactly
     once (vs per-role replication).
     """
-    return blocks.join(F.broadcast(_doc_comb(permission_assignment)), "document_id")
+    from . import hints
+    from .knn import _perm_est_bytes
+
+    # gated (r12): one row per permissioned document (rows ≤ rows(perm)) —
+    # above the gate the routing join shuffles on document_id (bucketable)
+    return blocks.join(
+        hints.gated_broadcast(_doc_comb(permission_assignment), _perm_est_bytes(permission_assignment)),
+        "document_id",
+    )
 
 
 def insert_blocks(store: DataFrame, new_blocks: DataFrame, permission_assignment: DataFrame) -> DataFrame:
@@ -58,7 +66,14 @@ def insert_blocks(store: DataFrame, new_blocks: DataFrame, permission_assignment
     folds into the partitioned layout (new files in existing partition dirs —
     no index rebuild, no shuffle of the existing store).
     """
-    routed = new_blocks.join(F.broadcast(_doc_comb(permission_assignment)), "document_id")
+    from . import hints
+    from .knn import _perm_est_bytes
+
+    # gated (r12): same doc-cardinality routing table as build_store
+    routed = new_blocks.join(
+        hints.gated_broadcast(_doc_comb(permission_assignment), _perm_est_bytes(permission_assignment)),
+        "document_id",
+    )
     return store.unionByName(routed)
 
 
@@ -537,6 +552,9 @@ def delete_role(
     step 8's role_documents − other_role_documents). All set algebra —
     anti-joins on (partition, document); untouched partitions stream
     through unchanged."""
+    from . import hints
+    from .knn import _perm_est_bytes
+
     role_docs = permission_assignment.where(F.col("role_id") == role_id).select("document_id").distinct()
     affected = partition_roles.where(F.col("role_id") == role_id).select("partition_id").distinct()
     remaining = partition_roles.where(F.col("role_id") != role_id)
@@ -548,7 +566,9 @@ def delete_role(
     )
     doomed = (
         store.join(F.broadcast(affected), "partition_id", "left_semi")
-        .join(F.broadcast(role_docs), "document_id", "left_semi")
+        # gated (r12): one role's doc set is still doc-cardinality (a hot
+        # role can cover most of a 10⁹-doc corpus); bound by rows(perm)
+        .join(hints.gated_broadcast(role_docs, _perm_est_bytes(permission_assignment)), "document_id", "left_semi")
         .join(needed.hint("SHUFFLE_HASH"), ["partition_id", "document_id"], "left_anti")
         .select("partition_id", "block_id")
     )

@@ -48,6 +48,28 @@ def topk_per_query(scored: DataFrame, k: int, dist_col: str = "distance", id_col
     )
 
 
+def _perm_est_bytes(permission_assignment: DataFrame) -> int:
+    """Estimated broadcast bytes of the raw (role_id, document_id)
+    permission relation — docs×roles, so doc-cardinality: every hint on it
+    is size-gated (r12, VERDICT r11 item 1). The row count is an
+    artifact-scale property, memoized per session like the mask gate's
+    stats. When the gate drops the hint, the consuming join still
+    broadcasts its dim-sized other side (query_roles / qpos carry their
+    own hints), so the permission relation streams instead of shipping."""
+    n = hints.memoized_stat(permission_assignment, "n_rows", permission_assignment.count)
+    return int(n) * 24
+
+
+def _rel_est_bytes(rel: DataFrame, bytes_per_row: int) -> int:
+    """Estimated broadcast bytes of a derived permitted relation (e.g. the
+    role-expanded doc list), priced by its own memoized count. The count
+    plan embeds the already-gated permission hint, so pricing it is itself
+    scale-safe: above the gate the count is a linear streamed join, never
+    a broadcast build of the huge side."""
+    n = hints.memoized_stat(rel, "n_rows", rel.count)
+    return int(n) * bytes_per_row
+
+
 def _permitted_blocks(blocks: DataFrame, query_roles: DataFrame, permission_assignment: DataFrame) -> DataFrame:
     """query_id × permitted block rows.
 
@@ -57,11 +79,14 @@ def _permitted_blocks(blocks: DataFrame, query_roles: DataFrame, permission_assi
     """
     qdocs = (
         F.broadcast(query_roles)
-        .join(F.broadcast(permission_assignment), "role_id")
+        # gated (r12): perm is docs×roles, qdocs is Q×permitted-docs — both
+        # doc-cardinality; above the gate the blocks join shuffles on
+        # document_id (bucketable) instead of aborting on the 8 GB ceiling
+        .join(hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)), "role_id")
         .select("query_id", "document_id")
         .distinct()
     )
-    return blocks.join(F.broadcast(qdocs), "document_id")
+    return blocks.join(hints.gated_broadcast(qdocs, _rel_est_bytes(qdocs, 32)), "document_id")
 
 
 def knn_prefilter(
@@ -159,11 +184,16 @@ def knn_postfilter(
 
     qdocs = (
         F.broadcast(query_roles)
-        .join(F.broadcast(permission_assignment), "role_id")
+        # gated (r12): doc-cardinality relations — same reasoning as
+        # _permitted_blocks; the probe side here is only Q·k·expansion
+        # rows, so above the gate Spark auto-broadcasts THAT side instead
+        .join(hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)), "role_id")
         .select("query_id", "document_id")
         .distinct()
     )
-    filtered = global_topk.join(F.broadcast(qdocs), ["query_id", "document_id"])
+    filtered = global_topk.join(
+        hints.gated_broadcast(qdocs, _rel_est_bytes(qdocs, 32)), ["query_id", "document_id"]
+    )
     return topk_per_query(filtered, k).select("query_id", "block_id", "document_id", "distance", "rank")
 
 
@@ -191,7 +221,12 @@ def knn_role_partition(
     per-(query, role) gather-kernel pre-cut; the local window → dedup →
     global merge is unchanged. pytest pins ≡ expr.
     """
-    role_blocks = blocks.join(F.broadcast(permission_assignment), "document_id")  # replicated per role
+    # replicated per role; the perm hint is gated (r12): docs×roles — above
+    # the gate this join shuffles on document_id (bucketable)
+    role_blocks = blocks.join(
+        hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)),
+        "document_id",
+    )
     routed = role_blocks.join(F.broadcast(query_roles), "role_id")
     if impl == "numpy":
         scored = _gather_local_topk(routed, queries, k, metric, group_col="role_id")
@@ -244,7 +279,9 @@ def knn_role_partition_logical(
     # variant (permission dim broadcasts; the blocks fact streams)
     members = (
         blocks.select("document_id", "block_id")
-        .join(F.broadcast(permission_assignment), "document_id")
+        # gated (r12): docs×roles — above the gate the pointer-list build
+        # shuffles on document_id (bucketable, like the fetch join below)
+        .join(hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)), "document_id")
         .select("role_id", "block_id", "document_id")
     )
     routed = members.join(F.broadcast(query_roles), "role_id")
@@ -294,7 +331,9 @@ def knn_comb_role_partition(
     # partition contents: block ∈ partition if any member role may access it
     part_blocks = (
         F.broadcast(comb_members)
-        .join(F.broadcast(permission_assignment), "role_id")
+        # gated (r12): docs×roles — comb_members keeps its dim-sized hint,
+        # so above the gate the join builds from that side and perm streams
+        .join(hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)), "role_id")
         .select("comb_role", "document_id")
         .distinct()
         .join(blocks, "document_id")
@@ -351,14 +390,15 @@ def knn_rls(
         dist = _METRICS[metric]
         qdocs = (
             F.broadcast(query_roles)
-            .join(F.broadcast(permission_assignment), "role_id")
+            # gated (r12): doc-cardinality — same reasoning as _permitted_blocks
+            .join(hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)), "role_id")
             .select("query_id", "document_id")
             .distinct()
         )
         # RLS = per-query filtered view of the scan; leftsemi keeps block rows
         scored = (
             blocks.join(F.broadcast(queries.select("query_id", "query_vector")), how="cross")
-            .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")
+            .join(hints.gated_broadcast(qdocs, _rel_est_bytes(qdocs, 32)), ["query_id", "document_id"], "leftsemi")
             .select(
                 "query_id", "block_id", "document_id",
                 F.round(dist("vector", "query_vector"), 6).alias("distance"),
@@ -409,14 +449,19 @@ def knn_qdtree(
         # set — the per-QUERY routing table the chain built is only
         # needed by the expression path below). Duplicates on the
         # semi-join's build side are harmless by semi-join semantics.
+        # both layers gated (r12): the permission relation itself AND the
+        # role-expanded doc list derived from it are doc-cardinality — the
+        # r11 distinct-drop made permitted_docs strictly larger than the
+        # old qdocs build side (ADVICE r11). Above the gate the semi-join
+        # shuffles on document_id (bucketable, the ACORN fallback shape).
         permitted_docs = (
             F.broadcast(query_roles)
-            .join(F.broadcast(permission_assignment), "role_id")
+            .join(hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)), "role_id")
             .select("document_id")
         )
         live_leaves = (
             assigned_blocks
-            .join(F.broadcast(permitted_docs), "document_id", "leftsemi")
+            .join(hints.gated_broadcast(permitted_docs, _rel_est_bytes(permitted_docs, 24)), "document_id", "leftsemi")
             .select("partition_id")
             .distinct()
         )
@@ -432,7 +477,10 @@ def knn_qdtree(
         dist = _METRICS[metric]
         qdocs = (
             F.broadcast(query_roles)
-            .join(F.broadcast(permission_assignment), "role_id")
+            # gated (r12): docs×roles relation — same reasoning as the
+            # masked path above; qdocs itself (Q × permitted docs) is also
+            # doc-cardinality, so its semi-join hint below is gated too
+            .join(hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)), "role_id")
             .select("query_id", "document_id")
             .distinct()
         )
@@ -441,7 +489,7 @@ def knn_qdtree(
         qparts = qdocs.join(doc_parts, "document_id").select("query_id", "partition_id").distinct()
         scored = (
             assigned_blocks.join(F.broadcast(qparts), "partition_id")  # leaf pruning
-            .join(F.broadcast(qdocs), ["query_id", "document_id"], "leftsemi")  # per-block check
+            .join(hints.gated_broadcast(qdocs, _rel_est_bytes(qdocs, 32)), ["query_id", "document_id"], "leftsemi")  # per-block check
             .join(F.broadcast(queries.select("query_id", "query_vector")), "query_id")
             .select(
                 "query_id", "block_id", "document_id",
@@ -730,7 +778,10 @@ def _query_doc_masks(
     n_words = max(1, (len(qids) + 63) // 64)
     qdocs = (
         F.broadcast(query_roles)
-        .join(F.broadcast(permission_assignment), "role_id")
+        # gated (r12): the permission relation is docs×roles — at 10⁹ docs
+        # a hard hint here ABORTS on the 8 GB ceiling. Above the gate the
+        # join builds from the hinted dim sides instead and perm streams.
+        .join(hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)), "role_id")
         .join(F.broadcast(qpos), "query_id")
         .select("document_id", "qpos")
     )

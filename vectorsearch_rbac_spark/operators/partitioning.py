@@ -28,17 +28,32 @@ def role_partition_assignment(blocks: DataFrame, permission_assignment: DataFram
     Disk layout: ``df.write.partitionBy("role_id")`` →
     ``…/role_id=r/part-*.parquet`` ≡ the reference's per-role tables.
     """
-    return blocks.join(F.broadcast(permission_assignment), "document_id")
+    from . import hints
+    from .knn import _perm_est_bytes
+
+    # gated (r12): the permission relation is docs×roles — above the gate
+    # the replication join shuffles on document_id (bucketable)
+    return blocks.join(
+        hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)),
+        "document_id",
+    )
 
 
 def comb_role_assignment(blocks: DataFrame, permission_assignment: DataFrame) -> DataFrame:
     """One partition per *document access-set*: comb_role = sorted role list
     that can reach the document. Unlike per-role replication this stores
     each block exactly once (the dynamic-partition design)."""
+    from . import hints
+    from .knn import _perm_est_bytes
+
     doc_comb = permission_assignment.groupBy("document_id").agg(
         F.array_join(F.array_sort(F.collect_list(F.col("role_id").cast("string"))), ",").alias("comb_role")
     )
-    return blocks.join(F.broadcast(doc_comb), "document_id")
+    # gated (r12): one row per permissioned document (doc-cardinality);
+    # rows(doc_comb) ≤ rows(perm), so the perm estimate bounds it
+    return blocks.join(
+        hints.gated_broadcast(doc_comb, _perm_est_bytes(permission_assignment)), "document_id"
+    )
 
 
 def write_partitioned(df: DataFrame, path: str, key: str) -> None:
@@ -91,10 +106,17 @@ def qdtree_assignment(
     level total, never a job per node. Depth ≤ max_depth keeps driver state
     tiny (≤ 2^depth nodes).
     """
+    from . import hints
+    from .knn import _perm_est_bytes
+
     doc_roles = permission_assignment.groupBy("document_id").agg(
         F.collect_set("role_id").alias("_roles")
     )
-    cur = blocks.join(F.broadcast(doc_roles), "document_id").withColumn("pid", F.lit(0).cast("long"))
+    # gated (r12): one row per permissioned document, rows ≤ rows(perm) —
+    # above the gate the tree build joins shuffle on document_id
+    cur = blocks.join(
+        hints.gated_broadcast(doc_roles, _perm_est_bytes(permission_assignment)), "document_id"
+    ).withColumn("pid", F.lit(0).cast("long"))
 
     role_sample_rate = 0.5
     for depth in range(max_depth):

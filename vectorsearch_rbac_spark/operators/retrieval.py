@@ -81,7 +81,14 @@ def bm25_rank(
     fits, else the semi-join shuffles on its keys (bucketable on doc_id)."""
     if permitted is not None:
         p = permitted.select("query_id", F.col("doc_id"))
-        est = memoized_stat(p, "n_rows", p.count) * 24
+        # price the gate by DISTINCT pairs (r12, ADVICE r11): the left-semi
+        # consumer is duplicate-insensitive, so role-fan-out duplicates in
+        # the role-expanded relation inflate a raw count and could flip an
+        # otherwise-fitting broadcast to a shuffle — a silent pessimization
+        est = memoized_stat(
+            p, "n_distinct_pairs",
+            lambda: p.agg(F.count_distinct("query_id", "doc_id").alias("n")).first()["n"] or 0,
+        ) * 24
         scored = scored.join(gated_broadcast(p, est), ["query_id", "doc_id"], "left_semi")
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (

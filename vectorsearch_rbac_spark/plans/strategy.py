@@ -91,18 +91,24 @@ def qdtree_leaf_fracs(
     after partition pruning. Built from the same per-leaf populations
     ``qdtree_search_stats`` reports; rounded 6 dp so the routing decision
     it feeds stays SQL-replayable. Dim-sized output (one row per query)."""
+    from ..operators import hints
+    from ..operators.knn import _perm_est_bytes, _rel_est_bytes
     from ..operators.partitioning import qdtree_search_stats
 
     stats = qdtree_search_stats(assigned_blocks)
     qdocs = (
         F.broadcast(query_roles)
-        .join(F.broadcast(permission_assignment), "role_id")
+        # gated (r12, VERDICT r11 item 1): the permission relation and the
+        # Q × permitted-docs table derived from it are doc-cardinality —
+        # hard hints abort at 10⁹ docs; above the gate the routing join
+        # shuffles on document_id (bucketable)
+        .join(hints.gated_broadcast(permission_assignment, _perm_est_bytes(permission_assignment)), "role_id")
         .select("query_id", "document_id")
         .distinct()
     )
     qparts = (
         assigned_blocks.select("document_id", "partition_id").distinct()
-        .join(F.broadcast(qdocs), "document_id")
+        .join(hints.gated_broadcast(qdocs, _rel_est_bytes(qdocs, 32)), "document_id")
         .select("query_id", "partition_id")
         .distinct()
     )

@@ -132,9 +132,17 @@ def space_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         "component": "vector",
     }
 
-    role_rows = blocks.join(
-        F.broadcast(perm.select("document_id", "role_id")), "document_id"
-    ).select("role_id", "block_id", "document_id", "vector")
+    # gated (r12): the permission relation is docs×roles — the layout
+    # writers must degrade to a document_id shuffle at 10⁹ docs, not abort
+    from ..operators import hints
+    from ..operators.knn import _perm_est_bytes
+
+    perm_b = hints.gated_broadcast(
+        perm.select("document_id", "role_id"), _perm_est_bytes(perm)
+    )
+    role_rows = blocks.join(perm_b, "document_id").select(
+        "role_id", "block_id", "document_id", "vector"
+    )
     report["role_partition"] = _write(
         role_rows, os.path.join(out_dir, "role_partition"), partition_by="role_id"
     ) | {
@@ -143,7 +151,7 @@ def space_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     }
 
     comb = (
-        blocks.join(F.broadcast(perm.select("document_id", "role_id")), "document_id")
+        blocks.join(perm_b, "document_id")
         .groupBy("block_id", "document_id")
         .agg(F.sort_array(F.collect_set("role_id")).alias("roles"))
         .select(
