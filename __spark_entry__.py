@@ -679,7 +679,11 @@ def q_curated_corpus(spark, sf_dir):
     """Flagship training-data curation pipeline, end-to-end in one plan:
     quality-score filter → MinHash near-dup clustering over survivors →
     keep one canonical doc per cluster. Output = the curated corpus."""
-    docs = load_table(spark, "documents", sf_dir)
+    from vectorsearch_rbac_spark.operators.hints import parallelize_scan
+
+    # r12: split the serial single-file scan ahead of the quality regex
+    # pass (size-gated; no-op at bench sf and on parallel cluster scans)
+    docs = parallelize_scan(load_table(spark, "documents", sf_dir))
     kept = docs.select(
         "doc_id",
         "text",
@@ -705,7 +709,13 @@ def q_text_stats(spark, sf_dir):
     multinomial Naive Bayes classifier (the scalable fasttext-filter
     stand-in: exact-count training, add-1 smoothing, argmax apply) in
     one entry."""
-    docs = load_table(spark, "documents", sf_dir)
+    from vectorsearch_rbac_spark.operators.hints import parallelize_scan
+
+    # r12: split the serial single-file scan — BOTH the 8-metric regex
+    # projection and the shared tokenize below are narrow maps over the
+    # corpus and run 1-2 tasks otherwise (size-gated; no-op at sf≤0.1 and
+    # on already-parallel cluster scans)
+    docs = parallelize_scan(load_table(spark, "documents", sf_dir))
     # ONE materialized tokenize feeds all three corpus-trained models —
     # each model (and each of its internal consumers: vocab, bigram
     # counts, class counts, scoring) would otherwise re-run the tokenize

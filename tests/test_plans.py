@@ -724,6 +724,41 @@ def test_permitted_relation_gates_both_regimes(t, monkeypatch):
         assert masks_on == masks_off
 
 
+def test_parallelize_scan_regimes(spark, sf_dir, monkeypatch):
+    """r12: token-heavy operators split a serial single-row-group corpus
+    scan with a SIZE-GATED round-robin repartition (guide §2.2/§6 — a
+    1-file corpus scans as 1-2 tasks, serializing the tokenize map on any
+    core count; measured 1.3-3.3× per entry at sf1/32 cores). Below the
+    byte gate (bench SFs) the plan is untouched; with the gate forced open
+    the exchange appears and rows are IDENTICAL (every consumer aggregates
+    on doc/term keys, so partitioning cannot reach values)."""
+    from vectorsearch_rbac_spark.operators import curation, dedup, hints
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def plans_and_rows():
+        out = {}
+        for name, df in (
+            ("boilerplate", curation.remove_boilerplate(docs, chunk_tokens=2, min_docs=20)),
+            ("vocab", curation.build_vocab(docs)),
+            ("shingles", dedup.word_shingles(docs)),
+        ):
+            out[name] = ("roundrobin" in _plan(df).lower(), {tuple(r) for r in df.collect()})
+        return out
+
+    default = plans_and_rows()
+    assert not any(v[0] for v in default.values()), (
+        "below the byte gate the scan split must be a NO-OP"
+    )
+    monkeypatch.setattr(hints, "SCAN_SPLIT_MIN_BYTES", 0)
+    forced = plans_and_rows()
+    assert all(v[0] for v in forced.values()), (
+        "with the gate open the round-robin split must engage"
+    )
+    for name in default:
+        assert default[name][1] == forced[name][1], f"{name}: rows changed under split"
+
+
 def test_memoized_stat_prices_once_per_relation(spark):
     """The gate's input stats are artifact-scale properties priced ONCE per
     semantically identical relation (like table statistics) — the per-call

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions.vector import md5_long
+from .hints import parallelize_scan
 
 
 def stratified_sample(
@@ -110,7 +111,9 @@ def tfidf_top_terms(
     head terms only skew df — a count-only agg with map-side combine.
     """
     sw = F.array(*[F.lit(s) for s in T.STOPWORDS])
-    toks = documents.select(
+    # r12: split the serial single-file scan ahead of the tokenize explode
+    # (size-gated — see parallelize_scan); N below stays on the raw scan
+    toks = parallelize_scan(documents).select(
         id_col, F.explode(T.tokens(text_col)).alias("term")
     ).where((F.length("term") >= min_len) & ~F.array_contains(sw, F.col("term")))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
@@ -154,7 +157,9 @@ def remove_boilerplate(
     min_docs bar), and one groupBy(doc) to reassemble. Order is restored
     with a struct array_sort, not a sort of the whole relation.
     """
-    t = documents.select(id_col, T.tokens(text_col).alias("toks"))
+    # r12: split the serial single-file scan ahead of the tokenize +
+    # chunk explode (size-gated — see parallelize_scan)
+    t = parallelize_scan(documents).select(id_col, T.tokens(text_col).alias("toks"))
     n_chunks = (F.ceil(F.size("toks") / F.lit(float(chunk_tokens))) - 1).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks),
@@ -844,7 +849,8 @@ def build_vocab(
     keeps V rows, one bounded merge — never a global sort), and the dense
     id window runs over only V surviving rows.
     """
-    toks = documents.select(F.explode(T.tokens(text_col)).alias("term")).where(
+    # r12: split the serial single-file scan ahead of the tokenize explode
+    toks = parallelize_scan(documents).select(F.explode(T.tokens(text_col)).alias("term")).where(
         F.length("term") >= min_len
     )
     counts = (
@@ -921,7 +927,10 @@ def bpe_train_and_encode(
     a pure map over the array column — zero doc-keyed shuffles in the
     whole loop. Lineage is truncated per iteration.
     """
-    toks = documents.select(id_col, T.tokens(text_col).alias("toks"))
+    # r12: split the serial single-file scan ahead of the initial tokenize;
+    # every merge round inherits the parallel layout through the per-round
+    # lineage truncation (size-gated — see parallelize_scan)
+    toks = parallelize_scan(documents).select(id_col, T.tokens(text_col).alias("toks"))
     rules = []
     empty_out = F.expr("CAST(array() AS array<string>)")
     for step in range(1, n_merges + 1):

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import md5_long
-from .hints import gated_broadcast, memoized_stat
+from .hints import gated_broadcast, memoized_stat, parallelize_scan
 
 _WS = r"\s+"
 
@@ -96,7 +96,11 @@ def word_shingles(documents: DataFrame, id_col: str = "doc_id", text_col: str = 
     idx = F.explode(F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1))).alias("i")
     parts = [F.element_at(F.col("_toks"), F.col("i") + j) for j in range(n)]
     return (
-        documents.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        # r12 guide §2.2/§6: a single-row-group corpus file scans as 1-2
+        # tasks, serializing the shingle explode on any core count —
+        # parallelize_scan splits it when (and only when) the input is big
+        # enough to pay for the exchange; no-op on already-parallel scans
+        parallelize_scan(documents).select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
         .where(F.size("_toks") >= n)
         .select("doc_id", "_toks", idx)
         .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
@@ -342,7 +346,10 @@ def simhash_signatures(
     formulation — DuckDB-oracle parity is unchanged.
     """
     toks = (
-        documents.select(F.col(id_col).alias("doc_id"), F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
+        # r12: split the serial single-file scan ahead of the token
+        # explode (size-gated — see parallelize_scan)
+        parallelize_scan(documents)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
         .withColumn("th", md5_long("tok"))
     )
     def contrib(j: int) -> F.Column:
@@ -827,7 +834,9 @@ def exactsubstr_cut(
     UDFs; no driver collects (probe: tools/dedup_scale_probe.py).
     """
     norm = normalize_text(text_col)
-    base = documents.select(F.col(id_col).alias("doc_id"), norm.alias("_n"))
+    # r12: split the serial single-file scan ahead of the per-char window
+    # explode + md5 pass (size-gated — see parallelize_scan)
+    base = parallelize_scan(documents).select(F.col(id_col).alias("doc_id"), norm.alias("_n"))
     wins = (
         base.where(F.length("_n") >= win)
         .select("doc_id", "_n", F.explode(F.sequence(F.lit(1), F.length("_n") - (win - 1))).alias("_p"))
@@ -944,6 +953,9 @@ def incremental_dedup_pairs(
     # batch bound from the memoized source count: ≤ n_docs/mod rows
     batch_bound = memoized_stat(documents, "n_rows", documents.count) // mod + 1
 
+    # r12: split the serial single-file scan ahead of the normalize+hash
+    # pass and the shingle tier below (size-gated — see parallelize_scan)
+    documents = parallelize_scan(documents)
     hashed = documents.select(
         F.col(id_col).alias("doc_id"),
         md5_long(normalize_text(text_col)).alias("content_hash"),

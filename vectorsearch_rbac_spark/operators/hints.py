@@ -59,6 +59,67 @@ def memoized_stat(df: DataFrame, tag: str, compute) -> int:
         return v
 
 
+# Minimum scan-input bytes before a token-heavy consumer is worth an
+# explicit split (r12): below this the round-robin exchange costs more
+# than the serial map stage it parallelizes (measured at sf0.1: blanket
+# repartition regressed text entries +0.1-1.6 s on a 0.6 MB corpus, while
+# the 5.8 MB sf1 corpus gains 1.3-3.3× per entry). Module-level so tests
+# can exercise both regimes by monkeypatching.
+SCAN_SPLIT_MIN_BYTES: int = 2 << 20
+
+
+def _local_input_bytes(df: DataFrame) -> int:
+    """Total bytes of a scan's local input files; 'huge' for non-local
+    storage (there the caller's parallelism check governs alone)."""
+    import os
+
+    total = 0
+    for uri in df.inputFiles():
+        if not uri.startswith("file:"):
+            return 1 << 60
+        p = "/" + uri[len("file:"):].lstrip("/")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    return total
+
+
+def parallelize_scan(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
+    """Give a token-heavy narrow map stage at least the session's default
+    parallelism (guide §2.2/§6: input splits bound map parallelism).
+
+    A benchmark-scale corpus parquet is ONE file with ONE row group, so
+    the scan is 1-2 tasks and every tokenize/explode/regex map above it
+    runs serial REGARDLESS of cores — the measured cause of the 8→32-core
+    ratio ≈ 1 cluster (remove_boilerplate 7.7 s → 2.1 s at sf1/32 cores
+    once split). Spark cannot split a single row group, so the only lever
+    is an explicit round-robin exchange. Three regimes:
+
+    - scan already ≥ defaultParallelism splits (cluster scale): NO-OP —
+      never adds an exchange to a 100 TB scan;
+    - small corpus (< min_bytes, e.g. the 0.6 MB sf0.1 bench input):
+      NO-OP — the exchange would cost more than it buys (measured);
+    - mid/large single-file corpus: repartition to defaultParallelism.
+
+    Both stats are driver-side only and memoized per relation
+    (:func:`memoized_stat`) — warm calls pay nothing.
+    """
+    limit = SCAN_SPLIT_MIN_BYTES if min_bytes is None else min_bytes
+    sc = df.sparkSession.sparkContext
+    target = int(sc.defaultParallelism)
+    try:
+        parts = memoized_stat(df, "scan_parts", lambda: df.rdd.getNumPartitions())
+        if parts >= target:
+            return df
+        size = memoized_stat(df, "scan_bytes", lambda: _local_input_bytes(df))
+    except Exception:  # pragma: no cover — exotic plans price as "leave alone"
+        return df
+    if size < limit:
+        return df
+    return df.repartition(target)
+
+
 def gated_broadcast(
     df: DataFrame, est_bytes: int | None, limit_bytes: int | None = None
 ) -> DataFrame:

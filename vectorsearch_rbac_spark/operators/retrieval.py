@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from .hints import gated_broadcast, memoized_stat
+from .hints import gated_broadcast, memoized_stat, parallelize_scan
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -37,7 +37,11 @@ def bm25_scores(
     hybrid shortlist) without recomputing the corpus aggregates; callers
     that fan out localCheckpoint the result once.
     """
-    toks = documents.select(F.col(id_col).alias("doc_id"), F.explode(T.tokens(text_col)).alias("term"))
+    # r12: split the serial single-file scan ahead of the tokenize explode
+    # (size-gated — see parallelize_scan); corpus-size stats stay as-is
+    toks = parallelize_scan(documents).select(
+        F.col(id_col).alias("doc_id"), F.explode(T.tokens(text_col)).alias("term")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
     dlen = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dlen"))
     df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
