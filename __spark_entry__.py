@@ -1062,7 +1062,11 @@ def q_random_projection(spark, sf_dir):
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing: hash of scrubbed text (value-compared vs oracle) +
     span count per doc."""
-    docs = load_table(spark, "documents", sf_dir)
+    from vectorsearch_rbac_spark.operators.hints import parallelize_scan
+
+    # r12: the chained regexp scrub is a narrow map over the corpus —
+    # split the serial single-file scan (size-gated; no-op at bench SFs)
+    docs = parallelize_scan(load_table(spark, "documents", sf_dir))
     out = docs.select(
         "doc_id",
         F.md5(T.scrub_pii("text")).alias("scrubbed_hash"),

@@ -1003,8 +1003,11 @@ def bpe_train_and_encode(
             .localCheckpoint(eager=False)
         )
     spark = documents.sparkSession
-    rules_df = spark.createDataFrame(
-        rules, "step long, sym_a string, sym_b string, merged string, n long"
+    from ..sources import literal_df
+
+    # r12 guide §6: Arrow literal path (no per-job Python re-pickle)
+    rules_df = literal_df(
+        spark, rules, "step long, sym_a string, sym_b string, merged string, n long"
     )
     # the loop's final token state IS the encoded corpus (E42 BPE
     # application): expose it alongside the rules so entries that need

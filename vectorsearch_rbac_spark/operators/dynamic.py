@@ -532,8 +532,10 @@ def insert_role(
         .select(*store.columns)
     )
     spark = store.sparkSession
-    pr_new = spark.createDataFrame(
-        [(int(chosen), int(new_role_id))], "partition_id long, role_id int"
+    from ..sources import literal_df
+
+    pr_new = literal_df(
+        spark, [(int(chosen), int(new_role_id))], "partition_id long, role_id int"
     )
     return store.unionByName(added), partition_roles.select(
         F.col("partition_id").cast("long"), F.col("role_id").cast("int")

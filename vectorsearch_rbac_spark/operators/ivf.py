@@ -133,7 +133,10 @@ def ivf_search(
         for r in q_rows
         for cid in nearest_centroids(np.asarray(r["query_vector"], dtype=np.float64), centroids, nprobe)
     ]
-    probes = spark.createDataFrame(probe_rows, "query_id long, centroid_id int")
+    from ..sources import literal_df
+
+    # r12 guide §6: Arrow literal path (no per-job Python re-pickle)
+    probes = literal_df(spark, probe_rows, "query_id long, centroid_id int")
     candidate = indexed_blocks.join(F.broadcast(probes), "centroid_id")
     if impl == "expr":
         # Catalyst higher-order-function scoring: every float op is a

@@ -417,8 +417,11 @@ def optimize_layout(
     assignment, routing, report = split_comb_roles(
         atom_rows, weight_rows, alpha=alpha, topk=topk, params=params
     )
-    a_df = spark.createDataFrame(assignment, "atom_key string, partition_id int, partition_blocks long")
-    r_df = spark.createDataFrame(routing, "comb_key string, partition_id int")
+    from ..sources import literal_df
+
+    # r12 guide §6: Arrow literal path (no per-job Python re-pickle)
+    a_df = literal_df(spark, assignment, "atom_key string, partition_id int, partition_blocks long")
+    r_df = literal_df(spark, routing, "comb_key string, partition_id int")
     return {"assignment": a_df, "routing": r_df, "report": report}
 
 

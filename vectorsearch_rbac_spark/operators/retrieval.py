@@ -299,7 +299,10 @@ def maxsim_topk(
     # join occurrences against it — hashing per occurrence would redo
     # dim·2 md5s for every token position in the corpus
     occs = (
-        documents.select(F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("_tk"))
+        # r12: split the serial single-file scan ahead of the tokenize +
+        # context-mix explode (size-gated — see parallelize_scan)
+        parallelize_scan(documents)
+        .select(F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("_tk"))
         .where(F.size("_tk") >= 1)
         .select(
             "doc_id",

@@ -31,6 +31,50 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# DDL scalar type → pandas dtype, for literal_df's Arrow fast path.
+_PD_DTYPES = {
+    "long": "int64", "bigint": "int64", "int": "int32", "integer": "int32",
+    "smallint": "int16", "tinyint": "int8", "double": "float64",
+    "float": "float32", "boolean": "bool", "string": "object",
+}
+
+
+def literal_df(spark: SparkSession, rows, schema: str):
+    """Small driver-literal DataFrame via the ARROW path (guide §6).
+
+    ``createDataFrame(list_of_tuples)`` builds a Python RDD whose rows are
+    re-pickled through the Py4J/socket bridge EVERY TIME a job executes the
+    scan — measured ~0.27 s per executed subtree even at 100 rows, paid per
+    call by every operator that embeds a literal relation (mask positions,
+    IVF probe lists, tuning grids, BPE rules). A pandas/Arrow-built frame
+    becomes a JVM-local table instead (~0.03 s construct, no per-job
+    Python round-trip). Falls back to the classic path for empty input or
+    non-scalar schemas (arrays/structs), where Arrow conversion may
+    silently fall back anyway.
+
+    ``rows`` is a sequence of tuples matching ``schema`` ("name type,
+    ..."), exactly as the classic ``createDataFrame`` sites passed them.
+    """
+    import pandas as pd
+
+    fields = []
+    for part in schema.split(","):
+        bits = part.strip().rsplit(" ", 1)
+        if len(bits) != 2 or bits[1].lower() not in _PD_DTYPES:
+            return spark.createDataFrame(rows, schema)
+        fields.append((bits[0], bits[1].lower()))
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    pdf = pd.DataFrame(
+        {
+            name: pd.Series([r[i] for r in rows], dtype=_PD_DTYPES[t])
+            for i, (name, t) in enumerate(fields)
+        }
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def get_spark(app: str = "vectorsearch-rbac-spark", shuffle_partitions: int = 32) -> SparkSession:
     """Local session tuned for the test harness; on a real cluster the
     builder config comes from spark-submit and these are no-ops."""
