@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vectorsearch_rbac_spark.sources import load_table
+from vectorsearch_rbac_spark.sources import literal_df, load_table
 from vectorsearch_rbac_spark.rbac import derive
 from vectorsearch_rbac_spark.operators import knn, ann, curation, dedup, dynamic, ivf, partitioning
 from vectorsearch_rbac_spark.functions import text as T
@@ -164,7 +164,8 @@ def q_rbac_layouts_topk(spark, sf_dir):
         t["documentblocks"], t["permission_assignment"], max_leaf_size=64, max_depth=4
     ).localCheckpoint())
     blocks, pa, qs, qr = args[0], t["permission_assignment"], t["queries"], t["query_roles"]
-    pr = spark.createDataFrame(
+    pr = literal_df(
+        spark,
         [(p, r) for p in range(5) for r in (2 * p, 2 * p + 1)],
         "partition_id long, role_id int",
     )
@@ -918,7 +919,7 @@ def q_bm25_topk(spark, sf_dir):
     from vectorsearch_rbac_spark.operators import retrieval
 
     docs = load_table(spark, "documents", sf_dir)
-    qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
+    qt = literal_df(spark, BM25_QUERIES, "query_id long, terms array<string>")
     return retrieval.bm25_topk(docs, qt, k=TOPK)
 
 
@@ -929,7 +930,7 @@ def q_rbac_bm25_topk(spark, sf_dir):
     from vectorsearch_rbac_spark.operators import retrieval
 
     t = _rbac(spark, sf_dir)
-    qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
+    qt = literal_df(spark, BM25_QUERIES, "query_id long, terms array<string>")
     qdocs = (
         t["query_roles"].join(t["permission_assignment"], "role_id")
         # no distinct (r11, guide §2.4): the permitted relation is consumed
@@ -951,7 +952,7 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     t = _rbac(spark, sf_dir)
     docs, emb = t["documents"], t["embeddings"]
     n_docs = docs.count()
-    qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
+    qt = literal_df(spark, BM25_QUERIES, "query_id long, terms array<string>")
     text_ranks = retrieval.bm25_topk(docs, qt, k=50)
     qids = [q for q, _ in BM25_QUERIES]
     vec = ann.cosine_topk_bruteforce(
@@ -972,7 +973,7 @@ def q_maxsim_topk(spark, sf_dir):
     from vectorsearch_rbac_spark.operators import retrieval
 
     docs = load_table(spark, "documents", sf_dir)
-    qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
+    qt = literal_df(spark, BM25_QUERIES, "query_id long, terms array<string>")
     return _i(retrieval.maxsim_topk(docs, qt, k=TOPK), "query_id", "doc_id", "rank")
 
 
@@ -991,7 +992,7 @@ def q_retrieval_topk(spark, sf_dir):
 
     t = _rbac(spark, sf_dir)
     docs, emb = t["documents"], t["embeddings"]
-    qt = spark.createDataFrame(BM25_QUERIES, "query_id long, terms array<string>")
+    qt = literal_df(spark, BM25_QUERIES, "query_id long, terms array<string>")
     scored = retrieval.bm25_scores(docs, qt).localCheckpoint(eager=False)
     qdocs = (
         t["query_roles"].join(t["permission_assignment"], "role_id")
@@ -1882,7 +1883,8 @@ def q_streaming_hourly_stats(spark, sf_dir):
     # stays pytest-checked, it doesn't re-aggregate exactly)
     n_adm = sum(int(m["n_admitted"] or 0) for m in obs_metrics)
     tok_vol = sum(int(m["token_volume"] or 0) for m in obs_metrics)
-    obs = spark.createDataFrame(
+    obs = literal_df(
+        spark,
         [("observe", "totals", n_adm, float(tok_vol))],
         "method string, key string, n long, val double",
     )

@@ -58,18 +58,36 @@ def literal_df(spark: SparkSession, rows, schema: str):
     import pandas as pd
 
     fields = []
-    for part in schema.split(","):
-        bits = part.strip().rsplit(" ", 1)
-        if len(bits) != 2 or bits[1].lower() not in _PD_DTYPES:
+    # split on top-level commas only (array<...> carries none, but guard
+    # against future nested generics)
+    depth, start, parts = 0, 0, []
+    for i, c in enumerate(schema):
+        if c == "<":
+            depth += 1
+        elif c == ">":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(schema[start:i])
+            start = i + 1
+    parts.append(schema[start:])
+    for part in parts:
+        bits = part.strip().split(" ", 1)
+        if len(bits) != 2:
             return spark.createDataFrame(rows, schema)
-        fields.append((bits[0], bits[1].lower()))
+        t = bits[1].strip().lower()
+        if t.startswith("array<") and t.endswith(">") and t[6:-1] in _PD_DTYPES:
+            fields.append((bits[0], "object"))
+        elif t in _PD_DTYPES:
+            fields.append((bits[0], _PD_DTYPES[t]))
+        else:
+            return spark.createDataFrame(rows, schema)
     rows = list(rows)
     if not rows:
         return spark.createDataFrame(rows, schema)
     pdf = pd.DataFrame(
         {
-            name: pd.Series([r[i] for r in rows], dtype=_PD_DTYPES[t])
-            for i, (name, t) in enumerate(fields)
+            name: pd.Series([r[i] for r in rows], dtype=dt)
+            for i, (name, dt) in enumerate(fields)
         }
     )
     return spark.createDataFrame(pdf, schema=schema)
